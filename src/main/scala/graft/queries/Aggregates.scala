@@ -1,0 +1,168 @@
+package graft.queries
+
+import graft.Q
+import graft.engine.Tables
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Aggregation operators (SURVEY.md §2B B13–B18).
+  *
+  * Reference analog: the bash pipelines' only "aggregation" is the
+  * non-empty snapshot guard (`[ -s "$DUMP_FILE" ]`, backup.sh:215) and
+  * status summarization (`tail -1`, backup.sh:143); here the engine
+  * exposes the full hash-aggregate family. Catalyst plans each groupBy
+  * as partial+final HashAggregateExec (map-side combine), so at 100 TB
+  * only the per-group partials shuffle — never raw rows.
+  */
+object Aggregates {
+
+  /** B13 flagship: TPC-H Q1-style pricing summary. */
+  val aggHashGroup: Q = Q(
+    "q_agg_hash_group",
+    (s, d) => {
+      val l = Tables.lineitem(s, d)
+      // Exact-decimal money arithmetic: raw 2/4-digit columns cast to
+      // decimal, products stay decimal (exact) → order-independent sums.
+      val price = Det.dec(col("l_extendedprice"), 2)
+      val disc1 = Det.dec(lit(1), 4, 8) - Det.dec(col("l_discount"), 4, 8)
+      val tax1 = Det.dec(lit(1), 4, 8) + Det.dec(col("l_tax"), 4, 8)
+      l.filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          Det.dsum(col("l_quantity"), 2).as("sum_qty"),
+          Det.dsum(col("l_extendedprice"), 2).as("sum_base_price"),
+          // Rescale to the TRUE product scale (≤6 decimals: 2+2+2) before
+          // the double cast — an exact rescale, immune to DuckDB's
+          // truncate-vs-round-half-up downscale difference — and one that
+          // keeps the unscaled value « 2^53, where DuckDB's
+          // decimal→double cast is still correctly rounded.
+          sum(price * disc1).cast(DecimalType(24, 6)).cast("double")
+            .as("sum_disc_price"),
+          sum(price * disc1 * tax1).cast(DecimalType(24, 6)).cast("double")
+            .as("sum_charge"),
+          Det.davg(col("l_quantity"), 2).as("avg_qty"),
+          Det.davg(col("l_extendedprice"), 2).as("avg_price"),
+          Det.davg(col("l_discount"), 4).as("avg_disc"),
+          count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus")
+    },
+    Some(s"""SELECT l_returnflag, l_linestatus,
+      ${Det.sqlSum("l_quantity", 2)} AS sum_qty,
+      ${Det.sqlSum("l_extendedprice", 2)} AS sum_base_price,
+      CAST(CAST(sum(${Det.sqlDec("l_extendedprice", 2)} * (${Det.sqlDec("1", 4, 8)} - ${Det.sqlDec("l_discount", 4, 8)})) AS DECIMAL(24,6)) AS DOUBLE) AS sum_disc_price,
+      CAST(CAST(sum(${Det.sqlDec("l_extendedprice", 2)} * (${Det.sqlDec("1", 4, 8)} - ${Det.sqlDec("l_discount", 4, 8)}) * (${Det.sqlDec("1", 4, 8)} + ${Det.sqlDec("l_tax", 4, 8)})) AS DECIMAL(24,6)) AS DOUBLE) AS sum_charge,
+      ${Det.sqlAvg("l_quantity", 2)} AS avg_qty,
+      ${Det.sqlAvg("l_extendedprice", 2)} AS avg_price,
+      ${Det.sqlAvg("l_discount", 4)} AS avg_disc,
+      count(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus"""))
+
+  /** B14: exact distinct customers (+ order count) per priority. */
+  val aggDistinct: Q = Q(
+    "q_agg_distinct",
+    (s, d) =>
+      Tables.orders(s, d)
+        .groupBy(col("o_orderpriority"))
+        .agg(
+          countDistinct(col("o_custkey")).as("n_cust"),
+          count(lit(1)).as("n_orders"))
+        .orderBy("o_orderpriority"),
+    Some("""SELECT o_orderpriority,
+      count(DISTINCT o_custkey) AS n_cust, count(*) AS n_orders
+    FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority"""))
+
+  /** B15: HLL approximate distinct — approx value differs from DuckDB's
+    * sketch, so no oracle; bounds asserted in AggregatesSpec. */
+  val aggApproxDistinct: Q = Q(
+    "q_agg_approx_distinct",
+    (s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(
+          approx_count_distinct(col("l_partkey"), 0.05).as("approx_parts"),
+          count(lit(1)).as("n_rows"))
+        .orderBy("l_returnflag"),
+    None)
+
+  /** B16: rollup over (nation, market segment). DuckDB defaults to NULLS
+    * LAST while Spark ASC is nulls-first, hence the explicit NULLS FIRST. */
+  val aggRollup: Q = Q(
+    "q_agg_grouping_sets",
+    (s, d) => {
+      val c = Tables.customer(s, d)
+      val n = broadcast(Tables.nation(s, d))
+      c.join(n, c("c_nationkey") === n("n_nationkey"))
+        .rollup(col("n_name"), col("c_mktsegment"))
+        .agg(
+          count(lit(1)).as("n_cust"),
+          Det.dsum(col("c_acctbal"), 2).as("sum_acctbal"))
+        .orderBy(asc_nulls_first("n_name"), asc_nulls_first("c_mktsegment"))
+    },
+    Some(s"""SELECT n_name, c_mktsegment,
+      count(*) AS n_cust, ${Det.sqlSum("c_acctbal", 2)} AS sum_acctbal
+    FROM customer JOIN nation ON c_nationkey = n_nationkey
+    GROUP BY ROLLUP(n_name, c_mktsegment)
+    ORDER BY n_name NULLS FIRST, c_mktsegment NULLS FIRST"""))
+
+  /** B17: two-phase (partial/final) aggregation — Catalyst plans this
+    * automatically as HashAggregate(partial) → shuffle → HashAggregate
+    * (final); exposed as a plain per-nation mean. */
+  val aggPartialFinal: Q = Q(
+    "q_agg_partial_final",
+    (s, d) =>
+      Tables.customer(s, d)
+        .groupBy(col("c_nationkey"))
+        .agg(
+          Det.davg(col("c_acctbal"), 2).as("avg_acctbal"),
+          count(lit(1)).as("n_cust"))
+        .orderBy("c_nationkey"),
+    Some(s"""SELECT c_nationkey, ${Det.sqlAvg("c_acctbal", 2)} AS avg_acctbal,
+      count(*) AS n_cust
+    FROM customer GROUP BY c_nationkey ORDER BY c_nationkey"""))
+
+  /** B18: order-total statistics. Sample stddev via the explicit
+    * sum/sum-of-squares formula over exact decimal sums so both engines
+    * do the identical IEEE double arithmetic (a plain stddev_samp
+    * accumulates in partition order and can drift an ulp). */
+  val aggStats: Q = Q(
+    "q_agg_stats",
+    (s, d) => {
+      val x = col("o_totalprice")
+      val xd = Det.dec(x, 2)
+      Tables.orders(s, d)
+        .groupBy(col("o_orderpriority"))
+        .agg(
+          count(lit(1)).as("n_orders"),
+          Det.dsum(x, 2).as("sum_total"),
+          sum(xd * xd).as("s2dec"),
+          min(x).as("min_total"),
+          max(x).as("max_total"),
+          median(x).as("median_total"))
+        .withColumn("s2", Det.bigToDouble(col("s2dec")))
+        .select(
+          col("o_orderpriority"), col("n_orders"), col("sum_total"),
+          col("min_total"), col("max_total"), col("median_total"),
+          sqrt((col("s2") - col("sum_total") * col("sum_total") / col("n_orders"))
+            / (col("n_orders") - lit(1))).as("stddev_total"))
+        .orderBy("o_orderpriority")
+    },
+    Some(s"""WITH g AS (
+      SELECT o_orderpriority, count(*) AS n_orders,
+        ${Det.sqlSum("o_totalprice", 2)} AS sum_total,
+        ${Det.sqlBigToDouble(s"sum(${Det.sqlDec("o_totalprice", 2)} * ${Det.sqlDec("o_totalprice", 2)})")} AS s2,
+        min(o_totalprice) AS min_total, max(o_totalprice) AS max_total,
+        median(o_totalprice) AS median_total
+      FROM orders GROUP BY o_orderpriority)
+    SELECT o_orderpriority, n_orders, sum_total, min_total, max_total,
+      median_total,
+      sqrt((s2 - sum_total * sum_total / n_orders) / (n_orders - 1))
+        AS stddev_total
+    FROM g ORDER BY o_orderpriority"""))
+
+  val all: Seq[Q] = Seq(
+    aggHashGroup, aggDistinct, aggApproxDistinct, aggRollup,
+    aggPartialFinal, aggStats)
+}

@@ -1,0 +1,46 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+class AggregatesSpec extends SparkSpec {
+  test("flagship pricing summary groups sum to the filtered row count") {
+    val df = q("q_agg_hash_group").cache()
+    assert(df.count() > 0)
+    val counted = df.agg(sum("count_order")).head.getLong(0)
+    val expected = engine.Tables.lineitem(spark, sf)
+      .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp")).count()
+    assert(counted == expected)
+    df.unpersist()
+  }
+
+  test("approx_count_distinct within 3x the 5% rsd of exact") {
+    val approx = q("q_agg_approx_distinct").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exact = engine.Tables.lineitem(spark, sf)
+      .groupBy("l_returnflag").agg(countDistinct("l_partkey").as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    exact.foreach { case (k, n) =>
+      assert(math.abs(approx(k) - n).toDouble / n < 0.15,
+        s"$k: approx=${approx(k)} exact=$n")
+    }
+  }
+
+  test("rollup emits grand total + per-nation subtotals + leaves") {
+    val rows = q("q_agg_grouping_sets").collect()
+    val grand = rows.filter(r => r.isNullAt(0) && r.isNullAt(1))
+    assert(grand.length == 1)
+    val total = engine.Tables.customer(spark, sf).count()
+    assert(grand.head.getLong(2) == total)
+  }
+
+  test("stats stddev matches stddev_samp within 1e-6 relative") {
+    val got = q("q_agg_stats").collect()
+      .map(r => r.getString(0) -> r.getDouble(6)).toMap
+    val ref = engine.Tables.orders(spark, sf)
+      .groupBy("o_orderpriority").agg(stddev_samp(col("o_totalprice")).as("s"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    ref.foreach { case (k, s) =>
+      assert(math.abs(got(k) - s) / s < 1e-6, s"$k: ${got(k)} vs $s")
+    }
+  }
+}
