@@ -1,7 +1,326 @@
 package graft.queries
 
 import graft.Q
+import graft.engine.Tables
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
 
+/** Scans, joins, sorts and set operations (SURVEY.md §2B B1, B4–B12,
+  * B23–B25).
+  *
+  * Reference analog: the pipelines' extract step is a full-table scan
+  * (`pg_dump -Fc`, backup.sh:210) and its TOC/status handling is line
+  * filtering; the engine generalizes to the full relational join/set
+  * surface. Scale posture: dimension joins broadcast (customer⋈nation⋈
+  * region); fact-fact joins shuffle on their equi keys and AQE handles
+  * skew; nothing collects to the driver.
+  */
 object Relational {
-  val all: Seq[Q] = Seq()
+
+  /** B1: projection + filter pushed into the parquet scan. */
+  val scanProjectFilter: Q = Q(
+    "q_scan_project_filter",
+    (s, d) =>
+      Tables.lineitem(s, d)
+        .select("l_orderkey", "l_linenumber", "l_quantity",
+          "l_extendedprice", "l_shipdate")
+        .where(col("l_quantity") >= lit(48.0)
+          && col("l_shipdate") >= lit("2001-06-01").cast("timestamp"))
+        .orderBy("l_orderkey", "l_linenumber"),
+    Some("""SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice,
+      l_shipdate
+    FROM lineitem
+    WHERE l_quantity >= 48.0 AND l_shipdate >= TIMESTAMP '2001-06-01'
+    ORDER BY l_orderkey, l_linenumber"""))
+
+  /** B4: fact⋈fact equi join (shuffle/SMJ at scale) + aggregate. */
+  val joinInnerEqui: Q = Q(
+    "q_join_inner_equi",
+    (s, d) => {
+      val l = Tables.lineitem(s, d)
+      val o = Tables.orders(s, d)
+      l.join(o, l("l_orderkey") === o("o_orderkey"))
+        .groupBy(col("o_orderpriority"))
+        .agg(
+          Det.dsum(col("l_extendedprice"), 2).as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy("o_orderpriority")
+    },
+    Some(s"""SELECT o_orderpriority,
+      ${Det.sqlSum("l_extendedprice", 2)} AS revenue, count(*) AS n_items
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY o_orderpriority ORDER BY o_orderpriority"""))
+
+  /** B5: star join with explicitly broadcast dimensions — at 100 TB the
+    * fact side streams while nation/region ship to every executor. */
+  val joinBroadcast: Q = Q(
+    "q_join_broadcast",
+    (s, d) => {
+      val c = Tables.customer(s, d)
+      val n = broadcast(Tables.nation(s, d))
+      val r = broadcast(Tables.region(s, d))
+      c.join(n, c("c_nationkey") === n("n_nationkey"))
+        .join(r, n("n_regionkey") === r("r_regionkey"))
+        .groupBy(col("r_name"))
+        .agg(
+          count(lit(1)).as("n_cust"),
+          Det.dsum(col("c_acctbal"), 2).as("sum_acctbal"))
+        .orderBy("r_name")
+    },
+    Some(s"""SELECT r_name, count(*) AS n_cust,
+      ${Det.sqlSum("c_acctbal", 2)} AS sum_acctbal
+    FROM customer
+      JOIN nation ON c_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+    GROUP BY r_name ORDER BY r_name"""))
+
+  /** B6a: left outer join — order-count histogram incl. zero-order
+    * customers (count(o_orderkey) skips nulls from the outer side). */
+  val joinLeftOuter: Q = Q(
+    "q_join_left_outer",
+    (s, d) => {
+      val c = Tables.customer(s, d)
+      val o = Tables.orders(s, d)
+      c.join(o, c("c_custkey") === o("o_custkey"), "left")
+        .groupBy(col("c_custkey"))
+        .agg(count(col("o_orderkey")).as("n_orders"))
+        .groupBy(col("n_orders"))
+        .agg(count(lit(1)).as("n_cust"))
+        .orderBy("n_orders")
+    },
+    Some("""WITH per AS (
+      SELECT c_custkey, count(o_orderkey) AS n_orders
+      FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+      GROUP BY c_custkey)
+    SELECT n_orders, count(*) AS n_cust FROM per
+    GROUP BY n_orders ORDER BY n_orders"""))
+
+  /** B6b: full outer join of per-nation customer vs supplier counts. */
+  val joinFullOuter: Q = Q(
+    "q_join_full_outer",
+    (s, d) => {
+      val c = Tables.customer(s, d).groupBy(col("c_nationkey"))
+        .agg(count(lit(1)).as("n_cust"))
+      val p = Tables.supplier(s, d).groupBy(col("s_nationkey"))
+        .agg(count(lit(1)).as("n_supp"))
+      c.join(p, c("c_nationkey") === p("s_nationkey"), "full")
+        .select(
+          coalesce(col("c_nationkey"), col("s_nationkey")).as("nationkey"),
+          col("n_cust"), col("n_supp"))
+        .orderBy("nationkey")
+    },
+    Some("""WITH c AS (SELECT c_nationkey, count(*) AS n_cust
+        FROM customer GROUP BY c_nationkey),
+      s AS (SELECT s_nationkey, count(*) AS n_supp
+        FROM supplier GROUP BY s_nationkey)
+    SELECT COALESCE(c_nationkey, s_nationkey) AS nationkey, n_cust, n_supp
+    FROM c FULL JOIN s ON c_nationkey = s_nationkey
+    ORDER BY nationkey"""))
+
+  /** B7: left-semi join (EXISTS) — orders having a late-shipped item. */
+  val joinSemi: Q = Q(
+    "q_join_semi",
+    (s, d) => {
+      val o = Tables.orders(s, d)
+      val l = Tables.lineitem(s, d)
+        .filter(col("l_shipdate") >= lit("2001-01-01").cast("timestamp"))
+      o.join(l, o("o_orderkey") === l("l_orderkey"), "left_semi")
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n_orders"))
+        .orderBy("o_orderstatus")
+    },
+    Some("""SELECT o_orderstatus, count(*) AS n_orders
+    FROM orders WHERE EXISTS (
+      SELECT 1 FROM lineitem
+      WHERE l_orderkey = o_orderkey
+        AND l_shipdate >= TIMESTAMP '2001-01-01')
+    GROUP BY o_orderstatus ORDER BY o_orderstatus"""))
+
+  /** B8: left-anti join (NOT EXISTS) — customers with no 2001 orders
+    * (every customer has *some* order, so the unfiltered anti is empty). */
+  val joinAnti: Q = Q(
+    "q_join_anti",
+    (s, d) => {
+      val c = Tables.customer(s, d)
+      val o = Tables.orders(s, d)
+        .filter(col("o_orderdate") >= lit("2001-01-01").cast("timestamp"))
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+        .select("c_custkey", "c_name", "c_mktsegment")
+        .orderBy("c_custkey")
+    },
+    Some("""SELECT c_custkey, c_name, c_mktsegment
+    FROM customer WHERE NOT EXISTS (
+      SELECT 1 FROM orders WHERE o_custkey = c_custkey
+        AND o_orderdate >= TIMESTAMP '2001-01-01')
+    ORDER BY c_custkey"""))
+
+  /** B9: theta/range join — same-brand part pairs within a $1 price
+    * band. Brand equality is the shuffle key; the band is a residual
+    * filter, so this stays a hash join (not a nested loop) at scale. */
+  val joinThetaRange: Q = Q(
+    "q_join_theta_range",
+    (s, d) => {
+      val p1 = Tables.part(s, d).select(
+        col("p_partkey").as("a_key"), col("p_brand").as("a_brand"),
+        col("p_retailprice").as("a_price"))
+      val p2 = Tables.part(s, d).select(
+        col("p_partkey").as("b_key"), col("p_brand").as("b_brand"),
+        col("p_retailprice").as("b_price"))
+      p1.join(p2, col("a_brand") === col("b_brand")
+          && col("a_key") < col("b_key")
+          && abs(col("a_price") - col("b_price")) < lit(1.0))
+        .groupBy(col("a_brand").as("brand"))
+        .agg(count(lit(1)).as("n_close_pairs"))
+        .orderBy("brand")
+    },
+    Some("""SELECT p1.p_brand AS brand, count(*) AS n_close_pairs
+    FROM part p1 JOIN part p2
+      ON p1.p_brand = p2.p_brand AND p1.p_partkey < p2.p_partkey
+      AND abs(p1.p_retailprice - p2.p_retailprice) < 1.0
+    GROUP BY p1.p_brand ORDER BY brand"""))
+
+  /** B10: as-of join — for each purchase event, the user's most recent
+    * order as of the event time. Composed as equi-join on user + window
+    * top-1 (Catalyst has no asof operator); at 100 TB the same plan
+    * works because the join shuffles on user and the window is
+    * per-event. Ties on o_orderdate break by o_orderkey. */
+  val joinAsof: Q = Q(
+    "q_join_asof",
+    (s, d) => {
+      val e = Tables.events(s, d)
+        .filter(col("event_type") === lit("purchase"))
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val o = Tables.orders(s, d)
+        .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"))
+      val w = Window.partitionBy(col("event_id"))
+        .orderBy(col("o_orderdate").desc, col("o_orderkey").desc)
+      e.join(o, e("user_id") === o("o_custkey")
+          && o("o_orderdate") <= e("ts"), "left")
+        .withColumn("rn", row_number().over(w))
+        .where(col("rn") === 1)
+        .select(col("event_id"), col("user_id"),
+          col("o_orderkey").as("asof_orderkey"),
+          col("o_orderdate").as("asof_orderdate"))
+        .orderBy("event_id")
+    },
+    Some("""WITH j AS (
+      SELECT e.event_id, e.user_id, o.o_orderkey, o.o_orderdate,
+        ROW_NUMBER() OVER (PARTITION BY e.event_id
+          ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) AS rn
+      FROM (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+            FROM events WHERE event_type = 'purchase') e
+      LEFT JOIN orders o
+        ON e.user_id = o.o_custkey AND o.o_orderdate <= e.ts)
+    SELECT event_id, user_id, o_orderkey AS asof_orderkey,
+      o_orderdate AS asof_orderdate
+    FROM j WHERE rn = 1 ORDER BY event_id"""))
+
+  /** B11: interval join — same-user event pairs ≤5 minutes apart.
+    * Equi on user_id + time-range residual. */
+  val joinInterval: Q = Q(
+    "q_join_interval",
+    (s, d) => {
+      val ev = Tables.events(s, d)
+      val e1 = ev.select(col("user_id").as("u1"), col("ts").as("ts1"),
+        col("event_type").as("a_type"), col("event_id").as("id1"))
+      val e2 = ev.select(col("user_id").as("u2"), col("ts").as("ts2"),
+        col("event_type").as("b_type"), col("event_id").as("id2"))
+      e1.join(e2, col("u1") === col("u2")
+          && col("ts2") > col("ts1")
+          && col("ts2") <= col("ts1") + expr("INTERVAL 5 MINUTES"))
+        .groupBy(col("a_type"), col("b_type"))
+        .agg(count(lit(1)).as("n_pairs"))
+        .orderBy("a_type", "b_type")
+    },
+    Some("""SELECT e1.event_type AS a_type, e2.event_type AS b_type,
+      count(*) AS n_pairs
+    FROM (SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts
+          FROM events) e1
+    JOIN (SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts
+          FROM events) e2
+      ON e1.user_id = e2.user_id AND e2.ts > e1.ts
+      AND e2.ts <= e1.ts + INTERVAL 5 MINUTE
+    GROUP BY a_type, b_type ORDER BY a_type, b_type"""))
+
+  /** B23: global top-N — Catalyst plans orderBy+limit as
+    * TakeOrderedAndProject (per-partition top-N, no full sort). */
+  val sortLimit: Q = Q(
+    "q_sort_limit",
+    (s, d) =>
+      Tables.orders(s, d)
+        .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderdate")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+        .limit(100),
+    Some("""SELECT o_orderkey, o_custkey, o_totalprice, o_orderdate
+    FROM orders ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 100"""))
+
+  /** B24a: UNION ALL of two tagged filtered scans. */
+  val unionAll: Q = Q(
+    "q_union_all",
+    (s, d) => {
+      val o = Tables.orders(s, d)
+      val high = o.filter(col("o_totalprice") > lit(450000.0))
+        .select(col("o_orderkey"), lit("high_value").as("src"))
+      val late = o.filter(col("o_orderdate") >= lit("2001-06-01").cast("timestamp"))
+        .select(col("o_orderkey"), lit("recent").as("src"))
+      high.unionByName(late).orderBy("src", "o_orderkey")
+    },
+    Some("""SELECT * FROM (
+      SELECT o_orderkey, 'high_value' AS src FROM orders
+        WHERE o_totalprice > 450000.0
+      UNION ALL
+      SELECT o_orderkey, 'recent' AS src FROM orders
+        WHERE o_orderdate >= TIMESTAMP '2001-06-01')
+    ORDER BY src, o_orderkey"""))
+
+  /** B24b: UNION DISTINCT of the same two sets. */
+  val unionDistinct: Q = Q(
+    "q_union_distinct",
+    (s, d) => {
+      val o = Tables.orders(s, d)
+      val high = o.filter(col("o_totalprice") > lit(450000.0))
+        .select("o_orderkey")
+      val late = o.filter(col("o_orderdate") >= lit("2001-06-01").cast("timestamp"))
+        .select("o_orderkey")
+      high.unionByName(late).distinct().orderBy("o_orderkey")
+    },
+    Some("""SELECT o_orderkey FROM orders WHERE o_totalprice > 450000.0
+    UNION
+    SELECT o_orderkey FROM orders
+      WHERE o_orderdate >= TIMESTAMP '2001-06-01'
+    ORDER BY o_orderkey"""))
+
+  /** B25a: INTERSECT — customers ordering in both 1995 and 2001. */
+  val intersectQ: Q = Q(
+    "q_intersect",
+    (s, d) => {
+      val o = Tables.orders(s, d)
+      val y95 = o.filter(year(col("o_orderdate")) === 1995).select("o_custkey")
+      val y01 = o.filter(year(col("o_orderdate")) === 2001).select("o_custkey")
+      y95.intersect(y01).orderBy("o_custkey")
+    },
+    Some("""SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1995
+    INTERSECT
+    SELECT o_custkey FROM orders WHERE year(o_orderdate) = 2001
+    ORDER BY o_custkey"""))
+
+  /** B25b: EXCEPT — 1995 customers who did not order in 2001. Also the
+    * algebra behind the round-trip verify job (A7, backup.sh:372-376). */
+  val exceptQ: Q = Q(
+    "q_except",
+    (s, d) => {
+      val o = Tables.orders(s, d)
+      val y95 = o.filter(year(col("o_orderdate")) === 1995).select("o_custkey")
+      val y01 = o.filter(year(col("o_orderdate")) === 2001).select("o_custkey")
+      y95.except(y01).orderBy("o_custkey")
+    },
+    Some("""SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1995
+    EXCEPT
+    SELECT o_custkey FROM orders WHERE year(o_orderdate) = 2001
+    ORDER BY o_custkey"""))
+
+  val all: Seq[Q] = Seq(
+    scanProjectFilter, joinInnerEqui, joinBroadcast, joinLeftOuter,
+    joinFullOuter, joinSemi, joinAnti, joinThetaRange, joinAsof,
+    joinInterval, sortLimit, unionAll, unionDistinct, intersectQ, exceptQ)
 }

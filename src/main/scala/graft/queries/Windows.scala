@@ -1,7 +1,143 @@
 package graft.queries
 
 import graft.Q
+import graft.engine.Tables
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
 
+/** Window functions (SURVEY.md §2B B19–B22).
+  *
+  * Reference analog: `tail -1` last-status selection (backup.sh:143) is
+  * a degenerate row_number()=1 window; the engine exposes the full
+  * ranking/analytic/frame surface. Windows shuffle once on their
+  * partition key and sort within partitions — at 100 TB the partition
+  * key (custkey) distributes evenly so no single executor sees a
+  * pathological partition.
+  */
 object Windows {
-  val all: Seq[Q] = Seq()
+
+  /** B19: rank / dense_rank / row_number of orders per customer.
+    * row_number's ordering carries a unique tiebreak (o_orderkey) —
+    * without it the value is nondeterministic under ties. */
+  val windowRank: Q = Q(
+    "q_window_rank",
+    (s, d) => {
+      val byPrice = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_totalprice").desc)
+      val byPriceKey = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      Tables.orders(s, d)
+        .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"))
+        .withColumn("price_rank", rank().over(byPrice))
+        .withColumn("price_dense_rank", dense_rank().over(byPrice))
+        .withColumn("rn", row_number().over(byPriceKey))
+        .where(col("rn") <= 5)
+        .orderBy("o_custkey", "rn")
+    },
+    Some("""SELECT * FROM (
+      SELECT o_custkey, o_orderkey, o_totalprice,
+        rank() OVER (PARTITION BY o_custkey
+          ORDER BY o_totalprice DESC) AS price_rank,
+        dense_rank() OVER (PARTITION BY o_custkey
+          ORDER BY o_totalprice DESC) AS price_dense_rank,
+        row_number() OVER (PARTITION BY o_custkey
+          ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+      FROM orders)
+    WHERE rn <= 5 ORDER BY o_custkey, rn"""))
+
+  /** B20: lag/lead/first/last order dates per customer. Frames are
+    * explicit: DuckDB's default frame for first/last differs from
+    * Spark's. */
+  val windowAnalytic: Q = Q(
+    "q_window_analytic",
+    (s, d) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+      val wFull = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      Tables.orders(s, d)
+        .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"))
+        .withColumn("prev_date", lag(col("o_orderdate"), 1).over(w))
+        .withColumn("next_date", lead(col("o_orderdate"), 1).over(w))
+        .withColumn("first_date", first(col("o_orderdate")).over(wFull))
+        .withColumn("last_date", last(col("o_orderdate")).over(wFull))
+        .orderBy("o_custkey", "o_orderdate", "o_orderkey")
+    },
+    Some("""SELECT o_custkey, o_orderkey, o_orderdate,
+      lag(o_orderdate, 1) OVER w AS prev_date,
+      lead(o_orderdate, 1) OVER w AS next_date,
+      first_value(o_orderdate) OVER (PARTITION BY o_custkey
+        ORDER BY o_orderdate ASC, o_orderkey ASC
+        ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        AS first_date,
+      last_value(o_orderdate) OVER (PARTITION BY o_custkey
+        ORDER BY o_orderdate ASC, o_orderkey ASC
+        ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        AS last_date
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey
+      ORDER BY o_orderdate ASC, o_orderkey ASC)
+    ORDER BY o_custkey, o_orderdate, o_orderkey"""))
+
+  /** B21: frame specs — running total (unbounded→current) and a 3-row
+    * moving average per customer. Sums stay in the decimal domain so the
+    * running values are exact in both engines. */
+  val windowFrame: Q = Q(
+    "q_window_frame",
+    (s, d) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+      val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val mov = w.rowsBetween(-2, Window.currentRow)
+      val xd = Det.dec(col("o_totalprice"), 2)
+      Tables.orders(s, d)
+        .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+          col("o_totalprice"))
+        .withColumn("running_total", sum(xd).over(run).cast("double"))
+        .withColumn("moving_avg",
+          sum(xd).over(mov).cast("double") / count(lit(1)).over(mov))
+        .orderBy("o_custkey", "o_orderdate", "o_orderkey")
+    },
+    Some(s"""SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice,
+      CAST(sum(${Det.sqlDec("o_totalprice", 2)}) OVER (PARTITION BY o_custkey
+        ORDER BY o_orderdate ASC, o_orderkey ASC
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+        AS running_total,
+      CAST(sum(${Det.sqlDec("o_totalprice", 2)}) OVER (PARTITION BY o_custkey
+        ORDER BY o_orderdate ASC, o_orderkey ASC
+        ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE)
+        / count(*) OVER (PARTITION BY o_custkey
+        ORDER BY o_orderdate ASC, o_orderkey ASC
+        ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS moving_avg
+    FROM orders
+    ORDER BY o_custkey, o_orderdate, o_orderkey"""))
+
+  /** B22: top-3 parts by revenue within each brand (aggregate → window
+    * row_number ≤ 3; revenue exact-decimal so ranking ties are stable,
+    * with p_partkey as final tiebreak). */
+  val topkPerGroup: Q = Q(
+    "q_topk_per_group",
+    (s, d) => {
+      val l = Tables.lineitem(s, d)
+      val p = Tables.part(s, d)
+      val rev = l.join(p, l("l_partkey") === p("p_partkey"))
+        .groupBy(col("p_brand"), col("p_partkey"))
+        .agg(Det.dsum(col("l_extendedprice"), 2).as("revenue"))
+      val w = Window.partitionBy(col("p_brand"))
+        .orderBy(col("revenue").desc, col("p_partkey").asc)
+      rev.withColumn("brand_rank", row_number().over(w))
+        .where(col("brand_rank") <= 3)
+        .orderBy("p_brand", "brand_rank")
+    },
+    Some(s"""SELECT * FROM (
+      SELECT p_brand, p_partkey, revenue,
+        row_number() OVER (PARTITION BY p_brand
+          ORDER BY revenue DESC, p_partkey ASC) AS brand_rank
+      FROM (
+        SELECT p_brand, p_partkey,
+          ${Det.sqlSum("l_extendedprice", 2)} AS revenue
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        GROUP BY p_brand, p_partkey))
+    WHERE brand_rank <= 3 ORDER BY p_brand, brand_rank"""))
+
+  val all: Seq[Q] = Seq(windowRank, windowAnalytic, windowFrame, topkPerGroup)
 }
