@@ -1,0 +1,65 @@
+package graft.engine
+
+import java.time.format.DateTimeFormatter
+import java.time.{Instant, ZoneOffset}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Snapshot (extract → validate → sink → round-trip verify) jobs — the
+  * engine form of the reference's backup pipeline:
+  *
+  *   - extract + sink: `pg_dump -Fc` → S3 with SSE-KMS
+  *     (backup.sh:209-220) becomes a partitioned parquet write under a
+  *     timestamped prefix (encryption is a filesystem conf —
+  *     fs.s3a.server-side-encryption-algorithm — not engine logic).
+  *   - validate: `[ -s "$DUMP_FILE" ]` empty-dump guard, exit code 2
+  *     (backup.sh:215).
+  *   - round-trip verify: restore into a throwaway instance and require
+  *     success (backup.sh:264-299,372-376), strengthened here to content
+  *     equality via symmetric EXCEPT ALL.
+  *
+  * At 100 TB: the write is a cluster-wide parquet job (optionally
+  * partitionBy a key column); verification's exceptAll is a shuffle on
+  * full rows — run it on a sampled or key-range subset when the full
+  * diff is too expensive, exactly as the reference only restore-tests
+  * one instance, not every byte.
+  */
+object Snapshot {
+  /** Empty-snapshot failure, reference exit code 2 (backup.sh:215). */
+  final class EmptySnapshotException(msg: String)
+      extends RuntimeException(s"$msg (reference exit code 2)")
+
+  private val stamp = DateTimeFormatter.ofPattern("yyyy_MM_dd_HHmmss")
+    .withZone(ZoneOffset.UTC)
+
+  /** Timestamped snapshot name, `${DB_NAME}_%Y_%m_%d_%H%M%S`
+    * (backup.sh:76). */
+  def snapshotName(dbName: String, at: Instant): String =
+    s"${dbName}_${stamp.format(at)}"
+
+  /** Extract+sink with the non-empty guard. Returns rows written. */
+  def write(df: DataFrame, dest: String): Long = {
+    val n = df.count()
+    if (n == 0L) throw new EmptySnapshotException(s"snapshot of $dest has no data")
+    df.write.mode("overwrite").parquet(dest)
+    n
+  }
+
+  final case class RoundTrip(
+      originalRows: Long, restoredRows: Long, missing: Long, extra: Long) {
+    def verified: Boolean = missing == 0L && extra == 0L && originalRows == restoredRows
+  }
+
+  /** Write `df` to `dest`, read it back, and diff both directions with
+    * EXCEPT ALL (multiset equality — stricter than the reference's
+    * "restore succeeded" check). */
+  def roundTripVerify(spark: SparkSession, df: DataFrame, dest: String): RoundTrip = {
+    val n = write(df, dest)
+    val restored = spark.read.parquet(dest)
+    RoundTrip(
+      originalRows = n,
+      restoredRows = restored.count(),
+      missing = df.exceptAll(restored).count(),
+      extra = restored.exceptAll(df).count())
+  }
+}

@@ -1,7 +1,188 @@
 package graft.queries
 
 import graft.Q
+import graft.engine.{Snapshot, Tables}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
 
+/** Queries re-expressing the reference pipelines' own data operations
+  * (SURVEY.md §2A) over the fixture tables.
+  */
 object RefOps {
-  val all: Seq[Q] = Seq()
+
+  /** A8/A9: negative line filters — the `pg_restore -l | grep -v` TOC
+    * filter (backup.sh:374) and sed `/…/d` deletions
+    * (psql-backups.sh:146-148), as NOT-contains / NOT-regexp predicates. */
+  val lineFilter: Q = Q(
+    "q_ref_line_filter",
+    (s, d) =>
+      Tables.documents(s, d)
+        .filter(!col("text").contains("slow")
+          && !col("text").rlike("fast (join|scan)"))
+        .select("doc_id", "source", "n_chars")
+        .orderBy("doc_id"),
+    Some("""SELECT doc_id, source, n_chars
+    FROM documents
+    WHERE NOT contains(text, 'slow')
+      AND NOT regexp_matches(text, 'fast (join|scan)')
+    ORDER BY doc_id"""))
+
+  /** A10: positive existence test (`grep -q`, backup.sh:124-126) — per
+    * source, how many documents match and whether any does. */
+  val grepExists: Q = Q(
+    "q_ref_grep_exists",
+    (s, d) =>
+      Tables.documents(s, d)
+        .groupBy(col("source"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(when(col("text").contains("slow"), 1L).otherwise(0L))
+            .as("n_matching"))
+        .withColumn("any_match", col("n_matching") > 0)
+        .orderBy("source"),
+    Some("""SELECT source, count(*) AS n_docs,
+      CAST(sum(CASE WHEN contains(text, 'slow') THEN 1 ELSE 0 END)
+        AS BIGINT) AS n_matching,
+      sum(CASE WHEN contains(text, 'slow') THEN 1 ELSE 0 END) > 0 AS any_match
+    FROM documents GROUP BY source ORDER BY source"""))
+
+  /** A12/A13: delimiter normalization + numeric token extraction — the
+    * `sed s/\r/\n/ | csvcut | grep -o [0-9]*` task-id parse
+    * (backup.sh:130). */
+  val extractId: Q = Q(
+    "q_ref_extract_id",
+    (s, d) =>
+      Tables.events(s, d)
+        .select(
+          col("event_id"),
+          regexp_replace(col("props"), "[{}\" ]", "").as("normalized"),
+          regexp_extract(col("props"), "[0-9]+", 0).cast("long").as("task_id"))
+        .orderBy("event_id"),
+    Some("""SELECT event_id,
+      regexp_replace(props, '[{}" ]', '', 'g') AS normalized,
+      CAST(regexp_extract(props, '[0-9]+') AS BIGINT) AS task_id
+    FROM events ORDER BY event_id"""))
+
+  /** A20/A21: length-guarded identifier truncation (≥30 → 29 chars,
+    * psql-backups.sh:56-62) + name concatenation (backup.sh:75-76). */
+  val identifier: Q = Q(
+    "q_ref_identifier",
+    (s, d) => {
+      val svc = concat(col("c_name"), lit("-"), col("c_mktsegment"))
+      Tables.customer(s, d)
+        .select(
+          col("c_custkey"),
+          svc.as("service_name"),
+          when(length(svc) >= 30, substring(svc, 1, 29)).otherwise(svc)
+            .as("trimmed_name"),
+          concat_ws("-", lit("pg"),
+            when(length(svc) >= 30, substring(svc, 1, 29)).otherwise(svc),
+            lit("auto-restore")).as("restore_instance"))
+        .orderBy("c_custkey")
+    },
+    Some("""SELECT c_custkey,
+      c_name || '-' || c_mktsegment AS service_name,
+      CASE WHEN length(c_name || '-' || c_mktsegment) >= 30
+        THEN substr(c_name || '-' || c_mktsegment, 1, 29)
+        ELSE c_name || '-' || c_mktsegment END AS trimmed_name,
+      concat_ws('-', 'pg',
+        CASE WHEN length(c_name || '-' || c_mktsegment) >= 30
+          THEN substr(c_name || '-' || c_mktsegment, 1, 29)
+          ELSE c_name || '-' || c_mktsegment END,
+        'auto-restore') AS restore_instance
+    FROM customer ORDER BY c_custkey"""))
+
+  /** A18/A19: version parse + compare + engine dispatch — the
+    * `${DB_ENGINE_VERSION%%.*}` major extraction and ≥10 branching
+    * (backup.sh:172-178; psql-backups.sh:82-88). */
+  val versionDispatch: Q = Q(
+    "q_ref_version_dispatch",
+    (s, d) =>
+      Tables.part(s, d)
+        .withColumn("ver",
+          format_string("%d.%d", col("p_size") % 3 + 9, col("p_size")))
+        .select(
+          col("p_partkey"),
+          col("ver"),
+          split(col("ver"), "\\.").getItem(0).cast("long").as("major"),
+          when(split(col("ver"), "\\.").getItem(0).cast("long") >= 10,
+            lit("globals-only")).otherwise(lit("full-dump")).as("dump_mode"))
+        .orderBy("p_partkey"),
+    Some("""SELECT p_partkey,
+      printf('%d.%d', p_size % 3 + 9, p_size) AS ver,
+      CAST(split_part(printf('%d.%d', p_size % 3 + 9, p_size), '.', 1)
+        AS BIGINT) AS major,
+      CASE WHEN CAST(split_part(printf('%d.%d', p_size % 3 + 9, p_size),
+        '.', 1) AS BIGINT) >= 10
+        THEN 'globals-only' ELSE 'full-dump' END AS dump_mode
+    FROM part ORDER BY p_partkey"""))
+
+  /** A14/A17: last-status selection (`tail -1` of the polled lifecycle
+    * column, backup.sh:143-156) — latest event per user. */
+  val statusLast: Q = Q(
+    "q_ref_status_last",
+    (s, d) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts").desc, col("event_id").desc)
+      Tables.events(s, d)
+        .withColumn("rn", row_number().over(w))
+        .where(col("rn") === 1)
+        .select(col("user_id"), col("event_type").as("last_status"),
+          col("ts").as("last_ts"))
+        .orderBy("user_id")
+    },
+    Some("""SELECT user_id, event_type AS last_status, ts AS last_ts
+    FROM (SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts,
+        row_number() OVER (PARTITION BY user_id
+          ORDER BY CAST(ts AS TIMESTAMP) DESC, event_id DESC) AS rn
+      FROM events)
+    WHERE rn = 1 ORDER BY user_id"""))
+
+  /** A15: non-empty validation (`[ -s "$DUMP_FILE" ]`, backup.sh:215)
+    * over every fixture table at once. */
+  val nonemptyGuard: Q = Q(
+    "q_ref_nonempty_guard",
+    (s, d) => {
+      val l = Tables.lineitem(s, d).agg(count(lit(1)).as("lineitem_rows"))
+      val o = Tables.orders(s, d).agg(count(lit(1)).as("orders_rows"))
+      val c = Tables.customer(s, d).agg(count(lit(1)).as("customer_rows"))
+      l.crossJoin(o).crossJoin(c)
+        .withColumn("all_nonempty",
+          col("lineitem_rows") > 0 && col("orders_rows") > 0
+            && col("customer_rows") > 0)
+    },
+    Some("""SELECT
+      (SELECT count(*) FROM lineitem) AS lineitem_rows,
+      (SELECT count(*) FROM orders) AS orders_rows,
+      (SELECT count(*) FROM customer) AS customer_rows,
+      (SELECT count(*) FROM lineitem) > 0
+        AND (SELECT count(*) FROM orders) > 0
+        AND (SELECT count(*) FROM customer) > 0 AS all_nonempty"""))
+
+  /** A7: snapshot round-trip verification — write lineitem to a
+    * throwaway parquet dir, restore, diff both ways with EXCEPT ALL
+    * (backup.sh:264-299,372-376 strengthened to content equality). The
+    * oracle states the postcondition: restore equals source exactly. */
+  val roundTrip: Q = Q(
+    "q_ref_round_trip",
+    (s, d) => {
+      val src = Tables.lineitem(s, d)
+      val dest = java.nio.file.Files
+        .createTempDirectory("graft_snapshot_").resolve("lineitem").toString
+      val rt = Snapshot.roundTripVerify(s, src, dest)
+      import s.implicits._
+      Seq((rt.originalRows, rt.restoredRows, rt.missing, rt.extra, rt.verified))
+        .toDF("original_rows", "restored_rows", "n_missing", "n_extra",
+          "verified")
+    },
+    Some("""SELECT
+      (SELECT count(*) FROM lineitem) AS original_rows,
+      (SELECT count(*) FROM lineitem) AS restored_rows,
+      CAST(0 AS BIGINT) AS n_missing,
+      CAST(0 AS BIGINT) AS n_extra,
+      true AS verified"""))
+
+  val all: Seq[Q] = Seq(
+    lineFilter, grepExists, extractId, identifier, versionDispatch,
+    statusLast, nonemptyGuard, roundTrip)
 }

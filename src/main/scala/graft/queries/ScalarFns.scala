@@ -1,7 +1,182 @@
 package graft.queries
 
 import graft.Q
+import graft.engine.Tables
+import org.apache.spark.sql.functions._
 
+/** Scalar function families (SURVEY.md §2B B26–B30) — one query per
+  * family, each exercising the built-in (codegen'd) functions the
+  * reference reaches for via sed/grep/csvcut/date (backup.sh:76,130,
+  * 143; psql-backups.sh:11,56-62).
+  *
+  * Cross-engine alignment notes: Spark int-typed results are cast to
+  * long where DuckDB returns BIGINT; transcendental fns other than sqrt
+  * are rounded (libm implementations differ by ulps); Spark dayofweek is
+  * 1-based Sunday vs DuckDB 0-based, hence the -1.
+  */
 object ScalarFns {
-  val all: Seq[Q] = Seq()
+
+  /** B26: string family over customer names (`Customer#000000042`). */
+  val fnString: Q = Q(
+    "q_fn_string",
+    (s, d) =>
+      Tables.customer(s, d)
+        .select(
+          col("c_custkey"),
+          substring(col("c_name"), 1, 8).as("name_sub"),
+          upper(col("c_name")).as("name_up"),
+          lower(col("c_mktsegment")).as("seg_low"),
+          length(col("c_name")).cast("long").as("name_len"),
+          concat_ws("-", col("c_mktsegment"), col("c_custkey")).as("ident"),
+          regexp_extract(col("c_name"), "[0-9]+", 0).as("digits"),
+          regexp_replace(col("c_name"), "0+", "0").as("squeezed"),
+          replace(col("c_name"), lit("#"), lit("-")).as("replaced"),
+          instr(col("c_name"), "#").cast("long").as("hash_pos"),
+          lpad(col("c_custkey").cast("string"), 12, "0").as("padded"),
+          split(col("c_name"), "#").getItem(0).as("prefix"),
+          trim(concat(lit("  "), col("c_mktsegment"), lit(" "))).as("trimmed"))
+        .orderBy("c_custkey"),
+    Some("""SELECT c_custkey,
+      substr(c_name, 1, 8) AS name_sub,
+      upper(c_name) AS name_up,
+      lower(c_mktsegment) AS seg_low,
+      CAST(length(c_name) AS BIGINT) AS name_len,
+      concat_ws('-', c_mktsegment, c_custkey) AS ident,
+      regexp_extract(c_name, '[0-9]+') AS digits,
+      regexp_replace(c_name, '0+', '0', 'g') AS squeezed,
+      replace(c_name, '#', '-') AS replaced,
+      CAST(strpos(c_name, '#') AS BIGINT) AS hash_pos,
+      lpad(CAST(c_custkey AS VARCHAR), 12, '0') AS padded,
+      split_part(c_name, '#', 1) AS prefix,
+      trim(concat('  ', c_mktsegment, ' ')) AS trimmed
+    FROM customer ORDER BY c_custkey"""))
+
+  /** B27: date/time family over o_orderdate (A22 timestamp semantics). */
+  val fnDate: Q = Q(
+    "q_fn_date",
+    (s, d) =>
+      Tables.orders(s, d)
+        .select(
+          col("o_orderkey"),
+          col("o_orderdate"),
+          year(col("o_orderdate")).cast("long").as("y"),
+          month(col("o_orderdate")).cast("long").as("m"),
+          dayofmonth(col("o_orderdate")).cast("long").as("dom"),
+          (dayofweek(col("o_orderdate")) - 1).cast("long").as("dow"),
+          dayofyear(col("o_orderdate")).cast("long").as("doy"),
+          quarter(col("o_orderdate")).cast("long").as("qtr"),
+          date_trunc("month", col("o_orderdate")).as("month_start"),
+          (col("o_orderdate") + expr("INTERVAL 1 MONTH")).as("next_month"),
+          datediff(lit("2002-01-01").cast("date"),
+            col("o_orderdate").cast("date")).cast("long").as("days_to_ref"),
+          last_day(col("o_orderdate")).as("last_dom"),
+          date_format(col("o_orderdate"), "yyyy-MM").as("ym"),
+          // o_orderdate reads as TIMESTAMP_NTZ; session tz is UTC so the
+          // cast to instant-typed timestamp preserves the wall clock.
+          unix_millis(col("o_orderdate").cast("timestamp")).as("epoch_ms"))
+        .orderBy("o_orderkey"),
+    Some("""SELECT o_orderkey, o_orderdate,
+      year(o_orderdate) AS y,
+      month(o_orderdate) AS m,
+      dayofmonth(o_orderdate) AS dom,
+      dayofweek(o_orderdate) AS dow,
+      dayofyear(o_orderdate) AS doy,
+      quarter(o_orderdate) AS qtr,
+      date_trunc('month', o_orderdate) AS month_start,
+      o_orderdate + INTERVAL 1 MONTH AS next_month,
+      date_diff('day', CAST(o_orderdate AS DATE), DATE '2002-01-01')
+        AS days_to_ref,
+      last_day(o_orderdate) AS last_dom,
+      strftime(o_orderdate, '%Y-%m') AS ym,
+      epoch_ms(o_orderdate) AS epoch_ms
+    FROM orders ORDER BY o_orderkey"""))
+
+  /** B28: math family over part prices. sqrt is IEEE-correctly-rounded
+    * in both engines; ln is rounded to 6 decimals (libm ulp drift). */
+  val fnMath: Q = Q(
+    "q_fn_math",
+    (s, d) =>
+      Tables.part(s, d)
+        .select(
+          col("p_partkey"),
+          col("p_retailprice"),
+          round(col("p_retailprice") * lit(1.1), 2).as("rounded"),
+          ceil(col("p_retailprice")).as("ceiling"),
+          floor(col("p_retailprice")).as("flooring"),
+          abs(col("p_retailprice") - lit(1000.0)).as("absdiff"),
+          sqrt(col("p_retailprice")).as("sqrt_price"),
+          (col("p_retailprice") * col("p_retailprice")).as("price_sq"),
+          round(log(col("p_retailprice")), 6).as("ln_price"),
+          (col("p_size") % lit(7)).as("size_mod"),
+          greatest(col("p_retailprice"), lit(1000.0)).as("hi"),
+          least(col("p_retailprice"), lit(1000.0)).as("lo"),
+          col("p_retailprice").cast("decimal(12,2)").as("price_dec"))
+        .orderBy("p_partkey"),
+    Some("""SELECT p_partkey, p_retailprice,
+      round(p_retailprice * 1.1e0, 2) AS rounded,
+      CAST(ceil(p_retailprice) AS BIGINT) AS ceiling,
+      CAST(floor(p_retailprice) AS BIGINT) AS flooring,
+      abs(p_retailprice - 1000.0e0) AS absdiff,
+      sqrt(p_retailprice) AS sqrt_price,
+      p_retailprice * p_retailprice AS price_sq,
+      round(ln(p_retailprice), 6) AS ln_price,
+      p_size % 7 AS size_mod,
+      greatest(p_retailprice, 1000.0e0) AS hi,
+      least(p_retailprice, 1000.0e0) AS lo,
+      CAST(p_retailprice AS DECIMAL(12,2)) AS price_dec
+    FROM part ORDER BY p_partkey"""))
+
+  /** B29: array/higher-order family over embeddings. Folds are
+    * sequential left-to-right in both engines (Spark `aggregate` with a
+    * 0.0 seed == DuckDB `list_reduce`, since 0.0+x == x exactly). */
+  val fnArray: Q = Q(
+    "q_fn_array",
+    (s, d) =>
+      Tables.embeddings(s, d)
+        .select(
+          col("vec_id"),
+          size(col("embedding")).cast("long").as("dim"),
+          element_at(col("embedding"), 1).as("first_val"),
+          aggregate(
+            transform(slice(col("embedding"), 1, 8), x => x.cast("double")),
+            lit(0.0), (acc, x) => acc + x).as("sum8"),
+          array_max(col("embedding")).as("vmax"),
+          array_min(col("embedding")).as("vmin"),
+          size(filter(col("embedding"), x => x > lit(0.5f)))
+            .cast("long").as("n_above"))
+        .orderBy("vec_id"),
+    Some("""SELECT vec_id,
+      CAST(len(embedding) AS BIGINT) AS dim,
+      embedding[1] AS first_val,
+      list_reduce(
+        list_prepend(CAST(0.0 AS DOUBLE),
+          list_transform(embedding[1:8], x -> CAST(x AS DOUBLE))),
+        (a, b) -> a + b) AS sum8,
+      list_max(embedding) AS vmax,
+      list_min(embedding) AS vmin,
+      CAST(len(list_filter(embedding, x -> x > 0.5)) AS BIGINT) AS n_above
+    FROM embeddings ORDER BY vec_id"""))
+
+  /** B30: JSON family over events.props. */
+  val fnJson: Q = Q(
+    "q_fn_json",
+    (s, d) =>
+      Tables.events(s, d)
+        .select(
+          col("event_id"),
+          get_json_object(col("props"), "$.k").as("k_str"),
+          get_json_object(col("props"), "$.k").cast("long").as("k_num"),
+          from_json(col("props"),
+            org.apache.spark.sql.types.StructType.fromDDL("k LONG"))
+            .getField("k").as("k_struct"),
+          get_json_object(col("props"), "$.k").isNotNull.as("has_k"))
+        .orderBy("event_id"),
+    Some("""SELECT event_id,
+      json_extract_string(props, '$.k') AS k_str,
+      CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_num,
+      CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_struct,
+      json_extract_string(props, '$.k') IS NOT NULL AS has_k
+    FROM events ORDER BY event_id"""))
+
+  val all: Seq[Q] = Seq(fnString, fnDate, fnMath, fnArray, fnJson)
 }

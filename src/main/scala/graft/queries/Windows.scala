@@ -28,9 +28,11 @@ object Windows {
         .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
       Tables.orders(s, d)
         .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"))
-        .withColumn("price_rank", rank().over(byPrice))
-        .withColumn("price_dense_rank", dense_rank().over(byPrice))
-        .withColumn("rn", row_number().over(byPriceKey))
+        // cast("long"): DuckDB rank/row_number are BIGINT; keep schemas
+        // identical so the driver's hash compare can't trip on width.
+        .withColumn("price_rank", rank().over(byPrice).cast("long"))
+        .withColumn("price_dense_rank", dense_rank().over(byPrice).cast("long"))
+        .withColumn("rn", row_number().over(byPriceKey).cast("long"))
         .where(col("rn") <= 5)
         .orderBy("o_custkey", "rn")
     },
@@ -124,7 +126,7 @@ object Windows {
         .agg(Det.dsum(col("l_extendedprice"), 2).as("revenue"))
       val w = Window.partitionBy(col("p_brand"))
         .orderBy(col("revenue").desc, col("p_partkey").asc)
-      rev.withColumn("brand_rank", row_number().over(w))
+      rev.withColumn("brand_rank", row_number().over(w).cast("long"))
         .where(col("brand_rank") <= 3)
         .orderBy("p_brand", "brand_rank")
     },

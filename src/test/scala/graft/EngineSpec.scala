@@ -1,0 +1,88 @@
+package graft
+
+import graft.engine.{JobConfig, Retry, Snapshot, Tables}
+import org.scalatest.funsuite.AnyFunSuite
+
+class RetrySpec extends AnyFunSuite {
+  test("retry succeeds after k failures with doubling backoff") {
+    val sleeps = scala.collection.mutable.ArrayBuffer[Long]()
+    var calls = 0
+    val out = Retry.retry(attempts = 9, baseDelayMs = 2000, sleeps += _) { () =>
+      calls += 1
+      if (calls < 4) sys.error(s"boom $calls") else "ok"
+    }
+    assert(out == "ok" && calls == 4)
+    assert(sleeps.toSeq == Seq(2000L, 4000L, 8000L))
+  }
+
+  test("retry exhausts attempts and rethrows the last failure") {
+    var calls = 0
+    val e = intercept[RuntimeException] {
+      Retry.retry(attempts = 3, baseDelayMs = 1, _ => ()) { () =>
+        calls += 1; sys.error(s"fail $calls")
+      }
+    }
+    assert(calls == 3 && e.getMessage == "fail 3")
+  }
+
+  test("pollUntil logs transitions only and stops at terminal state") {
+    val states = Iterator("CREATED", "CREATED", "IN_PROGRESS", "IN_PROGRESS",
+      "SUCCESS")
+    val seen = scala.collection.mutable.ArrayBuffer[String]()
+    val end = Retry.pollUntil[String](intervalMs = 1, maxPolls = 10,
+      sleep = _ => (), onTransition = seen += _)(() => states.next()) {
+      s => s == "SUCCESS" || s == "ERROR"
+    }
+    assert(end == "SUCCESS")
+    assert(seen.toSeq == Seq("CREATED", "IN_PROGRESS", "SUCCESS"))
+  }
+
+  test("pollUntil without terminal state throws") {
+    intercept[IllegalStateException] {
+      Retry.pollUntil[String](intervalMs = 1, maxPolls = 3, sleep = _ => ())(
+        () => "creating")(_ == "available")
+    }
+  }
+}
+
+class JobConfigSpec extends AnyFunSuite {
+  private val base = Map(
+    "DB_ENGINE" -> "postgres", "DB_ENGINE_VERSION" -> "12.8",
+    "SERVICE_NAME" -> "orders-service", "BACKUP_DIR" -> "/tmp/snap")
+
+  test("parses with defaults (ATTEMPTS=9, TIMEOUT=2s)") {
+    val c = JobConfig(base)
+    assert(c.attempts == 9 && c.timeoutMs == 2000L && !c.useBackupsAccount)
+    assert(c.majorVersion == 12)
+  }
+
+  test("missing required key fails") {
+    intercept[IllegalArgumentException] { JobConfig(base - "DB_ENGINE") }
+  }
+
+  test("service names >=30 chars trim to 29 for the 63-char id limit") {
+    val long = "a" * 35
+    val c = JobConfig(base + ("SERVICE_NAME" -> long))
+    assert(c.trimmedServiceName.length == 29)
+    assert(c.restoreInstanceName == s"postgres-${"a" * 29}-auto-restore")
+    assert(JobConfig(base).trimmedServiceName == "orders-service")
+  }
+}
+
+class SnapshotSpec extends SparkSpec {
+  test("round trip write->read is content-equal both directions") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_test_").toString
+    val rt = Snapshot.roundTripVerify(
+      spark, Tables.nation(spark, sf), s"$dir/nation")
+    assert(rt.verified && rt.originalRows == 25)
+  }
+
+  test("empty snapshot fails with the exit-code-2 analog") {
+    import org.apache.spark.sql.functions.lit
+    val empty = Tables.nation(spark, sf).where(lit(false))
+    val dir = java.nio.file.Files.createTempDirectory("graft_test_").toString
+    intercept[Snapshot.EmptySnapshotException] {
+      Snapshot.write(empty, s"$dir/empty")
+    }
+  }
+}
