@@ -1,7 +1,205 @@
 package graft.queries
 
 import graft.Q
+import graft.engine.Tables
+import graft.functions.{TextHash, Vectors}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
 
+/** Near-duplicate detection + approximate similarity search
+  * (SURVEY.md §2B B33 and the mandated dedup/ANN extensions).
+  *
+  * Scale design: every pipeline here is LSH-shaped — signature
+  * computation is a narrow per-row pass; candidate generation shuffles
+  * on (band index, band hash) so only colliding docs ever pair up;
+  * exact verification runs per candidate pair. The O(n²) stage of naive
+  * dedup never materializes, which is what makes 100 TB feasible.
+  * MinHash/SimHash sketches are pure expressions (functions.TextHash) —
+  * no UDAF needed, contra the survey's initial Aggregator plan.
+  */
 object DedupOps {
-  val all: Seq[Q] = Seq()
+  private val Perms = 32
+  private val Bands = 8
+  private val RowsPerBand = 4
+
+  /** doc_id → MinHash signature over distinct 3-word shingles. */
+  private def signatures(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        TextHash.shingles(TextHash.tokens(col("text")), 3).as("sh"))
+      .select(col("doc_id"), size(col("sh")).cast("long").as("n_shingles"),
+        TextHash.minhashSignature(col("sh"), Perms).as("sig"))
+
+  /** B33a: per-document MinHash signatures (head of the signature shown;
+    * not SQL-expressible — covered by DedupSpec property tests). */
+  val dedupMinhashSig: Q = Q(
+    "q_dedup_minhash",
+    (s, d) =>
+      signatures(s, d)
+        .select(
+          col("doc_id"), col("n_shingles"),
+          element_at(col("sig"), 1).as("mh0"),
+          element_at(col("sig"), 2).as("mh1"),
+          element_at(col("sig"), 3).as("mh2"),
+          element_at(col("sig"), 4).as("mh3"))
+        .orderBy("doc_id"),
+    None)
+
+  /** B33b: banded-LSH candidate pairs with estimated Jaccard ≥ 0.5.
+    * Candidates come only from band-key collisions (the scale path);
+    * signature agreement estimates the true shingle Jaccard. */
+  val dedupMinhashPairs: Q = Q(
+    "q_dedup_near",
+    (s, d) => {
+      val sig = signatures(s, d).select(col("doc_id"), col("sig"))
+      val banded = sig.select(col("doc_id"), col("sig"),
+        posexplode(TextHash.bandKeys(col("sig"), Bands, RowsPerBand))
+          .as(Seq("band_idx", "band_key")))
+      val a = banded.select(col("doc_id").as("a_id"), col("sig").as("a_sig"),
+        col("band_idx"), col("band_key"))
+      val b = banded.select(col("doc_id").as("b_id"), col("sig").as("b_sig"),
+        col("band_idx"), col("band_key"))
+      a.join(b, Seq("band_idx", "band_key"))
+        .where(col("a_id") < col("b_id"))
+        .select("a_id", "b_id", "a_sig", "b_sig").distinct()
+        .withColumn("est_jaccard",
+          TextHash.estJaccard(col("a_sig"), col("b_sig"), Perms))
+        .where(col("est_jaccard") >= 0.5)
+        .select("a_id", "b_id", "est_jaccard")
+        .orderBy("a_id", "b_id")
+    },
+    None)
+
+  /** Mandated EXT: SimHash fingerprints — 64-bit bitwise-majority
+    * sketch over tf-weighted token hashes; near-dups differ in few bits
+    * (DedupSpec asserts the hamming properties). */
+  val dedupSimhash: Q = Q(
+    "q_dedup_simhash",
+    (s, d) => {
+      val tok = Tables.documents(s, d)
+        .select(col("doc_id"),
+          explode(TextHash.tokens(col("text"))).as("token"))
+        .groupBy(col("doc_id"), col("token"))
+        .agg(count(lit(1)).as("tf"))
+        .withColumn("th", xxhash64(col("token")))
+      val bitSums = TextHash.simhashBitSums(col("th"), col("tf"))
+      tok.groupBy(col("doc_id"))
+        .agg(bitSums.head, bitSums.tail: _*)
+        .select(col("doc_id"),
+          TextHash.simhashFromBitSums(
+            (0 until 64).map(b => col(s"_bit$b"))).as("simhash"))
+        .orderBy("doc_id")
+    },
+    None)
+
+  /** Mandated EXT: exact n-gram (token bigram) Jaccard near-dup pairs,
+    * blocked by source. Fully SQL-expressible → oracle-checked. The
+    * explode+equi-join computes |A∩B| without ever building the cross
+    * product of documents. */
+  val dedupNgramJaccard: Q = Q(
+    "q_dedup_ngram_jaccard",
+    (s, d) => {
+      val grams = Tables.documents(s, d)
+        .select(col("doc_id"), col("source"),
+          TextHash.shingles(TextHash.tokens(col("text")), 2).as("bg"))
+      val sizes = grams.select(col("doc_id"),
+        size(col("bg")).cast("long").as("n_grams"))
+      val exploded = grams.select(col("doc_id"), col("source"),
+        explode(col("bg")).as("gram"))
+      val a = exploded.select(col("doc_id").as("a_id"),
+        col("source"), col("gram"))
+      val b = exploded.select(col("doc_id").as("b_id"),
+        col("source"), col("gram"))
+      val common = a.join(b, Seq("source", "gram"))
+        .where(col("a_id") < col("b_id"))
+        .groupBy(col("source"), col("a_id"), col("b_id"))
+        .agg(count(lit(1)).as("n_common"))
+      common
+        .join(sizes.withColumnRenamed("doc_id", "a_id")
+          .withColumnRenamed("n_grams", "na"), "a_id")
+        .join(sizes.withColumnRenamed("doc_id", "b_id")
+          .withColumnRenamed("n_grams", "nb"), "b_id")
+        .withColumn("jaccard", col("n_common").cast("double")
+          / (col("na") + col("nb") - col("n_common")))
+        .where(col("jaccard") >= 0.05)
+        .select("source", "a_id", "b_id", "n_common", "jaccard")
+        .orderBy("source", "a_id", "b_id")
+    },
+    Some("""WITH d AS (
+      SELECT doc_id, source,
+        list_distinct(list_transform(
+          generate_series(1, len(list_filter(string_split(lower(text), ' '),
+            t -> t != '')) - 1),
+          i -> list_filter(string_split(lower(text), ' '), t -> t != '')[i]
+            || ' ' ||
+            list_filter(string_split(lower(text), ' '), t -> t != '')[i+1]))
+          AS bg
+      FROM documents),
+    sizes AS (SELECT doc_id, CAST(len(bg) AS BIGINT) AS n_grams FROM d),
+    ex AS (SELECT doc_id, source, unnest(bg) AS gram FROM d),
+    common AS (
+      SELECT a.source, a.doc_id AS a_id, b.doc_id AS b_id,
+        count(*) AS n_common
+      FROM ex a JOIN ex b
+        ON a.source = b.source AND a.gram = b.gram
+        AND a.doc_id < b.doc_id
+      GROUP BY a.source, a.doc_id, b.doc_id)
+    SELECT source, a_id, b_id, n_common,
+      CAST(n_common AS DOUBLE) / (sa.n_grams + sb.n_grams - n_common)
+        AS jaccard
+    FROM common
+      JOIN sizes sa ON sa.doc_id = a_id
+      JOIN sizes sb ON sb.doc_id = b_id
+    WHERE CAST(n_common AS DOUBLE) / (sa.n_grams + sb.n_grams - n_common)
+      >= 0.05
+    ORDER BY source, a_id, b_id"""))
+
+  /** Mandated EXT: LSH-bucketed approximate nearest neighbors — random
+    * hyperplane signatures (seeded, compile-time deterministic), 4-bit
+    * band buckets, exact cosine re-rank of candidates only. The 100 TB
+    * path for q_sim_topk_cosine: probe and corpus shuffle on bucket key,
+    * never cross-joining. Approximate → no SQL oracle; DedupSpec checks
+    * candidates against the brute-force ranking. */
+  val simLshTopk: Q = Q(
+    "q_sim_lsh_topk",
+    (s, d) => {
+      val rnd = new scala.util.Random(42)
+      val planes: Seq[Seq[Double]] =
+        Seq.fill(16)(Seq.fill(64)(rnd.nextGaussian()))
+      def sigBits(v: org.apache.spark.sql.Column) =
+        planes.zipWithIndex.map { case (p, i) =>
+          when(Vectors.dot(v, typedlit(p)) > 0, lit(1 << i)).otherwise(0)
+        }.reduce(_ + _)
+      val e = Tables.embeddings(s, d)
+        .select(col("vec_id"), col("embedding"),
+          sigBits(col("embedding")).as("sig"))
+      def banded(df: DataFrame, prefix: String) =
+        df.select(col("vec_id").as(s"${prefix}_id"),
+          col("embedding").as(s"${prefix}_v"),
+          explode(array((0 until 4).map(b =>
+            struct(lit(b).as("band_idx"),
+              shiftright(col("sig"), b * 4).bitwiseAND(15).as("band_val")))
+            : _*)).as("band"))
+          .select(col(s"${prefix}_id"), col(s"${prefix}_v"),
+            col("band.band_idx").as("band_idx"),
+            col("band.band_val").as("band_val"))
+      val probes = banded(e.filter(col("vec_id") % 100 === 0), "probe")
+      val corpus = banded(e, "cand")
+      val w = Window.partitionBy(col("probe_id"))
+        .orderBy(col("cos").desc, col("cand_id").asc)
+      probes.join(corpus, Seq("band_idx", "band_val"))
+        .where(col("cand_id") =!= col("probe_id"))
+        .select("probe_id", "probe_v", "cand_id", "cand_v").distinct()
+        .withColumn("cos", Vectors.cosine(col("probe_v"), col("cand_v")))
+        .withColumn("k", row_number().over(w).cast("long"))
+        .where(col("k") <= 5)
+        .select("probe_id", "k", "cand_id", "cos")
+        .orderBy("probe_id", "k")
+    },
+    None)
+
+  val all: Seq[Q] = Seq(
+    dedupMinhashSig, dedupMinhashPairs, dedupSimhash, dedupNgramJaccard,
+    simLshTopk)
 }

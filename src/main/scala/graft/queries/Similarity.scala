@@ -1,7 +1,100 @@
 package graft.queries
 
 import graft.Q
+import graft.engine.Tables
+import graft.functions.Vectors
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
 
+/** Similarity search over the embeddings table (SURVEY.md §2B B31, B12,
+  * B37 + the mandated ANN extension).
+  *
+  * Scale posture: the exact top-k broadcasts the (small) probe set and
+  * streams the corpus — a BroadcastNestedLoopJoin whose cost is
+  * |probes|·|corpus|, linear in the 100 TB side. The all-pairs form is
+  * blocked on an equi key (label) so it hash-joins instead of crossing.
+  * The LSH variant (DedupOps.simLshTopk) is the true 100 TB path: both
+  * sides shuffle on bucket signature, never pairing across buckets.
+  */
 object Similarity {
-  val all: Seq[Q] = Seq()
+
+  /** B31/B12: exact top-10 cosine neighbors for a deterministic probe
+    * subset (vec_id % 100 == 0), brute-force baseline. */
+  val simTopkCosine: Q = Q(
+    "q_sim_topk_cosine",
+    (s, d) => {
+      val e = Tables.embeddings(s, d)
+      val probes = e.filter(col("vec_id") % 100 === 0)
+        .select(col("vec_id").as("probe_id"), col("embedding").as("pv"))
+      val corpus = e.select(col("vec_id"), col("embedding"))
+      val w = Window.partitionBy(col("probe_id"))
+        .orderBy(col("cos").desc, col("vec_id").asc)
+      broadcast(probes).crossJoin(corpus)
+        .where(col("vec_id") =!= col("probe_id"))
+        .withColumn("cos", Vectors.cosine(col("pv"), col("embedding")))
+        .withColumn("k", row_number().over(w).cast("long"))
+        .where(col("k") <= 10)
+        .select("probe_id", "k", "vec_id", "cos")
+        .orderBy("probe_id", "k")
+    },
+    Some(s"""SELECT probe_id, k, vec_id, cos FROM (
+      SELECT p.vec_id AS probe_id, c.vec_id AS vec_id,
+        ${Vectors.sqlCosine("p.embedding", "c.embedding")} AS cos,
+        row_number() OVER (PARTITION BY p.vec_id ORDER BY
+          ${Vectors.sqlCosine("p.embedding", "c.embedding")} DESC,
+          c.vec_id ASC) AS k
+      FROM embeddings p CROSS JOIN embeddings c
+      WHERE p.vec_id % 100 = 0 AND c.vec_id != p.vec_id)
+    WHERE k <= 10 ORDER BY probe_id, k"""))
+
+  /** Mandated EXT: embedding-cosine near-duplicate pairs, blocked by
+    * label so the pair space is an equi join (the exact-verify stage of
+    * an LSH dedup at scale). */
+  val dedupEmbedding: Q = Q(
+    "q_dedup_embedding",
+    (s, d) => {
+      val e = Tables.embeddings(s, d)
+      val a = e.select(col("vec_id").as("a_id"), col("label"),
+        col("embedding").as("av"))
+      val b = e.select(col("vec_id").as("b_id"), col("label"),
+        col("embedding").as("bv"))
+      a.join(b, Seq("label"))
+        .where(col("a_id") < col("b_id"))
+        .withColumn("cos", Vectors.cosine(col("av"), col("bv")))
+        .where(col("cos") >= 0.35)
+        .select("label", "a_id", "b_id", "cos")
+        .orderBy("label", "a_id", "b_id")
+    },
+    Some(s"""SELECT a.label AS label, a.vec_id AS a_id, b.vec_id AS b_id,
+      ${Vectors.sqlCosine("a.embedding", "b.embedding")} AS cos
+    FROM embeddings a JOIN embeddings b
+      ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE ${Vectors.sqlCosine("a.embedding", "b.embedding")} >= 0.35
+    ORDER BY label, a_id, b_id"""))
+
+  /** B37: cross-modal join — documents ⋈ embeddings by id with
+    * modality-specific predicates on both sides. */
+  val multimodalJoin: Q = Q(
+    "q_multimodal_join",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+        .where(col("n_chars") >= 200)
+      val emb = Tables.embeddings(s, d)
+        .where(col("label") < 5)
+      docs.join(emb, docs("doc_id") === emb("vec_id"))
+        .select(
+          col("doc_id"), col("lang"), col("source"), col("n_chars"),
+          col("label"),
+          size(col("embedding")).cast("long").as("dim"),
+          Vectors.norm2(col("embedding")).as("norm2"))
+        .orderBy("doc_id")
+    },
+    Some(s"""SELECT doc_id, lang, source, n_chars, label,
+      CAST(len(embedding) AS BIGINT) AS dim,
+      ${Vectors.sqlDot("embedding", "embedding")} AS norm2
+    FROM documents JOIN embeddings ON doc_id = vec_id
+    WHERE n_chars >= 200 AND label < 5
+    ORDER BY doc_id"""))
+
+  val all: Seq[Q] = Seq(simTopkCosine, dedupEmbedding, multimodalJoin)
 }

@@ -1,7 +1,232 @@
 package graft.queries
 
 import graft.Q
+import graft.engine.Tables
+import org.apache.spark.sql.functions._
 
+/** Text-analysis operators over the documents table (SURVEY.md §2B
+  * B32, B34–B36 + the mandated language-ID / quality / token-count /
+  * fingerprint extensions).
+  *
+  * Everything is expression-level (split/explode/groupBy) — no UDFs —
+  * so whole-stage codegen covers the hot path and, at 100 TB, the only
+  * shuffles are the per-token and per-group aggregations.
+  */
 object TextOps {
-  val all: Seq[Q] = Seq()
+
+  private def tokens = split(lower(col("text")), " ")
+
+  private val sqlTokens = "string_split(lower(text), ' ')"
+
+  /** B32: exact dedup by normalized text — keep-first (min doc_id)
+    * per group, with copy counts. */
+  val dedupExact: Q = Q(
+    "q_dedup_exact",
+    (s, d) =>
+      Tables.documents(s, d)
+        .groupBy(lower(trim(col("text"))).as("norm_text"))
+        .agg(
+          min(col("doc_id")).as("keep_id"),
+          count(lit(1)).as("n_copies"))
+        .select("keep_id", "n_copies")
+        .orderBy("keep_id"),
+    Some("""SELECT min(doc_id) AS keep_id, count(*) AS n_copies
+    FROM documents GROUP BY lower(trim(text)) ORDER BY keep_id"""))
+
+  /** B34: tokenize → explode → stopword filter → term frequency. */
+  val textTokens: Q = Q(
+    "q_text_tokens",
+    (s, d) =>
+      Tables.documents(s, d)
+        .select(explode(tokens).as("token"))
+        .where(col("token") =!= "" && !col("token").isin("a", "the"))
+        .groupBy(col("token"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("token").asc),
+    Some(s"""SELECT token, count(*) AS n FROM (
+      SELECT unnest($sqlTokens) AS token FROM documents)
+    WHERE token != '' AND token NOT IN ('a', 'the')
+    GROUP BY token ORDER BY n DESC, token ASC"""))
+
+  /** B35: corpus statistics per language label. */
+  val textStats: Q = Q(
+    "q_text_stats",
+    (s, d) =>
+      Tables.documents(s, d)
+        .select(col("lang"), col("n_chars"),
+          size(filter(tokens, x => x =!= "")).cast("long").as("n_tokens"))
+        .groupBy(col("lang"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("sum_chars"),
+          Det.davg(col("n_chars"), 0).as("avg_chars"),
+          sum(col("n_tokens")).as("sum_tokens"),
+          Det.davg(col("n_tokens"), 0).as("avg_tokens"),
+          min(col("n_chars")).as("min_chars"),
+          max(col("n_chars")).as("max_chars"))
+        .orderBy("lang"),
+    Some(s"""SELECT lang, count(*) AS n_docs,
+      CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+      ${Det.sqlAvg("n_chars", 0)} AS avg_chars,
+      CAST(sum(len(list_filter($sqlTokens, t -> t != ''))) AS BIGINT)
+        AS sum_tokens,
+      ${Det.sqlAvg(s"len(list_filter($sqlTokens, t -> t != ''))", 0)}
+        AS avg_tokens,
+      min(n_chars) AS min_chars, max(n_chars) AS max_chars
+    FROM documents GROUP BY lang ORDER BY lang"""))
+
+  /** B36: TF-IDF scoring — tf per (doc, token) joined against document
+    * frequency; idf = ln((N+1)/(df+1)); rounded to 6 decimals because
+    * libm ln differs by ulps across engines. */
+  val textTfidf: Q = Q(
+    "q_text_tfidf",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val tok = docs
+        .select(col("doc_id"), explode(tokens).as("token"))
+        .where(col("token") =!= "")
+      val tf = tok.groupBy(col("doc_id"), col("token"))
+        .agg(count(lit(1)).as("tf"))
+      val df = tok.select("doc_id", "token").distinct()
+        .groupBy(col("token")).agg(count(lit(1)).as("df"))
+      val n = docs.agg(count(lit(1)).as("n_docs"))
+      tf.join(df, "token")
+        .crossJoin(broadcast(n))
+        .select(
+          col("doc_id"), col("token"), col("tf"), col("df"),
+          round(col("tf").cast("double")
+            * log((col("n_docs").cast("double") + lit(1.0))
+              / (col("df").cast("double") + lit(1.0))), 6).as("tfidf"))
+        .orderBy("doc_id", "token")
+    },
+    Some(s"""WITH tok AS (
+      SELECT doc_id, unnest($sqlTokens) AS token FROM documents),
+    tok2 AS (SELECT * FROM tok WHERE token != ''),
+    tf AS (SELECT doc_id, token, count(*) AS tf FROM tok2
+      GROUP BY doc_id, token),
+    df AS (SELECT token, count(*) AS df FROM
+      (SELECT DISTINCT doc_id, token FROM tok2) GROUP BY token),
+    n AS (SELECT count(*) AS n_docs FROM documents)
+    SELECT doc_id, token, tf, df,
+      round(CAST(tf AS DOUBLE) * ln((CAST(n_docs AS DOUBLE) + 1.0e0)
+        / (CAST(df AS DOUBLE) + 1.0e0)), 6) AS tfidf
+    FROM tf JOIN df USING (token) CROSS JOIN n
+    ORDER BY doc_id, token"""))
+
+  /** Mandated EXT: n-gram/stopword-heuristic language ID. The fixture
+    * text is vocabulary-uniform across lang labels, so the heuristic is
+    * the operator under test (same scoring expression in both engines),
+    * not a classifier benchmark. */
+  val textLangid: Q = Q(
+    "q_text_langid",
+    (s, d) => {
+      val t = tokens
+      def hits(ws: String*): org.apache.spark.sql.Column =
+        size(filter(t, x => x.isin(ws.map(lit(_)): _*))).cast("long")
+      Tables.documents(s, d)
+        .select(
+          col("doc_id"), col("lang").as("labeled_lang"),
+          hits("the", "a", "of", "and").as("en_hits"),
+          hits("der", "die", "das", "und").as("de_hits"),
+          hits("el", "la", "los", "y").as("es_hits"),
+          hits("le", "les", "et", "du").as("fr_hits"))
+        .withColumn("predicted_lang",
+          when(col("en_hits") >= greatest(col("de_hits"), col("es_hits"),
+            col("fr_hits")) && col("en_hits") > 0, "en")
+            .when(col("de_hits") >= greatest(col("es_hits"), col("fr_hits"))
+              && col("de_hits") > 0, "de")
+            .when(col("es_hits") >= col("fr_hits") && col("es_hits") > 0, "es")
+            .when(col("fr_hits") > 0, "fr")
+            .otherwise("unknown"))
+        .withColumn("agrees", col("predicted_lang") === col("labeled_lang"))
+        .orderBy("doc_id")
+    },
+    Some(s"""WITH h AS (
+      SELECT doc_id, lang AS labeled_lang,
+        CAST(len(list_filter($sqlTokens,
+          x -> x IN ('the','a','of','and'))) AS BIGINT) AS en_hits,
+        CAST(len(list_filter($sqlTokens,
+          x -> x IN ('der','die','das','und'))) AS BIGINT) AS de_hits,
+        CAST(len(list_filter($sqlTokens,
+          x -> x IN ('el','la','los','y'))) AS BIGINT) AS es_hits,
+        CAST(len(list_filter($sqlTokens,
+          x -> x IN ('le','les','et','du'))) AS BIGINT) AS fr_hits
+      FROM documents)
+    SELECT doc_id, labeled_lang, en_hits, de_hits, es_hits, fr_hits,
+      CASE
+        WHEN en_hits >= greatest(de_hits, es_hits, fr_hits) AND en_hits > 0
+          THEN 'en'
+        WHEN de_hits >= greatest(es_hits, fr_hits) AND de_hits > 0 THEN 'de'
+        WHEN es_hits >= fr_hits AND es_hits > 0 THEN 'es'
+        WHEN fr_hits > 0 THEN 'fr'
+        ELSE 'unknown' END AS predicted_lang,
+      CASE
+        WHEN en_hits >= greatest(de_hits, es_hits, fr_hits) AND en_hits > 0
+          THEN 'en'
+        WHEN de_hits >= greatest(es_hits, fr_hits) AND de_hits > 0 THEN 'de'
+        WHEN es_hits >= fr_hits AND es_hits > 0 THEN 'es'
+        WHEN fr_hits > 0 THEN 'fr'
+        ELSE 'unknown' END = labeled_lang AS agrees
+    FROM h ORDER BY doc_id"""))
+
+  /** Mandated EXT: quality scoring — length/stopword/char-class ratios
+    * and a keep/drop verdict, the pre-training corpus filter shape. */
+  val textQuality: Q = Q(
+    "q_text_quality",
+    (s, d) => {
+      val t = filter(tokens, x => x =!= "")
+      val nTok = size(t).cast("long")
+      val nStop = size(filter(t, x => x.isin("a", "the", "of", "and")))
+        .cast("long")
+      val alpha = length(regexp_replace(col("text"), "[^a-z]", ""))
+        .cast("long")
+      Tables.documents(s, d)
+        .select(
+          col("doc_id"), col("n_chars"),
+          nTok.as("n_tokens"),
+          nStop.as("n_stopwords"),
+          (nStop.cast("double") / nTok).as("stopword_ratio"),
+          alpha.as("n_alpha"),
+          (alpha.cast("double") / col("n_chars")).as("alpha_ratio"),
+          (nTok === 0).as("degenerate"),
+          (nTok >= 20 && nTok <= 400
+            && nStop.cast("double") / nTok < 0.5).as("keep"))
+        .orderBy("doc_id")
+    },
+    Some(s"""WITH q AS (
+      SELECT doc_id, n_chars,
+        CAST(len(list_filter($sqlTokens, x -> x != '')) AS BIGINT)
+          AS n_tokens,
+        CAST(len(list_filter($sqlTokens,
+          x -> x IN ('a','the','of','and'))) AS BIGINT) AS n_stopwords,
+        CAST(length(regexp_replace(text, '[^a-z]', '', 'g')) AS BIGINT)
+          AS n_alpha
+      FROM documents)
+    SELECT doc_id, n_chars, n_tokens, n_stopwords,
+      CAST(n_stopwords AS DOUBLE) / n_tokens AS stopword_ratio,
+      n_alpha,
+      CAST(n_alpha AS DOUBLE) / n_chars AS alpha_ratio,
+      n_tokens = 0 AS degenerate,
+      n_tokens >= 20 AND n_tokens <= 400
+        AND CAST(n_stopwords AS DOUBLE) / n_tokens < 0.5e0 AS keep
+    FROM q ORDER BY doc_id"""))
+
+  /** Mandated EXT: content fingerprinting — md5 of normalized text plus
+    * a coarse length bucket, the exact-dup shard key at scale. */
+  val textFingerprint: Q = Q(
+    "q_text_fingerprint",
+    (s, d) =>
+      Tables.documents(s, d)
+        .select(
+          col("doc_id"),
+          md5(lower(trim(col("text")))).as("fingerprint"),
+          (col("n_chars") / lit(100)).cast("long").as("len_bucket"))
+        .orderBy("doc_id"),
+    Some("""SELECT doc_id, md5(lower(trim(text))) AS fingerprint,
+      CAST(n_chars // 100 AS BIGINT) AS len_bucket
+    FROM documents ORDER BY doc_id"""))
+
+  val all: Seq[Q] = Seq(
+    dedupExact, textTokens, textStats, textTfidf, textLangid, textQuality,
+    textFingerprint)
 }

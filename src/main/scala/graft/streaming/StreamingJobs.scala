@@ -1,0 +1,67 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming jobs (SURVEY.md §2B B38–B42, streaming-only
+  * half). The windowed aggregations reuse the exact expressions of
+  * queries.StreamingOps — batch/stream parity is the design, the same
+  * plan with a watermark in front.
+  *
+  * Reference analog: the status-polling loops (backup.sh:140-156) are a
+  * hand-rolled event stream consumer; here state lives in the engine's
+  * checkpointed state store. At scale: state is keyed (user_id /
+  * dedup key) and sharded across executors; watermarks bound state
+  * growth — late events beyond the bound drop instead of accumulating.
+  */
+object StreamingJobs {
+
+  final case class Event(
+      event_id: Long, ts: java.sql.Timestamp, user_id: Long,
+      event_type: String, value: Double)
+
+  final case class UserRunningCount(user_id: Long, n_events: Long)
+
+  /** B38/B41: tumbling 1h counts with a 10-minute watermark — events
+    * later than the watermark bound are dropped from the aggregate. */
+  def tumblingCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("w_start"), col("event_type"), col("n"))
+
+  /** B40: session windows (30-minute gap) per user on a stream. */
+  def sessionize(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("user_id"), col("n_events"))
+
+  /** B42a: stateful exact dedup by event_id with bounded state — the
+    * streaming form of dropDuplicates where the watermark ages keys out. */
+  def dedupWithinWatermark(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .dropDuplicatesWithinWatermark("event_id")
+
+  /** B42b: arbitrary keyed state — running event count per user via
+    * flatMapGroupsWithState (the mapGroupsWithState family). */
+  def runningCountPerUser(events: Dataset[Event]): Dataset[UserRunningCount] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[Long, UserRunningCount](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (userId: Long, rows: Iterator[Event], state: GroupState[Long]) =>
+          val prior = state.getOption.getOrElse(0L)
+          val total = prior + rows.size
+          state.update(total)
+          Iterator(UserRunningCount(userId, total))
+      }
+  }
+}

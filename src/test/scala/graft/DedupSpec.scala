@@ -1,0 +1,110 @@
+package graft
+
+import graft.functions.{TextHash, Vectors}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val nearDupDocs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog again and again"),
+    (2L, "the quick brown fox jumps over the lazy dog again and again"),
+    (3L, "the quick brown fox jumps over the lazy cat again and again"),
+    (4L, "completely different words about spark query engines at scale"))
+    .toDF("doc_id", "text")
+
+  test("minhash estimated jaccard tracks exact shingle jaccard") {
+    val sig = nearDupDocs.select(col("doc_id"),
+      TextHash.shingles(TextHash.tokens(col("text")), 3).as("sh"))
+      .select(col("doc_id"), col("sh"),
+        TextHash.minhashSignature(col("sh"), 64).as("sig"))
+    val a = sig.select(col("doc_id").as("a_id"), col("sh").as("a_sh"),
+      col("sig").as("a_sig"))
+    val b = sig.select(col("doc_id").as("b_id"), col("sh").as("b_sh"),
+      col("sig").as("b_sig"))
+    val pairs = a.crossJoin(b).where(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"),
+        TextHash.estJaccard(col("a_sig"), col("b_sig"), 64).as("est"),
+        (size(array_intersect(col("a_sh"), col("b_sh"))).cast("double") /
+          size(array_union(col("a_sh"), col("b_sh")))).as("exact"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> (r.getDouble(2), r.getDouble(3)))
+      .toMap
+    assert(pairs((1L, 2L)) == ((1.0, 1.0)))            // identical docs
+    val (est13, exact13) = pairs((1L, 3L))             // one-word edit
+    assert(exact13 > 0.4 && math.abs(est13 - exact13) < 0.25,
+      s"est=$est13 exact=$exact13")
+    val (est14, _) = pairs((1L, 4L))                   // unrelated
+    assert(est14 < 0.2)
+  }
+
+  test("banded LSH collides identical docs and not unrelated ones") {
+    val sig = nearDupDocs.select(col("doc_id"),
+      TextHash.minhashSignature(
+        TextHash.shingles(TextHash.tokens(col("text")), 3), 32).as("sig"))
+      .select(col("doc_id"),
+        TextHash.bandKeys(col("sig"), 8, 4).as("bands"))
+      .select(col("doc_id"), explode(col("bands")).as("bk"))
+    val hits = sig.as("x").join(sig.as("y"), "bk")
+      .where(col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id"), col("y.doc_id")).distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(hits.contains((1L, 2L)))
+    assert(!hits.contains((1L, 4L)))
+  }
+
+  test("simhash: identical text -> hamming 0; unrelated -> large distance") {
+    val sims = Registry.byName("q_dedup_simhash").fn(spark, sf)
+    assert(sims.count() > 0)
+    // use the synthetic frame through the same expression pipeline
+    val tok = nearDupDocs
+      .select(col("doc_id"), explode(TextHash.tokens(col("text"))).as("token"))
+      .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+      .withColumn("th", xxhash64(col("token")))
+    val bitSums = TextHash.simhashBitSums(col("th"), col("tf"))
+    val hashes = tok.groupBy(col("doc_id"))
+      .agg(bitSums.head, bitSums.tail: _*)
+      .select(col("doc_id"), TextHash.simhashFromBitSums(
+        (0 until 64).map(i => col(s"_bit$i"))).as("sh"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(hashes(1L), hashes(2L)) == 0)
+    assert(ham(hashes(1L), hashes(3L)) < ham(hashes(1L), hashes(4L)))
+  }
+
+  test("LSH top-k candidates rank by the same cosine as brute force") {
+    val lsh = Registry.byName("q_sim_lsh_topk").fn(spark, sf)
+      .select("probe_id", "cand_id", "cos").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(lsh.nonEmpty)
+    val brute = Registry.byName("q_sim_topk_cosine").fn(spark, sf)
+      .select("probe_id", "vec_id", "cos").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    // any candidate also in the brute top-10 must carry the identical score
+    val overlap = lsh.keySet.intersect(brute.keySet)
+    overlap.foreach { k => assert(lsh(k) == brute(k), s"cos mismatch at $k") }
+  }
+
+  test("dedup is idempotent: dedup(dedup(x)) == dedup(x)") {
+    val once = engine.Tables.documents(spark, sf)
+      .dropDuplicates("text")
+    assert(once.dropDuplicates("text").count() == once.count())
+  }
+
+  test("cosine self-similarity is 1 and symmetric") {
+    val e = engine.Tables.embeddings(spark, sf).limit(20)
+    val a = e.select(col("vec_id").as("a_id"), col("embedding").as("av"))
+    val b = e.select(col("vec_id").as("b_id"), col("embedding").as("bv"))
+    val sims = a.crossJoin(b)
+      .select(col("a_id"), col("b_id"),
+        Vectors.cosine(col("av"), col("bv")).as("ab"),
+        Vectors.cosine(col("bv"), col("av")).as("ba"))
+      .collect()
+    sims.foreach { r =>
+      if (r.getLong(0) == r.getLong(1))
+        assert(math.abs(r.getDouble(2) - 1.0) < 1e-12)
+      assert(r.getDouble(2) == r.getDouble(3))
+    }
+  }
+}

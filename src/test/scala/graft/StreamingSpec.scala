@@ -1,0 +1,95 @@
+package graft
+
+import java.sql.Timestamp
+
+import graft.streaming.StreamingJobs
+import graft.streaming.StreamingJobs.Event
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+
+class StreamingSpec extends SparkSpec {
+  import org.apache.spark.sql.functions._
+
+  private def ts(minute: Int, sec: Int = 0): Timestamp =
+    Timestamp.valueOf(f"2024-01-01 10:$minute%02d:$sec%02d")
+
+  private def runToMemory(
+      df: org.apache.spark.sql.DataFrame, name: String,
+      mode: OutputMode = OutputMode.Append): Unit = {
+    val q = df.writeStream.outputMode(mode).format("memory")
+      .queryName(name).start()
+    q.processAllAvailable()
+    q.stop()
+  }
+
+  test("watermark drops events later than the 10-minute bound") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val in = MemoryStream[Event]
+    val q = StreamingJobs.tumblingCounts(in.toDF())
+      .writeStream.outputMode(OutputMode.Append).format("memory")
+      .queryName("wm_out").start()
+    // batch 1: two events at 10:05/10:20 set watermark to 10:20-10m=10:10
+    in.addData(
+      Event(1, ts(5), 1, "click", 1.0), Event(2, ts(20), 1, "click", 1.0))
+    q.processAllAvailable()
+    // batch 2: advance event time to 11:30 → watermark 11:20 closes 10:xx
+    in.addData(Event(3, Timestamp.valueOf("2024-01-01 11:30:00"), 1, "click", 1.0))
+    q.processAllAvailable()
+    // batch 3: a straggler back in hour 10 is beyond the bound → dropped
+    in.addData(Event(4, ts(40), 1, "click", 1.0))
+    q.processAllAvailable()
+    q.stop()
+    val hour10 = spark.table("wm_out")
+      .where(col("w_start") === lit("2024-01-01 10:00:00").cast("timestamp"))
+      .collect()
+    assert(hour10.map(_.getLong(2)).sum == 2,
+      s"late event must not count: ${hour10.mkString(",")}")
+  }
+
+  test("streaming session windows merge events within the 30-minute gap") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val in = MemoryStream[Event]
+    // user 1: 10:00,10:10 (one session), 11:00 (new session)
+    in.addData(
+      Event(1, ts(0), 1, "a", 0), Event(2, ts(10), 1, "a", 0),
+      Event(3, Timestamp.valueOf("2024-01-01 11:00:00"), 1, "a", 0),
+      Event(9, Timestamp.valueOf("2024-01-01 12:30:00"), 99, "a", 0))
+    runToMemory(StreamingJobs.sessionize(in.toDF()), "sess_out")
+    val rows = spark.table("sess_out").where(col("user_id") === 1)
+      .orderBy("session_start").collect()
+    assert(rows.length == 2)
+    assert(rows(0).getAs[Timestamp]("session_end") ==
+      Timestamp.valueOf("2024-01-01 10:40:00")) // last event + gap
+    assert(rows(0).getLong(3) == 2 && rows(1).getLong(3) == 1)
+  }
+
+  test("dropDuplicatesWithinWatermark dedups repeated event ids") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val in = MemoryStream[Event]
+    in.addData(
+      Event(1, ts(0), 1, "a", 0), Event(1, ts(1), 1, "a", 0),
+      Event(2, ts(2), 1, "a", 0))
+    runToMemory(StreamingJobs.dedupWithinWatermark(in.toDF()), "dedup_out")
+    assert(spark.table("dedup_out").count() == 2)
+  }
+
+  test("flatMapGroupsWithState keeps a running per-user count across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val in = MemoryStream[Event]
+    val q = StreamingJobs.runningCountPerUser(in.toDS())
+      .writeStream.outputMode(OutputMode.Append).format("memory")
+      .queryName("state_out").start()
+    in.addData(Event(1, ts(0), 7, "a", 0), Event(2, ts(1), 7, "a", 0))
+    q.processAllAvailable()
+    in.addData(Event(3, ts(2), 7, "a", 0))
+    q.processAllAvailable()
+    q.stop()
+    val counts = spark.table("state_out").where(col("user_id") === 7)
+      .orderBy("n_events").collect().map(_.getLong(1))
+    assert(counts.toSeq == Seq(2L, 3L), s"got ${counts.toSeq}")
+  }
+}
