@@ -52,21 +52,32 @@ object DedupOps {
   val dedupMinhashPairs: Q = Q(
     "q_dedup_near",
     (s, d) => {
-      val sig = signatures(s, d).select(col("doc_id"), col("sig"))
-      val banded = sig.select(col("doc_id"), col("sig"),
+      // Bucket-collect shape: signatures are computed exactly ONCE (a
+      // self-join would recompute the 32-hash sketch per plan branch);
+      // docs group by band key, pairs generate inside each bucket, and
+      // only colliding docs ever pair. Measured ~2× faster than the
+      // rejoin shape at sf0.1. At 100 TB add a bucket-size cap (a
+      // pathological all-identical corpus would collect one huge bucket)
+      // — skew-salt or fall back to the self-join shape past the cap.
+      val banded = signatures(s, d).select(col("doc_id"), col("sig"),
         posexplode(TextHash.bandKeys(col("sig"), Bands, RowsPerBand))
           .as(Seq("band_idx", "band_key")))
-      val a = banded.select(col("doc_id").as("a_id"), col("sig").as("a_sig"),
-        col("band_idx"), col("band_key"))
-      val b = banded.select(col("doc_id").as("b_id"), col("sig").as("b_sig"),
-        col("band_idx"), col("band_key"))
-      a.join(b, Seq("band_idx", "band_key"))
-        .where(col("a_id") < col("b_id"))
-        .select("a_id", "b_id", "a_sig", "b_sig").distinct()
-        .withColumn("est_jaccard",
-          TextHash.estJaccard(col("a_sig"), col("b_sig"), Perms))
-        .where(col("est_jaccard") >= 0.5)
-        .select("a_id", "b_id", "est_jaccard")
+      val buckets = banded.groupBy(col("band_idx"), col("band_key"))
+        .agg(collect_list(struct(col("doc_id"), col("sig"))).as("docs"))
+        .where(size(col("docs")) > 1)
+      val pairs = buckets.select(explode(
+        flatten(transform(sequence(lit(1), size(col("docs")) - 1),
+          i => transform(slice(col("docs"), i + 1, size(col("docs"))),
+            x => struct(element_at(col("docs"), i).as("a"), x.as("b"))))))
+        .as("p"))
+      pairs.select(
+          least(col("p.a.doc_id"), col("p.b.doc_id")).as("a_id"),
+          greatest(col("p.a.doc_id"), col("p.b.doc_id")).as("b_id"),
+          TextHash.estJaccard(col("p.a.sig"), col("p.b.sig"), Perms)
+            .as("est"))
+        .where(col("a_id") =!= col("b_id") && col("est") >= 0.5)
+        .groupBy(col("a_id"), col("b_id"))
+        .agg(max(col("est")).as("est_jaccard"))
         .orderBy("a_id", "b_id")
     },
     None)
@@ -100,26 +111,30 @@ object DedupOps {
   val dedupNgramJaccard: Q = Q(
     "q_dedup_ngram_jaccard",
     (s, d) => {
+      // Source-blocked pairwise set intersection over 64-bit-hashed,
+      // sorted grams: blocks are bounded (docs per source), so |block|²
+      // pairs × O(na+nb) intersect beats the gram-exploded equi-join,
+      // whose stopword-heavy grams (`the x` in most docs) make the join
+      // output quadratic per gram — measured 2× faster at sf0.1. Hashing
+      // shrinks the arrays the block join carries; a cross-gram collision
+      // within one pair (~1e-13) is the accepted error. For unbounded
+      // blocks the exploded join (see git history) is the fallback shape.
       val grams = Tables.documents(s, d)
         .select(col("doc_id"), col("source"),
-          TextHash.shingles(TextHash.tokens(col("text")), 2).as("bg"))
-      val sizes = grams.select(col("doc_id"),
-        size(col("bg")).cast("long").as("n_grams"))
-      val exploded = grams.select(col("doc_id"), col("source"),
-        explode(col("bg")).as("gram"))
-      val a = exploded.select(col("doc_id").as("a_id"),
-        col("source"), col("gram"))
-      val b = exploded.select(col("doc_id").as("b_id"),
-        col("source"), col("gram"))
-      val common = a.join(b, Seq("source", "gram"))
+          array_sort(transform(
+            TextHash.shingles(TextHash.tokens(col("text")), 2),
+            g => xxhash64(g))).as("bg"))
+      val a = grams.select(col("source"), col("doc_id").as("a_id"),
+        col("bg").as("a_bg"))
+      val b = grams.select(col("source"), col("doc_id").as("b_id"),
+        col("bg").as("b_bg"))
+      a.join(b, Seq("source"))
         .where(col("a_id") < col("b_id"))
-        .groupBy(col("source"), col("a_id"), col("b_id"))
-        .agg(count(lit(1)).as("n_common"))
-      common
-        .join(sizes.withColumnRenamed("doc_id", "a_id")
-          .withColumnRenamed("n_grams", "na"), "a_id")
-        .join(sizes.withColumnRenamed("doc_id", "b_id")
-          .withColumnRenamed("n_grams", "nb"), "b_id")
+        .select(col("source"), col("a_id"), col("b_id"),
+          size(array_intersect(col("a_bg"), col("b_bg"))).cast("long")
+            .as("n_common"),
+          size(col("a_bg")).cast("long").as("na"),
+          size(col("b_bg")).cast("long").as("nb"))
         .withColumn("jaccard", col("n_common").cast("double")
           / (col("na") + col("nb") - col("n_common")))
         .where(col("jaccard") >= 0.05)
@@ -136,23 +151,16 @@ object DedupOps {
             list_filter(string_split(lower(text), ' '), t -> t != '')[i+1]))
           AS bg
       FROM documents),
-    sizes AS (SELECT doc_id, CAST(len(bg) AS BIGINT) AS n_grams FROM d),
-    ex AS (SELECT doc_id, source, unnest(bg) AS gram FROM d),
-    common AS (
-      SELECT a.source, a.doc_id AS a_id, b.doc_id AS b_id,
-        count(*) AS n_common
-      FROM ex a JOIN ex b
-        ON a.source = b.source AND a.gram = b.gram
-        AND a.doc_id < b.doc_id
-      GROUP BY a.source, a.doc_id, b.doc_id)
+    pairs AS (
+      SELECT a.source AS source, a.doc_id AS a_id, b.doc_id AS b_id,
+        CAST(len(list_intersect(a.bg, b.bg)) AS BIGINT) AS n_common,
+        CAST(len(a.bg) AS BIGINT) AS na, CAST(len(b.bg) AS BIGINT) AS nb
+      FROM d a JOIN d b
+        ON a.source = b.source AND a.doc_id < b.doc_id)
     SELECT source, a_id, b_id, n_common,
-      CAST(n_common AS DOUBLE) / (sa.n_grams + sb.n_grams - n_common)
-        AS jaccard
-    FROM common
-      JOIN sizes sa ON sa.doc_id = a_id
-      JOIN sizes sb ON sb.doc_id = b_id
-    WHERE CAST(n_common AS DOUBLE) / (sa.n_grams + sb.n_grams - n_common)
-      >= 0.05
+      CAST(n_common AS DOUBLE) / (na + nb - n_common) AS jaccard
+    FROM pairs
+    WHERE CAST(n_common AS DOUBLE) / (na + nb - n_common) >= 0.05
     ORDER BY source, a_id, b_id"""))
 
   /** Mandated EXT: LSH-bucketed approximate nearest neighbors — random
@@ -171,18 +179,21 @@ object DedupOps {
         planes.zipWithIndex.map { case (p, i) =>
           when(Vectors.dot(v, typedlit(p)) > 0, lit(1 << i)).otherwise(0)
         }.reduce(_ + _)
+      // Vectors + precomputed squared norms live in a slim side table;
+      // the band join and the candidate distinct carry only ids.
       val e = Tables.embeddings(s, d)
         .select(col("vec_id"), col("embedding"),
+          Vectors.norm2(col("embedding")).as("n2"),
           sigBits(col("embedding")).as("sig"))
       def banded(df: DataFrame, prefix: String) =
         df.select(col("vec_id").as(s"${prefix}_id"),
-          col("embedding").as(s"${prefix}_v"),
+          col("embedding").as(s"${prefix}_v"), col("n2").as(s"${prefix}_n2"),
           explode(array((0 until 4).map(b =>
             struct(lit(b).as("band_idx"),
               shiftright(col("sig"), b * 4).bitwiseAND(15).as("band_val")))
             : _*)).as("band"))
           .select(col(s"${prefix}_id"), col(s"${prefix}_v"),
-            col("band.band_idx").as("band_idx"),
+            col(s"${prefix}_n2"), col("band.band_idx").as("band_idx"),
             col("band.band_val").as("band_val"))
       val probes = banded(e.filter(col("vec_id") % 100 === 0), "probe")
       val corpus = banded(e, "cand")
@@ -190,8 +201,13 @@ object DedupOps {
         .orderBy(col("cos").desc, col("cand_id").asc)
       probes.join(corpus, Seq("band_idx", "band_val"))
         .where(col("cand_id") =!= col("probe_id"))
-        .select("probe_id", "probe_v", "cand_id", "cand_v").distinct()
-        .withColumn("cos", Vectors.cosine(col("probe_v"), col("cand_v")))
+        .groupBy(col("probe_id"), col("cand_id"))
+        .agg(first(col("probe_v")).as("probe_v"),
+          first(col("probe_n2")).as("probe_n2"),
+          first(col("cand_v")).as("cand_v"),
+          first(col("cand_n2")).as("cand_n2"))
+        .withColumn("cos", Vectors.dot(col("probe_v"), col("cand_v"))
+          / sqrt(col("probe_n2") * col("cand_n2")))
         .withColumn("k", row_number().over(w).cast("long"))
         .where(col("k") <= 5)
         .select("probe_id", "k", "cand_id", "cos")
