@@ -57,4 +57,28 @@ object Retry {
     throw new IllegalStateException(
       s"no terminal state after $maxPolls polls; last=${last.getOrElse("<none>")}")
   }
+
+  /** Guaranteed finalization (`trap cleanup_on_exit EXIT`,
+    * backup.sh:20-36): run `body`, always run `cleanup`, and preserve
+    * the body's failure over any cleanup failure — the trap's
+    * propagate-original-status semantics. */
+  def withCleanup[T](cleanup: () => Unit)(body: => T): T = {
+    var primary: Throwable = null
+    try body
+    catch { case e: Throwable => primary = e; throw e }
+    finally {
+      try cleanup()
+      catch { case c: Throwable => if (primary != null) primary.addSuppressed(c) else throw c }
+    }
+  }
+
+  /** Throwaway credential generation (`openssl rand -base64 32 |
+    * tr -cd '[:alnum:]'`, psql-backups-iam-auth.sh:175-178):
+    * SecureRandom base64, non-alphanumerics stripped. Driver-side only —
+    * never inside a declared (deterministic) query. */
+  def randomCredential(bytes: Int = 32): String = {
+    val buf = new Array[Byte](bytes)
+    new java.security.SecureRandom().nextBytes(buf)
+    java.util.Base64.getEncoder.encodeToString(buf).filter(_.isLetterOrDigit)
+  }
 }

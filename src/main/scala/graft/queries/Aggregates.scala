@@ -162,7 +162,24 @@ object Aggregates {
         AS stddev_total
     FROM g ORDER BY o_orderpriority"""))
 
+  /** B16b: full cube over (orderstatus, orderpriority). */
+  val aggCube: Q = Q(
+    "q_agg_cube",
+    (s, d) =>
+      Tables.orders(s, d)
+        .cube(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(
+          count(lit(1)).as("n_orders"),
+          Det.dsum(col("o_totalprice"), 2).as("sum_total"))
+        .orderBy(asc_nulls_first("o_orderstatus"),
+          asc_nulls_first("o_orderpriority")),
+    Some(s"""SELECT o_orderstatus, o_orderpriority,
+      count(*) AS n_orders, ${Det.sqlSum("o_totalprice", 2)} AS sum_total
+    FROM orders
+    GROUP BY CUBE(o_orderstatus, o_orderpriority)
+    ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST"""))
+
   val all: Seq[Q] = Seq(
-    aggHashGroup, aggDistinct, aggApproxDistinct, aggRollup,
+    aggHashGroup, aggDistinct, aggApproxDistinct, aggRollup, aggCube,
     aggPartialFinal, aggStats)
 }

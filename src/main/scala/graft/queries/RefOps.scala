@@ -182,7 +182,39 @@ object RefOps {
       CAST(0 AS BIGINT) AS n_extra,
       true AS verified"""))
 
+  /** B2/A12: CSV as a first-class source — the engine form of the
+    * `sqlcmd -s ',' | csvcut` tool-output parse (backup.sh:130). Events
+    * project to CSV (header, explicit schema), re-ingest through the
+    * csv reader, and aggregate; the oracle states the round-trip
+    * postcondition directly over the original parquet. Int/string
+    * columns only — exact through text. */
+  val csvSource: Q = Q(
+    "q_ref_csv_source",
+    (s, d) => {
+      val dest = java.nio.file.Files
+        .createTempDirectory("graft_csv_").resolve("events_csv").toString
+      Tables.events(s, d)
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          get_json_object(col("props"), "$.k").cast("long").as("k"))
+        .write.mode("overwrite").option("header", "true").csv(dest)
+      s.read
+        .schema("event_id LONG, user_id LONG, event_type STRING, k LONG")
+        .option("header", "true")
+        .csv(dest)
+        .groupBy(col("event_type"))
+        .agg(
+          count(lit(1)).as("n"),
+          sum(col("k")).as("sum_k"),
+          countDistinct(col("user_id")).as("n_users"))
+        .orderBy("event_type")
+    },
+    Some("""SELECT event_type, count(*) AS n,
+      CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT))
+        AS BIGINT) AS sum_k,
+      count(DISTINCT user_id) AS n_users
+    FROM events GROUP BY event_type ORDER BY event_type"""))
+
   val all: Seq[Q] = Seq(
     lineFilter, grepExists, extractId, identifier, versionDispatch,
-    statusLast, nonemptyGuard, roundTrip)
+    statusLast, nonemptyGuard, roundTrip, csvSource)
 }

@@ -211,8 +211,10 @@ object TextOps {
         AND CAST(n_stopwords AS DOUBLE) / n_tokens < 0.5e0 AS keep
     FROM q ORDER BY doc_id"""))
 
-  /** Mandated EXT: content fingerprinting — md5 of normalized text plus
-    * a coarse length bucket, the exact-dup shard key at scale. */
+  /** Mandated EXT: content fingerprinting — md5 of normalized text, a
+    * polynomial rolling hash over code points (mod 1e9+7 so both
+    * engines stay in checked BIGINT range), and a coarse length bucket:
+    * the exact-dup shard keys at scale. */
   val textFingerprint: Q = Q(
     "q_text_fingerprint",
     (s, d) =>
@@ -220,13 +222,46 @@ object TextOps {
         .select(
           col("doc_id"),
           md5(lower(trim(col("text")))).as("fingerprint"),
+          expr("""aggregate(
+            transform(sequence(1, length(text)),
+              i -> CAST(ascii(substr(text, i, 1)) AS LONG)),
+            0L, (h, c) -> (h * 31 + c) % 1000000007)""").as("rolling_hash"),
           (col("n_chars") / lit(100)).cast("long").as("len_bucket"))
         .orderBy("doc_id"),
     Some("""SELECT doc_id, md5(lower(trim(text))) AS fingerprint,
+      list_reduce(list_prepend(CAST(0 AS BIGINT),
+        list_transform(generate_series(1, length(text)),
+          i -> CAST(ascii(text[i]) AS BIGINT))),
+        (h, c) -> (h * 31 + c) % 1000000007) AS rolling_hash,
       CAST(n_chars // 100 AS BIGINT) AS len_bucket
+    FROM documents ORDER BY doc_id"""))
+
+  /** Mandated EXT: token counting two ways — whitespace tokens and a
+    * BPE-ish regex lexer (letter runs / digit runs / single
+    * punctuation), the pre-tokenizer shape of GPT-style BPE vocabularies. */
+  val textTokencount: Q = Q(
+    "q_text_tokencount",
+    (s, d) =>
+      Tables.documents(s, d)
+        .select(
+          col("doc_id"),
+          size(filter(split(lower(col("text")), " "), t => t =!= ""))
+            .cast("long").as("ws_tokens"),
+          size(expr("regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]', 0)"))
+            .cast("long").as("bpe_tokens"),
+          ceil(col("n_chars").cast("double") / 4.0).cast("long")
+            .as("approx_llm_tokens"))
+        .orderBy("doc_id"),
+    Some("""SELECT doc_id,
+      CAST(len(list_filter(string_split(lower(text), ' '), t -> t != ''))
+        AS BIGINT) AS ws_tokens,
+      CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]'))
+        AS BIGINT) AS bpe_tokens,
+      CAST(ceil(CAST(n_chars AS DOUBLE) / 4.0e0) AS BIGINT)
+        AS approx_llm_tokens
     FROM documents ORDER BY doc_id"""))
 
   val all: Seq[Q] = Seq(
     dedupExact, textTokens, textStats, textTfidf, textLangid, textQuality,
-    textFingerprint)
+    textFingerprint, textTokencount)
 }

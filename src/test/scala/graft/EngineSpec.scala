@@ -43,6 +43,24 @@ class RetrySpec extends AnyFunSuite {
         () => "creating")(_ == "available")
     }
   }
+
+  test("withCleanup always runs cleanup and keeps the primary failure") {
+    var cleaned = 0
+    assert(Retry.withCleanup(() => cleaned += 1)(42) == 42 && cleaned == 1)
+    val e = intercept[RuntimeException] {
+      Retry.withCleanup(() => { cleaned += 1; sys.error("cleanup boom") }) {
+        sys.error("body boom")
+      }
+    }
+    assert(e.getMessage == "body boom" && cleaned == 2)
+    assert(e.getSuppressed.exists(_.getMessage == "cleanup boom"))
+  }
+
+  test("randomCredential is alphanumeric and unique") {
+    val a = Retry.randomCredential()
+    val b = Retry.randomCredential()
+    assert(a.forall(_.isLetterOrDigit) && a.length >= 32 && a != b)
+  }
 }
 
 class JobConfigSpec extends AnyFunSuite {
