@@ -1,0 +1,19 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+
+import graft.functions.CosineSimilarity
+
+/** SparkSessionExtensions entry point: registers the engine's native
+  * functions for any session built with
+  * `spark.sql.extensions=graft.GraftExtensions` (or
+  * `.withExtensions(new GraftExtensions)`), making them first-class in
+  * SQL: `SELECT cosine_sim(a.embedding, b.embedding) ...`.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(e: SparkSessionExtensions): Unit = {
+    e.injectFunction((FunctionIdentifier(CosineSimilarity.name),
+      CosineSimilarity.info, CosineSimilarity.builder))
+  }
+}

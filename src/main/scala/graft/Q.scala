@@ -29,7 +29,8 @@ object Registry {
       queries.Similarity.all ++
       queries.DedupOps.all ++
       queries.StreamingOps.all ++
-      queries.MultimodalOps.all
+      queries.MultimodalOps.all ++
+      queries.SqlQueries.all
 
   lazy val byName: Map[String, Q] = {
     val names = all.map(_.name)

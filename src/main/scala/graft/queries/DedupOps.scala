@@ -179,21 +179,18 @@ object DedupOps {
         planes.zipWithIndex.map { case (p, i) =>
           when(Vectors.dot(v, typedlit(p)) > 0, lit(1 << i)).otherwise(0)
         }.reduce(_ + _)
-      // Vectors + precomputed squared norms live in a slim side table;
-      // the band join and the candidate distinct carry only ids.
       val e = Tables.embeddings(s, d)
         .select(col("vec_id"), col("embedding"),
-          Vectors.norm2(col("embedding")).as("n2"),
           sigBits(col("embedding")).as("sig"))
       def banded(df: DataFrame, prefix: String) =
         df.select(col("vec_id").as(s"${prefix}_id"),
-          col("embedding").as(s"${prefix}_v"), col("n2").as(s"${prefix}_n2"),
+          col("embedding").as(s"${prefix}_v"),
           explode(array((0 until 4).map(b =>
             struct(lit(b).as("band_idx"),
               shiftright(col("sig"), b * 4).bitwiseAND(15).as("band_val")))
             : _*)).as("band"))
           .select(col(s"${prefix}_id"), col(s"${prefix}_v"),
-            col(s"${prefix}_n2"), col("band.band_idx").as("band_idx"),
+            col("band.band_idx").as("band_idx"),
             col("band.band_val").as("band_val"))
       val probes = banded(e.filter(col("vec_id") % 100 === 0), "probe")
       val corpus = banded(e, "cand")
@@ -203,11 +200,9 @@ object DedupOps {
         .where(col("cand_id") =!= col("probe_id"))
         .groupBy(col("probe_id"), col("cand_id"))
         .agg(first(col("probe_v")).as("probe_v"),
-          first(col("probe_n2")).as("probe_n2"),
-          first(col("cand_v")).as("cand_v"),
-          first(col("cand_n2")).as("cand_n2"))
-        .withColumn("cos", Vectors.dot(col("probe_v"), col("cand_v"))
-          / sqrt(col("probe_n2") * col("cand_n2")))
+          first(col("cand_v")).as("cand_v"))
+        .withColumn("cos", graft.functions.CosineSimilarity(
+          s, col("probe_v"), col("cand_v")))
         .withColumn("k", row_number().over(w).cast("long"))
         .where(col("k") <= 5)
         .select("probe_id", "k", "cand_id", "cos")

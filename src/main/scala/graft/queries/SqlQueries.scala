@@ -1,0 +1,136 @@
+package graft.queries
+
+import graft.Q
+import graft.engine.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** SQL-API surface: the same engine driven through `spark.sql` over
+  * temp views — TPC-H-shaped analytics (Q3/Q5/Q10 forms adapted to the
+  * fixture schema). Demonstrates that every capability is reachable
+  * from SQL, not just the DataFrame DSL; Catalyst plans both
+  * identically.
+  *
+  * Money sums use the same exact-decimal discipline as Det (see
+  * Det.scala scaladoc): raw 2/4-digit columns cast to decimal, products
+  * stay decimal, final rescale to the true product scale.
+  */
+object SqlQueries {
+
+  private def withViews(s: SparkSession, d: String)(sql: String): DataFrame = {
+    Tables.names.foreach { t =>
+      // events routes through Tables.events for its ns→µs ts conversion
+      // (a plain read would reject the TIMESTAMP(NANOS) footer).
+      val df = if (t == "events") Tables.events(s, d) else Tables(s, d, t)
+      df.createOrReplaceTempView(t)
+    }
+    s.sql(sql)
+  }
+
+  private val revenue =
+    """sum(CAST(l_extendedprice AS DECIMAL(12,2))
+      | * (CAST(1 AS DECIMAL(8,4)) - CAST(l_discount AS DECIMAL(8,4))))"""
+      .stripMargin
+  private val revenueOut = s"CAST(CAST($revenue AS DECIMAL(24,6)) AS DOUBLE)"
+
+  /** TPC-H Q3 shape: shipping-priority revenue of building-segment
+    * orders not yet shipped at the cutoff. */
+  val sqlQ3: Q = Q(
+    "q_sql_shipping_priority",
+    (s, d) => withViews(s, d)(s"""
+      SELECT o_orderkey, $revenueOut AS revenue, o_orderdate, o_orderpriority
+      FROM customer JOIN orders ON c_custkey = o_custkey
+        JOIN lineitem ON l_orderkey = o_orderkey
+      WHERE c_mktsegment = 'BUILDING'
+        AND o_orderdate < TIMESTAMP '2000-03-15'
+        AND l_shipdate > TIMESTAMP '2000-03-15'
+      GROUP BY o_orderkey, o_orderdate, o_orderpriority
+      ORDER BY revenue DESC, o_orderkey LIMIT 10"""),
+    Some(s"""SELECT o_orderkey, $revenueOut AS revenue, o_orderdate,
+      o_orderpriority
+    FROM customer JOIN orders ON c_custkey = o_custkey
+      JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '2000-03-15'
+      AND l_shipdate > TIMESTAMP '2000-03-15'
+    GROUP BY o_orderkey, o_orderdate, o_orderpriority
+    ORDER BY revenue DESC, o_orderkey LIMIT 10"""))
+
+  /** TPC-H Q5 shape: revenue by nation within one region (the fixture
+    * has no s_nationkey=c_nationkey co-location, so the supplier leg is
+    * joined by suppkey only). */
+  val sqlQ5: Q = Q(
+    "q_sql_local_volume",
+    (s, d) => withViews(s, d)(s"""
+      SELECT n_name, $revenueOut AS revenue, count(*) AS n_items
+      FROM customer
+        JOIN orders ON c_custkey = o_custkey
+        JOIN lineitem ON l_orderkey = o_orderkey
+        JOIN nation ON c_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+      WHERE r_name = 'ASIA'
+        AND o_orderdate >= TIMESTAMP '1996-01-01'
+        AND o_orderdate < TIMESTAMP '1998-01-01'
+      GROUP BY n_name ORDER BY n_name"""),
+    Some(s"""SELECT n_name, $revenueOut AS revenue, count(*) AS n_items
+    FROM customer
+      JOIN orders ON c_custkey = o_custkey
+      JOIN lineitem ON l_orderkey = o_orderkey
+      JOIN nation ON c_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate < TIMESTAMP '1998-01-01'
+    GROUP BY n_name ORDER BY n_name"""))
+
+  /** TPC-H Q10 shape: top returned-revenue customers. */
+  val sqlQ10: Q = Q(
+    "q_sql_returned_revenue",
+    (s, d) => withViews(s, d)(s"""
+      SELECT c_custkey, c_name, $revenueOut AS revenue, c_mktsegment, n_name
+      FROM customer
+        JOIN orders ON c_custkey = o_custkey
+        JOIN lineitem ON l_orderkey = o_orderkey
+        JOIN nation ON c_nationkey = n_nationkey
+      WHERE l_returnflag = 'R'
+      GROUP BY c_custkey, c_name, c_mktsegment, n_name
+      ORDER BY revenue DESC, c_custkey LIMIT 20"""),
+    Some(s"""SELECT c_custkey, c_name, $revenueOut AS revenue,
+      c_mktsegment, n_name
+    FROM customer
+      JOIN orders ON c_custkey = o_custkey
+      JOIN lineitem ON l_orderkey = o_orderkey
+      JOIN nation ON c_nationkey = n_nationkey
+    WHERE l_returnflag = 'R'
+    GROUP BY c_custkey, c_name, c_mktsegment, n_name
+    ORDER BY revenue DESC, c_custkey LIMIT 20"""))
+
+  /** Correlated scalar subquery + EXISTS in SQL form — customers whose
+    * account balance exceeds their nation's average, having 2001 orders. */
+  val sqlSubquery: Q = Q(
+    "q_sql_subquery",
+    (s, d) => withViews(s, d)("""
+      SELECT c_custkey, c_acctbal, c_nationkey
+      FROM customer c
+      WHERE c_acctbal > (
+          SELECT CAST(sum(CAST(c2.c_acctbal AS DECIMAL(28,2))) AS DOUBLE)
+            / count(*)
+          FROM customer c2 WHERE c2.c_nationkey = c.c_nationkey)
+        AND EXISTS (
+          SELECT 1 FROM orders
+          WHERE o_custkey = c_custkey
+            AND o_orderdate >= TIMESTAMP '2001-01-01')
+      ORDER BY c_custkey"""),
+    Some("""SELECT c_custkey, c_acctbal, c_nationkey
+    FROM customer c
+    WHERE c_acctbal > (
+        SELECT CAST(sum(CAST(c2.c_acctbal AS DECIMAL(28,2))) AS DOUBLE)
+          / count(*)
+        FROM customer c2 WHERE c2.c_nationkey = c.c_nationkey)
+      AND EXISTS (
+        SELECT 1 FROM orders
+        WHERE o_custkey = c_custkey
+          AND o_orderdate >= TIMESTAMP '2001-01-01')
+    ORDER BY c_custkey"""))
+
+  val all: Seq[Q] = Seq(sqlQ3, sqlQ5, sqlQ10, sqlSubquery)
+}

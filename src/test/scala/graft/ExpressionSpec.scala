@@ -1,0 +1,97 @@
+package graft
+
+import graft.engine.{Skew, Tables}
+import graft.functions.{CosineSimilarity, Vectors}
+import org.apache.spark.sql.functions._
+
+class ExpressionSpec extends SparkSpec {
+  test("fused cosine_sim is bit-identical to the composed form") {
+    val e = Tables.embeddings(spark, sf).limit(100)
+    val a = e.select(col("vec_id").as("a_id"), col("embedding").as("av"))
+    val b = e.select(col("vec_id").as("b_id"), col("embedding").as("bv"))
+    val both = a.crossJoin(b)
+      .select(
+        CosineSimilarity(spark, col("av"), col("bv")).as("fused"),
+        Vectors.cosine(col("av"), col("bv")).as("composed"))
+      .collect()
+    assert(both.nonEmpty)
+    both.foreach(r => assert(r.getDouble(0) == r.getDouble(1),
+      s"fused=${r.getDouble(0)} composed=${r.getDouble(1)}"))
+  }
+
+  test("cosine_sim is callable from SQL via GraftExtensions-style registration") {
+    CosineSimilarity.register(spark)
+    val v = spark.sql(
+      """SELECT cosine_sim(array(CAST(1.0 AS FLOAT), CAST(0.0 AS FLOAT)),
+        |array(CAST(0.0 AS FLOAT), CAST(1.0 AS FLOAT))) AS c""".stripMargin)
+      .head.getDouble(0)
+    assert(v == 0.0)
+    val same = spark.sql(
+      """SELECT cosine_sim(array(CAST(3.0 AS FLOAT), CAST(4.0 AS FLOAT)),
+        |array(CAST(3.0 AS FLOAT), CAST(4.0 AS FLOAT))) AS c""".stripMargin)
+      .head.getDouble(0)
+    assert(math.abs(same - 1.0) < 1e-12)
+  }
+}
+
+class SkewSpec extends SparkSpec {
+  test("salted count equals direct count") {
+    val li = Tables.lineitem(spark, sf)
+    val direct = li.groupBy("l_returnflag").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val salted = Skew.saltedCount(li, Seq("l_returnflag"), numSalts = 8)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(salted == direct)
+  }
+
+  test("salted sum equals direct decimal sum") {
+    val li = Tables.lineitem(spark, sf)
+    val direct = li.groupBy("l_returnflag")
+      .agg(sum(col("l_quantity").cast("decimal(28,2)")).cast("double").as("s"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val salted = Skew.saltedSum(li, Seq("l_returnflag"), col("l_quantity"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(salted == direct)
+  }
+
+  test("salted join equals direct join") {
+    val li = Tables.lineitem(spark, sf)
+      .withColumnRenamed("l_orderkey", "o_orderkey")
+    val o = Tables.orders(spark, sf)
+    val direct = li.join(o, Seq("o_orderkey")).count()
+    val salted = Skew.saltedJoin(li, o, Seq("o_orderkey"), numSalts = 4).count()
+    assert(salted == direct)
+  }
+}
+
+class BucketingSpec extends SparkSpec {
+  test("bucketed co-located join plans without a shuffle exchange") {
+    // warehouse dir is a static conf — uses the session default
+    // (./spark-warehouse, gitignored); tables drop in finally.
+    spark.sql("DROP TABLE IF EXISTS li_b")
+    spark.sql("DROP TABLE IF EXISTS o_b")
+    Tables.lineitem(spark, sf).write
+      .bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+      .mode("overwrite").saveAsTable("li_b")
+    Tables.orders(spark, sf).write
+      .bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+      .mode("overwrite").saveAsTable("o_b")
+    // bucketed joins need broadcast ruled out to show the SMJ path
+    val thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val joined = spark.table("li_b")
+        .join(spark.table("o_b"),
+          col("l_orderkey") === col("o_orderkey"))
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin"), plan.take(500))
+      assert(!plan.contains("ShuffleExchange"),
+        s"bucketed join must not shuffle:\n${plan.take(800)}")
+      assert(joined.count() == Tables.lineitem(spark, sf).count())
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresh)
+      spark.sql("DROP TABLE IF EXISTS li_b")
+      spark.sql("DROP TABLE IF EXISTS o_b")
+    }
+  }
+}
