@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 
-import graft.functions.CosineSimilarity
+import graft.functions.{CosineSimilarity, SortedIntersectCount}
 
 /** SparkSessionExtensions entry point: registers the engine's native
   * functions for any session built with
@@ -15,5 +15,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectFunction((FunctionIdentifier(CosineSimilarity.name),
       CosineSimilarity.info, CosineSimilarity.builder))
+    e.injectFunction((FunctionIdentifier(SortedIntersectCount.name),
+      SortedIntersectCount.info, SortedIntersectCount.builder))
   }
 }

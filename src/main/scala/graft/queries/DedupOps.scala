@@ -131,7 +131,9 @@ object DedupOps {
       a.join(b, Seq("source"))
         .where(col("a_id") < col("b_id"))
         .select(col("source"), col("a_id"), col("b_id"),
-          size(array_intersect(col("a_bg"), col("b_bg"))).cast("long")
+          // native merge-count over the sorted hashed grams — no
+          // per-pair hash set (functions.SortedIntersectCount)
+          graft.functions.SortedIntersectCount(s, col("a_bg"), col("b_bg"))
             .as("n_common"),
           size(col("a_bg")).cast("long").as("na"),
           size(col("b_bg")).cast("long").as("nb"))

@@ -34,6 +34,34 @@ class ExpressionSpec extends SparkSpec {
   }
 }
 
+class SortedIntersectSpec extends SparkSpec {
+  import graft.functions.SortedIntersectCount
+  import spark.implicits._
+
+  test("merge count equals size(array_intersect) on sorted distinct arrays") {
+    val df = Seq(
+      (Seq(1L, 3L, 5L, 9L), Seq(2L, 3L, 9L, 11L)),
+      (Seq.empty[Long], Seq(1L, 2L)),
+      (Seq(4L, 8L), Seq(4L, 8L)),
+      (Seq(-5L, 0L, 7L), Seq(-5L, 7L, 8L)))
+      .toDF("a", "b")
+    val rows = df.select(
+      SortedIntersectCount(spark, col("a"), col("b")).as("merge"),
+      size(array_intersect(col("a"), col("b"))).cast("long").as("builtin"))
+      .collect()
+    rows.foreach(r => assert(r.getLong(0) == r.getLong(1)))
+    assert(rows.map(_.getLong(0)).toSeq == Seq(2L, 0L, 2L, 2L))
+  }
+
+  test("callable from SQL after registration") {
+    SortedIntersectCount.register(spark)
+    val n = spark.sql(
+      "SELECT sorted_intersect_count(array(1L, 2L, 5L), array(2L, 5L, 9L)) AS n")
+      .head.getLong(0)
+    assert(n == 2L)
+  }
+}
+
 class SkewSpec extends SparkSpec {
   test("salted count equals direct count") {
     val li = Tables.lineitem(spark, sf)
