@@ -179,7 +179,48 @@ object Aggregates {
     GROUP BY CUBE(o_orderstatus, o_orderpriority)
     ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST"""))
 
+  /** Pivot: per user-bucket event counts spread across event-type
+    * columns (explicit value list keeps the schema static — at scale an
+    * inferred pivot would need a collect of distinct values first). */
+  val aggPivot: Q = Q(
+    "q_agg_pivot",
+    (s, d) => {
+      val types = Seq("click", "error", "purchase", "signup", "view")
+      val pivoted = graft.engine.Tables.events(s, d)
+        .groupBy((col("user_id") % 10).as("user_bucket"))
+        .pivot("event_type", types)
+        .agg(count(lit(1)))
+      // pivot yields null (not 0) for absent combinations; align with
+      // the oracle's CASE-sum zeros.
+      types.foldLeft(pivoted)((df, t) =>
+        df.withColumn(t, coalesce(col(t), lit(0L))))
+        .orderBy("user_bucket")
+    },
+    Some("""SELECT user_id % 10 AS user_bucket,
+      CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS click,
+      CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS error,
+      CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase,
+      CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS signup,
+      CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS view
+    FROM events GROUP BY user_bucket ORDER BY user_bucket"""))
+
+  /** Stratified sampling (`sampleBy` per-language fractions, fixed
+    * seed) — the corpus-subsampling primitive; sampling is engine-
+    * specific so there is no SQL oracle (rows-only + spec bounds). */
+  val aggSample: Q = Q(
+    "q_sample_stratified",
+    (s, d) =>
+      Tables.documents(s, d)
+        .stat.sampleBy("lang",
+          Map("en" -> 0.5, "de" -> 0.3, "es" -> 0.3, "fr" -> 0.3,
+            "zh" -> 0.3),
+          seed = 42L)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_sampled"))
+        .orderBy("lang"),
+    None)
+
   val all: Seq[Q] = Seq(
     aggHashGroup, aggDistinct, aggApproxDistinct, aggRollup, aggCube,
-    aggPartialFinal, aggStats)
+    aggPartialFinal, aggStats, aggPivot, aggSample)
 }
