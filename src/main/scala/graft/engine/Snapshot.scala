@@ -37,13 +37,35 @@ object Snapshot {
   def snapshotName(dbName: String, at: Instant): String =
     s"${dbName}_${stamp.format(at)}"
 
-  /** Extract+sink with the non-empty guard. Returns rows written. */
-  def write(df: DataFrame, dest: String): Long = {
+  /** Extract+sink with the non-empty guard. Returns rows written.
+    * `partitionBy` shards the snapshot by the given columns — at 100 TB
+    * a date/tenant partition key makes later scans prunable and keeps
+    * single files bounded. */
+  def write(df: DataFrame, dest: String, partitionBy: Seq[String] = Nil): Long = {
     val n = df.count()
     if (n == 0L) throw new EmptySnapshotException(s"snapshot of $dest has no data")
-    df.write.mode("overwrite").parquet(dest)
+    val w = df.write.mode("overwrite")
+    (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w)
+      .parquet(dest)
     n
   }
+
+  /** Partition-parallel JDBC extract — the cluster form of `pg_dump`
+    * (A1, backup.sh:210): numPartitions range-splits on partitionColumn
+    * so every executor pulls its own key range instead of one connection
+    * streaming the whole table. Untested here (no database in the test
+    * environment); the read shape is the standard Spark JDBC contract. */
+  def extractJdbc(
+      spark: SparkSession, url: String, table: String,
+      partitionColumn: String, lowerBound: Long, upperBound: Long,
+      numPartitions: Int, props: java.util.Properties = new java.util.Properties)
+      : DataFrame =
+    spark.read
+      .option("partitionColumn", partitionColumn)
+      .option("lowerBound", lowerBound)
+      .option("upperBound", upperBound)
+      .option("numPartitions", numPartitions)
+      .jdbc(url, table, props)
 
   final case class RoundTrip(
       originalRows: Long, restoredRows: Long, missing: Long, extra: Long) {

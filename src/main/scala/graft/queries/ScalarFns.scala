@@ -178,5 +178,44 @@ object ScalarFns {
       json_extract_string(props, '$.k') IS NOT NULL AS has_k
     FROM events ORDER BY event_id"""))
 
-  val all: Seq[Q] = Seq(fnString, fnDate, fnMath, fnArray, fnJson)
+  /** B26 adjunct: null-handling family over the sparse side of an outer
+    * join (coalesce/nullif/nvl/conditional defaults). */
+  val fnNull: Q = Q(
+    "q_fn_null",
+    (s, d) => {
+      val c = Tables.customer(s, d)
+      val o = Tables.orders(s, d)
+        .filter(col("o_orderdate") >= lit("2001-06-01").cast("timestamp"))
+        .groupBy(col("o_custkey"))
+        .agg(count(lit(1)).as("n_recent"),
+          Det.dsum(col("o_totalprice"), 2).as("recent_total"))
+      c.join(o, c("c_custkey") === o("o_custkey"), "left")
+        .select(
+          col("c_custkey"),
+          coalesce(col("n_recent"), lit(0L)).as("n_recent"),
+          coalesce(col("recent_total"), lit(0.0)).as("recent_total"),
+          col("n_recent").isNull.as("is_inactive"),
+          nullif(coalesce(col("n_recent"), lit(0L)), lit(0L))
+            .as("nonzero_or_null"),
+          when(col("recent_total").isNotNull,
+            col("recent_total") / col("n_recent"))
+            .otherwise(lit(-1.0)).as("avg_or_sentinel"))
+        .orderBy("c_custkey")
+    },
+    Some(s"""WITH o AS (
+      SELECT o_custkey, count(*) AS n_recent,
+        ${Det.sqlSum("o_totalprice", 2)} AS recent_total
+      FROM orders WHERE o_orderdate >= TIMESTAMP '2001-06-01'
+      GROUP BY o_custkey)
+    SELECT c_custkey,
+      coalesce(n_recent, 0) AS n_recent,
+      coalesce(recent_total, 0.0e0) AS recent_total,
+      n_recent IS NULL AS is_inactive,
+      nullif(coalesce(n_recent, 0), 0) AS nonzero_or_null,
+      CASE WHEN recent_total IS NOT NULL THEN recent_total / n_recent
+        ELSE -1.0e0 END AS avg_or_sentinel
+    FROM customer LEFT JOIN o ON c_custkey = o_custkey
+    ORDER BY c_custkey"""))
+
+  val all: Seq[Q] = Seq(fnString, fnDate, fnMath, fnArray, fnJson, fnNull)
 }

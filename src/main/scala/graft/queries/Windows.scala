@@ -141,5 +141,31 @@ object Windows {
         GROUP BY p_brand, p_partkey))
     WHERE brand_rank <= 3 ORDER BY p_brand, brand_rank"""))
 
-  val all: Seq[Q] = Seq(windowRank, windowAnalytic, windowFrame, topkPerGroup)
+  /** B19b: distribution functions — ntile/percent_rank/cume_dist per
+    * customer. percent_rank=(rank-1)/(n-1) and cume_dist are exact
+    * rational arithmetic on identical inputs → bit-equal doubles. */
+  val windowDistribution: Q = Q(
+    "q_window_distribution",
+    (s, d) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_totalprice").asc, col("o_orderkey").asc)
+      Tables.orders(s, d)
+        .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"))
+        .withColumn("quartile", ntile(4).over(w).cast("long"))
+        .withColumn("pct_rank", percent_rank().over(w))
+        .withColumn("cume", cume_dist().over(w))
+        .orderBy("o_custkey", "o_totalprice", "o_orderkey")
+    },
+    Some("""SELECT o_custkey, o_orderkey, o_totalprice,
+      ntile(4) OVER w AS quartile,
+      percent_rank() OVER w AS pct_rank,
+      cume_dist() OVER w AS cume
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey
+      ORDER BY o_totalprice ASC, o_orderkey ASC)
+    ORDER BY o_custkey, o_totalprice, o_orderkey"""))
+
+  val all: Seq[Q] = Seq(
+    windowRank, windowAnalytic, windowFrame, topkPerGroup,
+    windowDistribution)
 }
