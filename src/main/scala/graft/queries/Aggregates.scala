@@ -220,7 +220,28 @@ object Aggregates {
         .orderBy("lang"),
     None)
 
+  /** Collect/string aggregation — sorted collect_list joined to a CSV
+    * string (sorting makes the collect order-independent, so the value
+    * is deterministic and DuckDB's ordered string_agg mirrors it). */
+  val aggCollect: Q = Q(
+    "q_agg_collect",
+    (s, d) => {
+      val n = Tables.nation(s, d)
+      val r = broadcast(Tables.region(s, d))
+      n.join(r, n("n_regionkey") === r("r_regionkey"))
+        .groupBy(col("r_name"))
+        .agg(
+          count(lit(1)).as("n_nations"),
+          array_join(array_sort(collect_list(col("n_name"))), ",")
+            .as("nations_csv"))
+        .orderBy("r_name")
+    },
+    Some("""SELECT r_name, count(*) AS n_nations,
+      string_agg(n_name, ',' ORDER BY n_name) AS nations_csv
+    FROM nation JOIN region ON n_regionkey = r_regionkey
+    GROUP BY r_name ORDER BY r_name"""))
+
   val all: Seq[Q] = Seq(
     aggHashGroup, aggDistinct, aggApproxDistinct, aggRollup, aggCube,
-    aggPartialFinal, aggStats, aggPivot, aggSample)
+    aggPartialFinal, aggStats, aggPivot, aggSample, aggCollect)
 }
