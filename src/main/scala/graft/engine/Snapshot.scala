@@ -67,6 +67,18 @@ object Snapshot {
       .option("numPartitions", numPartitions)
       .jdbc(url, table, props)
 
+  final case class Incremental(inserted: Long, deleted: Long, unchanged: Long)
+
+  /** Diff two snapshot generations (multiset semantics): rows only in
+    * `current` are inserts, rows only in `previous` are deletes. The
+    * incremental-backup analog of the reference's full-dump-per-run —
+    * at 100 TB ship only the delta. */
+  def incremental(previous: DataFrame, current: DataFrame): Incremental = {
+    val ins = current.exceptAll(previous).count()
+    val del = previous.exceptAll(current).count()
+    Incremental(ins, del, unchanged = current.count() - ins)
+  }
+
   final case class RoundTrip(
       originalRows: Long, restoredRows: Long, missing: Long, extra: Long) {
     def verified: Boolean = missing == 0L && extra == 0L && originalRows == restoredRows

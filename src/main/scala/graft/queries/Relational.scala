@@ -319,8 +319,37 @@ object Relational {
     SELECT o_custkey FROM orders WHERE year(o_orderdate) = 2001
     ORDER BY o_custkey"""))
 
+  /** Generator/range source: a day spine over Q1-2001 left-joined to
+    * per-day order counts — the time-series gap-filling shape (explicit
+    * zero rows for empty days). */
+  val dateSpine: Q = Q(
+    "q_gen_date_spine",
+    (s, d) => {
+      val spine = s.range(1)
+        .select(explode(sequence(
+          lit("2001-01-01").cast("timestamp"),
+          lit("2001-03-31").cast("timestamp"),
+          expr("INTERVAL 1 DAY"))).as("day"))
+      val perDay = Tables.orders(s, d)
+        .groupBy(col("o_orderdate").as("day"))
+        .agg(count(lit(1)).as("n_orders"))
+      spine.join(perDay, Seq("day"), "left")
+        .select(col("day"), coalesce(col("n_orders"), lit(0L)).as("n_orders"))
+        .orderBy("day")
+    },
+    Some("""WITH spine AS (
+      SELECT unnest(generate_series(TIMESTAMP '2001-01-01',
+        TIMESTAMP '2001-03-31', INTERVAL 1 DAY)) AS day),
+    per_day AS (
+      SELECT o_orderdate AS day, count(*) AS n_orders
+      FROM orders GROUP BY o_orderdate)
+    SELECT day, coalesce(n_orders, 0) AS n_orders
+    FROM spine LEFT JOIN per_day USING (day)
+    ORDER BY day"""))
+
   val all: Seq[Q] = Seq(
     scanProjectFilter, joinInnerEqui, joinBroadcast, joinLeftOuter,
     joinFullOuter, joinSemi, joinAnti, joinThetaRange, joinAsof,
-    joinInterval, sortLimit, unionAll, unionDistinct, intersectQ, exceptQ)
+    joinInterval, sortLimit, unionAll, unionDistinct, intersectQ, exceptQ,
+    dateSpine)
 }

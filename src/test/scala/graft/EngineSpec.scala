@@ -95,6 +95,19 @@ class SnapshotSpec extends SparkSpec {
     assert(rt.verified && rt.originalRows == 25)
   }
 
+  test("incremental diff classifies inserts, deletes, unchanged") {
+    import org.apache.spark.sql.functions._
+    val prev = Tables.nation(spark, sf)
+    val cur = Tables.nation(spark, sf)
+      .where(col("n_nationkey") =!= 3 && col("n_nationkey") =!= 7)
+      .unionByName(Tables.nation(spark, sf).where(col("n_nationkey") === 7)
+        .withColumn("n_name", lit("RENAMED")))
+    val inc = Snapshot.incremental(prev, cur)
+    assert(inc.deleted == 2)   // key 3 removed + key 7's old row
+    assert(inc.inserted == 1)  // key 7's renamed row
+    assert(inc.unchanged == 23)
+  }
+
   test("empty snapshot fails with the exit-code-2 analog") {
     import org.apache.spark.sql.functions.lit
     val empty = Tables.nation(spark, sf).where(lit(false))
