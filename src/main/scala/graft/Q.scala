@@ -19,7 +19,17 @@ final case class Q(
 
 /** Central registry; `SparkEntry` exposes exactly this. */
 object Registry {
-  lazy val all: Seq[Q] =
+  // duplicate names would silently drop operators in SparkEntry's
+  // toMap — fail fast on every access path, not just byName
+  lazy val all: Seq[Q] = {
+    val qs = modules
+    val names = qs.map(_.name)
+    require(names.distinct.size == names.size,
+      s"duplicate query names: ${names.diff(names.distinct).mkString(",")}")
+    qs
+  }
+
+  private def modules: Seq[Q] =
     queries.Aggregates.all ++
       queries.Relational.all ++
       queries.Windows.all ++
@@ -32,10 +42,5 @@ object Registry {
       queries.MultimodalOps.all ++
       queries.SqlQueries.all
 
-  lazy val byName: Map[String, Q] = {
-    val names = all.map(_.name)
-    require(names.distinct.size == names.size,
-      s"duplicate query names: ${names.diff(names.distinct).mkString(",")}")
-    all.map(q => q.name -> q).toMap
-  }
+  lazy val byName: Map[String, Q] = all.map(q => q.name -> q).toMap
 }

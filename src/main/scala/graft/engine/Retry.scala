@@ -26,7 +26,9 @@ object Retry {
     while (i < attempts) {
       try return f()
       catch {
-        case e: Throwable =>
+        // NonFatal only: OOM/interrupt/etc. must propagate immediately,
+        // not burn the ~17-minute backoff budget on a doomed action.
+        case scala.util.control.NonFatal(e) =>
           lastErr = e
           i += 1
           if (i < attempts) { sleep(delay); delay *= 2 }

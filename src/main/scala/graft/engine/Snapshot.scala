@@ -42,11 +42,14 @@ object Snapshot {
     * a date/tenant partition key makes later scans prunable and keeps
     * single files bounded. */
   def write(df: DataFrame, dest: String, partitionBy: Seq[String] = Nil): Long = {
-    val n = df.count()
-    if (n == 0L) throw new EmptySnapshotException(s"snapshot of $dest has no data")
     val w = df.write.mode("overwrite")
     (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w)
       .parquet(dest)
+    // Validate AFTER writing from the parquet footers (metadata-only
+    // count) — one pass over the source, mirroring the reference's
+    // post-dump [ -s "$DUMP_FILE" ] ordering (backup.sh:215).
+    val n = df.sparkSession.read.parquet(dest).count()
+    if (n == 0L) throw new EmptySnapshotException(s"snapshot at $dest has no data")
     n
   }
 

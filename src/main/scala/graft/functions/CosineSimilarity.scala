@@ -41,14 +41,24 @@ case class CosineSimilarity(left: Expression, right: Expression)
   }
   override def dataType: DataType = DoubleType
   override def prettyName: String = "cosine_sim"
+  // Returns null for non-null inputs (ragged pair / null element), so
+  // nullability must not derive from the children — without this the
+  // analyzed schema claims non-nullable and a null result reads back
+  // as 0.0 through the external row converter.
+  override def nullable: Boolean = true
 
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    // Ragged pair or null element → NULL, matching the composed
+    // zip_with/aggregate form and the DuckDB mirror (out-of-range list
+    // index → NULL) — keeps the BIT-IDENTICAL contract on all inputs.
+    if (n != y.numElements()) return null
     var dot = 0.0; var na = 0.0; var nb = 0.0
     var i = 0
     while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
       val xi = x.getFloat(i).toDouble
       val yi = y.getFloat(i).toDouble
       dot += xi * yi; na += xi * xi; nb += yi * yi
@@ -66,14 +76,18 @@ case class CosineSimilarity(left: Expression, right: Expression)
     val xi = ctx.freshName("xi")
     val yi = ctx.freshName("yi")
     nullSafeCodeGen(ctx, ev, (a, b) => s"""
-      int $n = Math.min($a.numElements(), $b.numElements());
-      double $dot = 0.0, $na = 0.0, $nb = 0.0;
-      for (int $i = 0; $i < $n; $i++) {
-        double $xi = (double) $a.getFloat($i);
-        double $yi = (double) $b.getFloat($i);
-        $dot += $xi * $yi; $na += $xi * $xi; $nb += $yi * $yi;
-      }
-      ${ev.value} = $dot / Math.sqrt($na * $nb);""")
+      int $n = $a.numElements();
+      if ($n != $b.numElements()) { ${ev.isNull} = true; }
+      else {
+        double $dot = 0.0, $na = 0.0, $nb = 0.0;
+        for (int $i = 0; $i < $n; $i++) {
+          if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
+          double $xi = (double) $a.getFloat($i);
+          double $yi = (double) $b.getFloat($i);
+          $dot += $xi * $yi; $na += $xi * $xi; $nb += $yi * $yi;
+        }
+        if (!${ev.isNull}) { ${ev.value} = $dot / Math.sqrt($na * $nb); }
+      }""")
   }
 
   override protected def withNewChildrenInternal(

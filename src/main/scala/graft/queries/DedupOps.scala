@@ -59,9 +59,14 @@ object DedupOps {
       // rejoin shape at sf0.1. At 100 TB add a bucket-size cap (a
       // pathological all-identical corpus would collect one huge bucket)
       // — skew-salt or fall back to the self-join shape past the cap.
-      val banded = signatures(s, d).select(col("doc_id"), col("sig"),
-        posexplode(TextHash.bandKeys(col("sig"), Bands, RowsPerBand))
-          .as(Seq("band_idx", "band_key")))
+      // Docs with no shingles (< 3 tokens) would all carry identical
+      // all-null signatures → identical band keys → one quadratic
+      // mega-bucket; they can't be near-dups by this measure, so drop
+      // them before banding (SCALE.md cliff #1).
+      val banded = signatures(s, d).where(col("n_shingles") > 0)
+        .select(col("doc_id"), col("sig"),
+          posexplode(TextHash.bandKeys(col("sig"), Bands, RowsPerBand))
+            .as(Seq("band_idx", "band_key")))
       val buckets = banded.groupBy(col("band_idx"), col("band_key"))
         .agg(collect_list(struct(col("doc_id"), col("sig"))).as("docs"))
         .where(size(col("docs")) > 1)

@@ -167,8 +167,9 @@ object RefOps {
     "q_ref_round_trip",
     (s, d) => {
       val src = Tables.lineitem(s, d)
-      val dest = java.nio.file.Files
-        .createTempDirectory("graft_snapshot_").resolve("lineitem").toString
+      // stable overwrite target — repeated Verify/Bench runs reuse it
+      // instead of accumulating temp copies
+      val dest = s"${sys.props("java.io.tmpdir")}/graft_snapshot/lineitem"
       val rt = Snapshot.roundTripVerify(s, src, dest)
       import s.implicits._
       Seq((rt.originalRows, rt.restoredRows, rt.missing, rt.extra, rt.verified))
@@ -191,8 +192,7 @@ object RefOps {
   val csvSource: Q = Q(
     "q_ref_csv_source",
     (s, d) => {
-      val dest = java.nio.file.Files
-        .createTempDirectory("graft_csv_").resolve("events_csv").toString
+      val dest = s"${sys.props("java.io.tmpdir")}/graft_csv/events_csv"
       Tables.events(s, d)
         .select(col("event_id"), col("user_id"), col("event_type"),
           get_json_object(col("props"), "$.k").cast("long").as("k"))

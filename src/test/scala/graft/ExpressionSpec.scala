@@ -19,6 +19,23 @@ class ExpressionSpec extends SparkSpec {
       s"fused=${r.getDouble(0)} composed=${r.getDouble(1)}"))
   }
 
+  test("cosine_sim yields NULL on ragged pairs and null elements, like the composed form") {
+    import spark.implicits._
+    val df = Seq(
+      (Seq(1.0f, 2.0f), Seq(1.0f, 2.0f, 3.0f)),   // ragged
+      (Seq(1.0f, 2.0f), Seq(1.0f, 2.0f)))          // aligned
+      .toDF("a", "b")
+    val rows = df.select(
+      CosineSimilarity(spark, col("a"), col("b")).as("fused"),
+      Vectors.cosine(col("a"), col("b")).as("composed")).collect()
+    assert(rows(0).isNullAt(0) && rows(0).isNullAt(1))
+    assert(!rows(1).isNullAt(0) && rows(1).getDouble(0) == rows(1).getDouble(1))
+    val withNull = spark.sql(
+      """SELECT cosine_sim(array(CAST(1.0 AS FLOAT), CAST(NULL AS FLOAT)),
+        |array(CAST(1.0 AS FLOAT), CAST(2.0 AS FLOAT))) AS c""".stripMargin)
+    assert(withNull.head.isNullAt(0))
+  }
+
   test("cosine_sim is callable from SQL via GraftExtensions-style registration") {
     CosineSimilarity.register(spark)
     val v = spark.sql(
@@ -113,7 +130,9 @@ class BucketingSpec extends SparkSpec {
           col("l_orderkey") === col("o_orderkey"))
       val plan = joined.queryExecution.executedPlan.toString
       assert(plan.contains("SortMergeJoin"), plan.take(500))
-      assert(!plan.contains("ShuffleExchange"),
+      // ShuffleExchangeExec renders as "Exchange hashpartitioning(...)";
+      // broadcast is disabled above, so ANY Exchange means a shuffle.
+      assert(!plan.contains("Exchange"),
         s"bucketed join must not shuffle:\n${plan.take(800)}")
       assert(joined.count() == Tables.lineitem(spark, sf).count())
     } finally {
