@@ -217,5 +217,28 @@ object ScalarFns {
     FROM customer LEFT JOIN o ON c_custkey = o_custkey
     ORDER BY c_custkey"""))
 
-  val all: Seq[Q] = Seq(fnString, fnDate, fnMath, fnArray, fnJson, fnNull)
+  /** Error-tolerant casting (`try_cast`) — malformed values become
+    * nulls instead of failing the job, the ingestion posture for dirty
+    * 100 TB corpora. */
+  val fnTryCast: Q = Q(
+    "q_fn_trycast",
+    (s, d) =>
+      Tables.customer(s, d)
+        .select(
+          col("c_custkey"),
+          expr("try_cast(c_name AS BIGINT)").as("bad_cast"),
+          expr("try_cast(regexp_extract(c_name, '[0-9]+', 0) AS BIGINT)")
+            .as("good_cast"),
+          expr("try_cast(c_mktsegment AS DATE)").as("bad_date"),
+          expr("try_cast('2001-05-17' AS DATE)").as("good_date"))
+        .orderBy("c_custkey"),
+    Some("""SELECT c_custkey,
+      TRY_CAST(c_name AS BIGINT) AS bad_cast,
+      TRY_CAST(regexp_extract(c_name, '[0-9]+') AS BIGINT) AS good_cast,
+      TRY_CAST(c_mktsegment AS DATE) AS bad_date,
+      TRY_CAST('2001-05-17' AS DATE) AS good_date
+    FROM customer ORDER BY c_custkey"""))
+
+  val all: Seq[Q] = Seq(fnString, fnDate, fnMath, fnArray, fnJson, fnNull,
+    fnTryCast)
 }
