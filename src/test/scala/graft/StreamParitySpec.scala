@@ -34,4 +34,44 @@ class StreamParitySpec extends SparkSpec {
       && streamed.exceptAll(batch).isEmpty,
       "streaming result must equal batch result exactly")
   }
+
+  test("streaming parquet file sink with checkpoint lands exactly the input rows") {
+    val in = java.nio.file.Files.createTempDirectory("graft_sink_in_")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sf/events.parquet"),
+      in.resolve("part-0.parquet"))
+    val out = java.nio.file.Files.createTempDirectory("graft_sink_out_")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val q = spark.readStream
+      .schema("event_id LONG, ts LONG, user_id LONG, event_type STRING, " +
+        "value DOUBLE, props STRING")
+      .parquet(in.toString)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .writeStream
+      .format("parquet")
+      .option("path", s"$out/data")
+      .option("checkpointLocation", s"$out/ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    val landed = spark.read.parquet(s"$out/data")
+    val source = engine.Tables.events(spark, sf)
+      .select("event_id", "ts", "user_id", "event_type", "value", "props")
+    assert(landed.count() == source.count())
+    assert(source.exceptAll(landed.select(source.columns.map(col): _*)).isEmpty)
+    // restart with same checkpoint: no new data -> no duplicates
+    val q2 = spark.readStream
+      .schema("event_id LONG, ts LONG, user_id LONG, event_type STRING, " +
+        "value DOUBLE, props STRING")
+      .parquet(in.toString)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .writeStream.format("parquet")
+      .option("path", s"$out/data")
+      .option("checkpointLocation", s"$out/ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q2.awaitTermination(120000)
+    assert(spark.read.parquet(s"$out/data").count() == source.count(),
+      "checkpointed restart must be exactly-once, not duplicate")
+  }
 }
