@@ -70,6 +70,32 @@ object Snapshot {
       .option("numPartitions", numPartitions)
       .jdbc(url, table, props)
 
+  /** Metadata-only snapshot — the `pg_dumpall --globals-only` analog
+    * (A2, psql-backups.sh:120): persist the schema (Spark DDL + JSON)
+    * and row count without copying data. */
+  def writeMeta(df: DataFrame, dest: String): Unit = {
+    def q(s: String): String =
+      "\"" + s.flatMap {
+        case '"' => "\\\""
+        case '\\' => "\\\\"
+        case c if c < ' ' => f"\\u${c.toInt}%04x"
+        case c => c.toString
+      } + "\""
+    val meta = s"""{"rowCount": ${df.count()},
+      | "ddl": ${q(df.schema.toDDL)},
+      | "schemaJson": ${df.schema.json}}""".stripMargin
+    val p = java.nio.file.Paths.get(dest)
+    java.nio.file.Files.createDirectories(p.getParent)
+    java.nio.file.Files.writeString(p, meta)
+  }
+
+  /** Sink cleanup — the `aws s3 rm` temp-dump delete (A5, backup.sh:370). */
+  def delete(spark: SparkSession, path: String): Boolean = {
+    val hPath = new org.apache.hadoop.fs.Path(path)
+    val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(hPath, true)
+  }
+
   final case class Incremental(inserted: Long, deleted: Long, unchanged: Long)
 
   /** Diff two snapshot generations (multiset semantics): rows only in

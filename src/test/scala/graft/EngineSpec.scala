@@ -108,6 +108,34 @@ class SnapshotSpec extends SparkSpec {
     assert(inc.unchanged == 23)
   }
 
+  test("metadata snapshot writes schema + row count without copying data") {
+    val dest = java.nio.file.Files.createTempDirectory("graft_meta_")
+      .resolve("nation.meta.json").toString
+    Snapshot.writeMeta(Tables.nation(spark, sf), dest)
+    val txt = java.nio.file.Files.readString(java.nio.file.Paths.get(dest))
+    assert(txt.contains("\"rowCount\": 25"))
+    assert(txt.contains("n_nationkey") && txt.contains("ddl"))
+  }
+
+  test("snapshot delete removes the sink (A5 cleanup analog)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_del_")
+      .resolve("t").toString
+    Snapshot.write(Tables.region(spark, sf), dir)
+    assert(spark.read.parquet(dir).count() == 5)
+    assert(Snapshot.delete(spark, dir))
+    assert(!new java.io.File(dir).exists())
+  }
+
+  test("log lines carry the UTC ISO prefix and coded failures rethrow") {
+    val at = java.time.Instant.parse("2024-01-05T10:47:33Z")
+    assert(graft.engine.Log.line("starting backup", at)
+      == "2024-01-05T10:47:33Z : starting backup")
+    val e = intercept[graft.engine.Log.CodedException] {
+      graft.engine.Log.fail("Error dump file has no data", 2)
+    }
+    assert(e.code == 2)
+  }
+
   test("empty snapshot fails with the exit-code-2 analog") {
     import org.apache.spark.sql.functions.lit
     val empty = Tables.nation(spark, sf).where(lit(false))
