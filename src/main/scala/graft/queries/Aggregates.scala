@@ -83,6 +83,8 @@ object Aggregates {
         .groupBy(col("l_returnflag"))
         .agg(
           approx_count_distinct(col("l_partkey"), 0.05).as("approx_parts"),
+          percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000))
+            .as("approx_median_price"),
           count(lit(1)).as("n_rows"))
         .orderBy("l_returnflag"),
     None)

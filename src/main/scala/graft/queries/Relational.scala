@@ -319,6 +319,35 @@ object Relational {
     SELECT o_custkey FROM orders WHERE year(o_orderdate) = 2001
     ORDER BY o_custkey"""))
 
+  /** B9b: PURE non-equi join (no equi component at all) — cross-brand
+    * near-price pairs among size-1 parts. Catalyst has no shuffle key
+    * here, so this plans a BroadcastNestedLoopJoin: correct for small
+    * filtered sides; the banded/equi-keyed q_join_theta_range is the
+    * form that scales. */
+  val joinNonEqui: Q = Q(
+    "q_join_nonequi_bnl",
+    (s, d) => {
+      val p1 = Tables.part(s, d).filter(col("p_size") === 1)
+        .select(col("p_partkey").as("a_key"), col("p_brand").as("a_brand"),
+          col("p_retailprice").as("a_price"))
+      val p2 = Tables.part(s, d).filter(col("p_size") === 1)
+        .select(col("p_partkey").as("b_key"), col("p_brand").as("b_brand"),
+          col("p_retailprice").as("b_price"))
+      p1.join(p2, col("a_key") < col("b_key")
+          && col("a_brand") =!= col("b_brand")
+          && abs(col("a_price") - col("b_price")) < lit(5.0))
+        .select("a_key", "b_key", "a_brand", "b_brand", "a_price", "b_price")
+        .orderBy("a_key", "b_key")
+    },
+    Some("""SELECT p1.p_partkey AS a_key, p2.p_partkey AS b_key,
+      p1.p_brand AS a_brand, p2.p_brand AS b_brand,
+      p1.p_retailprice AS a_price, p2.p_retailprice AS b_price
+    FROM part p1 JOIN part p2
+      ON p1.p_partkey < p2.p_partkey AND p1.p_brand != p2.p_brand
+      AND abs(p1.p_retailprice - p2.p_retailprice) < 5.0
+    WHERE p1.p_size = 1 AND p2.p_size = 1
+    ORDER BY a_key, b_key"""))
+
   /** Generator/range source: a day spine over Q1-2001 left-joined to
     * per-day order counts — the time-series gap-filling shape (explicit
     * zero rows for empty days). */
@@ -350,6 +379,6 @@ object Relational {
   val all: Seq[Q] = Seq(
     scanProjectFilter, joinInnerEqui, joinBroadcast, joinLeftOuter,
     joinFullOuter, joinSemi, joinAnti, joinThetaRange, joinAsof,
-    joinInterval, sortLimit, unionAll, unionDistinct, intersectQ, exceptQ,
-    dateSpine)
+    joinInterval, joinNonEqui, sortLimit, unionAll, unionDistinct,
+    intersectQ, exceptQ, dateSpine)
 }
