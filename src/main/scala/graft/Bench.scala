@@ -1,5 +1,6 @@
 package graft
 import org.apache.spark.sql.SparkSession
+import java.nio.file.{Files, Paths}
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -7,6 +8,7 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -18,7 +20,18 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val line =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    // Durable copy: sbt log noise / tail truncation can eat the stdout
+    // line (BENCH_r01.json parsed:null), so the JSON also lands in a file.
+    val out = args.headOption
+      .orElse(sys.env.get("SPARK_GRAFT_BENCH_OUT"))
+      .getOrElse("bench.json")
+    try Files.writeString(Paths.get(out), line + "\n")
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] file write failed: ${e.getMessage}")
+    }
+    println(line)
     spark.stop()
   }
 }

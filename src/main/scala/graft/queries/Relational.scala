@@ -95,6 +95,34 @@ object Relational {
     SELECT n_orders, count(*) AS n_cust FROM per
     GROUP BY n_orders ORDER BY n_orders"""))
 
+  /** B6c: right outer join — mirror of B6a with the preserved side on
+    * the right: recent orders RIGHT JOIN customer keeps every customer;
+    * zero-order customers surface as the null side per segment. */
+  val joinRightOuter: Q = Q(
+    "q_join_right_outer",
+    (s, d) => {
+      val o = Tables.orders(s, d)
+        .filter(col("o_orderdate") >= lit("2001-06-01").cast("timestamp"))
+      val c = Tables.customer(s, d)
+      o.join(c, o("o_custkey") === c("c_custkey"), "right")
+        .groupBy(col("c_mktsegment"))
+        .agg(
+          count(col("o_orderkey")).as("n_recent_orders"),
+          count(lit(1)).as("n_rows"),
+          sum(when(col("o_orderkey").isNull, 1L).otherwise(0L))
+            .as("n_inactive"))
+        .orderBy("c_mktsegment")
+    },
+    Some("""SELECT c_mktsegment,
+      count(o_orderkey) AS n_recent_orders,
+      count(*) AS n_rows,
+      CAST(sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        AS n_inactive
+    FROM (SELECT * FROM orders
+        WHERE o_orderdate >= TIMESTAMP '2001-06-01') o
+      RIGHT JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_mktsegment ORDER BY c_mktsegment"""))
+
   /** B6b: full outer join of per-nation customer vs supplier counts. */
   val joinFullOuter: Q = Q(
     "q_join_full_outer",
@@ -378,7 +406,8 @@ object Relational {
 
   val all: Seq[Q] = Seq(
     scanProjectFilter, joinInnerEqui, joinBroadcast, joinLeftOuter,
-    joinFullOuter, joinSemi, joinAnti, joinThetaRange, joinAsof,
+    joinRightOuter, joinFullOuter, joinSemi, joinAnti, joinThetaRange,
+    joinAsof,
     joinInterval, joinNonEqui, sortLimit, unionAll, unionDistinct,
     intersectQ, exceptQ, dateSpine)
 }

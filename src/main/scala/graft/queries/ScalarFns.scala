@@ -92,7 +92,11 @@ object ScalarFns {
     FROM orders ORDER BY o_orderkey"""))
 
   /** B28: math family over part prices. sqrt is IEEE-correctly-rounded
-    * in both engines; ln is rounded to 6 decimals (libm ulp drift). */
+    * in both engines; ln is rounded to 6 decimals (libm ulp drift).
+    * `rounded` stays in the decimal domain end-to-end (exact decimal
+    * product, decimal HALF_UP round, then a <2^53 cast to double):
+    * `round(double)` semantics differ across DuckDB releases, so money
+    * rounding must never touch the binary domain. */
   val fnMath: Q = Q(
     "q_fn_math",
     (s, d) =>
@@ -100,7 +104,8 @@ object ScalarFns {
         .select(
           col("p_partkey"),
           col("p_retailprice"),
-          round(col("p_retailprice") * lit(1.1), 2).as("rounded"),
+          round(Det.dec(col("p_retailprice"), 2) * lit(BigDecimal("1.1")), 2)
+            .cast("double").as("rounded"),
           ceil(col("p_retailprice")).as("ceiling"),
           floor(col("p_retailprice")).as("flooring"),
           abs(col("p_retailprice") - lit(1000.0)).as("absdiff"),
@@ -113,7 +118,8 @@ object ScalarFns {
           col("p_retailprice").cast("decimal(12,2)").as("price_dec"))
         .orderBy("p_partkey"),
     Some("""SELECT p_partkey, p_retailprice,
-      round(p_retailprice * 1.1e0, 2) AS rounded,
+      CAST(round(CAST(p_retailprice AS DECIMAL(12,2)) * CAST(1.1 AS DECIMAL(2,1)), 2)
+        AS DOUBLE) AS rounded,
       CAST(ceil(p_retailprice) AS BIGINT) AS ceiling,
       CAST(floor(p_retailprice) AS BIGINT) AS flooring,
       abs(p_retailprice - 1000.0e0) AS absdiff,

@@ -19,7 +19,12 @@ import org.apache.spark.sql.functions._
 object Similarity {
 
   /** B31/B12: exact top-10 cosine neighbors for a deterministic probe
-    * subset (vec_id % 100 == 0), brute-force baseline. */
+    * subset — the first (by vec_id) 64 vectors with vec_id % 100 == 0.
+    * Brute-force baseline: the probe set is CAPPED at 64 rows so the
+    * broadcast side stays O(1) in corpus size (an uncapped "1% of
+    * corpus" probe set would outgrow the broadcast at ~100×); the
+    * streamed side remains the full corpus. The LSH variant
+    * (q_sim_lsh_topk) is the path for probe sets that scale with data. */
   val simTopkCosine: Q = Q(
     "q_sim_topk_cosine",
     (s, d) => {
@@ -29,6 +34,7 @@ object Similarity {
       // measured speedup over the higher-order-function forms).
       val e = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
       val probes = e.filter(col("vec_id") % 100 === 0)
+        .orderBy(col("vec_id")).limit(64)
         .select(col("vec_id").as("probe_id"), col("embedding").as("pv"))
       val w = Window.partitionBy(col("probe_id"))
         .orderBy(col("cos").desc, col("vec_id").asc)
@@ -41,14 +47,17 @@ object Similarity {
         .select("probe_id", "k", "vec_id", "cos")
         .orderBy("probe_id", "k")
     },
-    Some(s"""SELECT probe_id, k, vec_id, cos FROM (
+    Some(s"""WITH probes AS (
+      SELECT vec_id, embedding FROM embeddings
+      WHERE vec_id % 100 = 0 ORDER BY vec_id LIMIT 64)
+    SELECT probe_id, k, vec_id, cos FROM (
       SELECT p.vec_id AS probe_id, c.vec_id AS vec_id,
         ${Vectors.sqlCosine("p.embedding", "c.embedding")} AS cos,
         row_number() OVER (PARTITION BY p.vec_id ORDER BY
           ${Vectors.sqlCosine("p.embedding", "c.embedding")} DESC,
           c.vec_id ASC) AS k
-      FROM embeddings p CROSS JOIN embeddings c
-      WHERE p.vec_id % 100 = 0 AND c.vec_id != p.vec_id)
+      FROM probes p CROSS JOIN embeddings c
+      WHERE c.vec_id != p.vec_id)
     WHERE k <= 10 ORDER BY probe_id, k"""))
 
   /** Mandated EXT: embedding-cosine near-duplicate pairs, blocked by

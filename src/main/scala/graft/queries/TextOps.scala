@@ -87,8 +87,10 @@ object TextOps {
         .where(col("token") =!= "")
       val tf = tok.groupBy(col("doc_id"), col("token"))
         .agg(count(lit(1)).as("tf"))
-      val df = tok.select("doc_id", "token").distinct()
-        .groupBy(col("token")).agg(count(lit(1)).as("df"))
+      // tf is already exactly one row per (doc_id, token), so document
+      // frequency is a row count per token over tf — no second corpus
+      // scan/explode/distinct pass.
+      val df = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
       val n = docs.agg(count(lit(1)).as("n_docs"))
       tf.join(df, "token")
         .crossJoin(broadcast(n))
@@ -104,8 +106,7 @@ object TextOps {
     tok2 AS (SELECT * FROM tok WHERE token != ''),
     tf AS (SELECT doc_id, token, count(*) AS tf FROM tok2
       GROUP BY doc_id, token),
-    df AS (SELECT token, count(*) AS df FROM
-      (SELECT DISTINCT doc_id, token FROM tok2) GROUP BY token),
+    df AS (SELECT token, count(*) AS df FROM tf GROUP BY token),
     n AS (SELECT count(*) AS n_docs FROM documents)
     SELECT doc_id, token, tf, df,
       round(CAST(tf AS DOUBLE) * ln((CAST(n_docs AS DOUBLE) + 1.0e0)

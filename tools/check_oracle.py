@@ -33,7 +33,10 @@ def main(sf_dir, out_dir):
     with open(f"{out_dir}/oracle_sql.json") as f:
         oracle = json.load(f)
     ok = bad = 0
+    import os
     for name, sql in sorted(oracle.items()):
+        if not os.path.isdir(f"{out_dir}/{name}"):
+            continue  # partial verify run (Verify's query-filter arg)
         try:
             got = con.sql(
                 f"SELECT * FROM '{out_dir}/{name}/*.parquet'").fetchdf()
