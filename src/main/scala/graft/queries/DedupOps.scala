@@ -23,6 +23,14 @@ object DedupOps {
   private val Bands = 8
   private val RowsPerBand = 4
 
+  /** Max docs fully paired within one band bucket. Past the cap a
+    * bucket degrades to star pairs against its representative (min
+    * doc_id): connectivity for dedup survives (every overflow doc still
+    * links to the component) while bucket cost drops from O(n²) to
+    * O(n). Fixture buckets are far below the cap, so normal corpora are
+    * unaffected (DedupSpec proves both properties). */
+  private val BucketCap = 64
+
   /** doc_id → MinHash signature over distinct 3-word shingles. */
   private def signatures(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)
@@ -56,25 +64,36 @@ object DedupOps {
       // self-join would recompute the 32-hash sketch per plan branch);
       // docs group by band key, pairs generate inside each bucket, and
       // only colliding docs ever pair. Measured ~2× faster than the
-      // rejoin shape at sf0.1. At 100 TB add a bucket-size cap (a
-      // pathological all-identical corpus would collect one huge bucket)
-      // — skew-salt or fall back to the self-join shape past the cap.
-      // Docs with no shingles (< 3 tokens) would all carry identical
-      // all-null signatures → identical band keys → one quadratic
-      // mega-bucket; they can't be near-dups by this measure, so drop
-      // them before banding (SCALE.md cliff #1).
+      // rejoin shape at sf0.1. Docs with no shingles (< 3 tokens) would
+      // all carry identical all-null signatures → identical band keys →
+      // one quadratic mega-bucket; they can't be near-dups by this
+      // measure, so drop them before banding (SCALE.md cliff #1a).
       val banded = signatures(s, d).where(col("n_shingles") > 0)
         .select(col("doc_id"), col("sig"),
           posexplode(TextHash.bandKeys(col("sig"), Bands, RowsPerBand))
             .as(Seq("band_idx", "band_key")))
+      // Bucket-size cap (SCALE.md cliff #1b): a pathological corpus (all
+      // docs identical) collapses every band into one bucket, and an
+      // uncapped all-pairs expansion there is O(n²). Sort the bucket
+      // (deterministic head), all-pairs only the first BucketCap docs,
+      // and star-pair every overflow doc against the bucket minimum —
+      // overflow docs keep their link into the duplicate component at
+      // linear cost.
       val buckets = banded.groupBy(col("band_idx"), col("band_key"))
-        .agg(collect_list(struct(col("doc_id"), col("sig"))).as("docs"))
+        .agg(sort_array(collect_list(struct(col("doc_id"), col("sig"))))
+          .as("docs"))
         .where(size(col("docs")) > 1)
-      val pairs = buckets.select(explode(
-        flatten(transform(sequence(lit(1), size(col("docs")) - 1),
-          i => transform(slice(col("docs"), i + 1, size(col("docs"))),
-            x => struct(element_at(col("docs"), i).as("a"), x.as("b"))))))
-        .as("p"))
+        .withColumn("head", slice(col("docs"), 1, BucketCap))
+      val headPairs =
+        flatten(transform(sequence(lit(1), size(col("head")) - 1),
+          i => transform(slice(col("head"), i + 1, size(col("head"))),
+            x => struct(element_at(col("head"), i).as("a"), x.as("b")))))
+      val starPairs = transform(
+        slice(col("docs"), lit(BucketCap + 1),
+          greatest(size(col("docs")) - BucketCap, lit(0))),
+        x => struct(element_at(col("docs"), 1).as("a"), x.as("b")))
+      val pairs = buckets.select(
+        explode(concat(headPairs, starPairs)).as("p"))
       pairs.select(
           least(col("p.a.doc_id"), col("p.b.doc_id")).as("a_id"),
           greatest(col("p.a.doc_id"), col("p.b.doc_id")).as("b_id"),
@@ -113,41 +132,97 @@ object DedupOps {
     * blocked by source. Fully SQL-expressible → oracle-checked. The
     * explode+equi-join computes |A∩B| without ever building the cross
     * product of documents. */
+  /** Docs per source block above which the ngram dedup abandons the
+    * |block|² pairwise shape for the gram-exploded candidate join
+    * (SCALE.md cliff #2). Fixture blocks (25–250 docs) stay pairwise. */
+  private val NgramBlockCap = 512
+
+  /** Within-block document frequency above which a gram is too
+    * ubiquitous to generate candidates in the exploded path (its join
+    * fan-out is df² while certifying almost no Jaccard mass). Exact
+    * n_common is always recomputed from the full arrays, so pruning can
+    * only lose pairs whose EVERY shared gram is ubiquitous. */
+  private val NgramDfCap = 64
+
+  /** (doc_id, source, bg): each doc's distinct token bigrams, 64-bit
+    * hashed and sorted (the merge-count input shape). */
+  private[graft] def ngramGrams(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("source"),
+        array_sort(transform(
+          TextHash.shingles(TextHash.tokens(col("text")), 2),
+          g => xxhash64(g))).as("bg"))
+
+  /** Exact score + threshold over candidate pairs carrying both gram
+    * arrays: native merge-count over the sorted hashed grams — no
+    * per-pair hash set (functions.SortedIntersectCount). */
+  private def ngramScore(s: SparkSession, pairs: DataFrame): DataFrame =
+    pairs
+      .select(col("source"), col("a_id"), col("b_id"),
+        graft.functions.SortedIntersectCount(s, col("a_bg"), col("b_bg"))
+          .as("n_common"),
+        size(col("a_bg")).cast("long").as("na"),
+        size(col("b_bg")).cast("long").as("nb"))
+      .withColumn("jaccard", col("n_common").cast("double")
+        / (col("na") + col("nb") - col("n_common")))
+      .where(col("jaccard") >= 0.05)
+      .select("source", "a_id", "b_id", "n_common", "jaccard")
+
+  /** Both candidate-generation shapes, split per source block by
+    * `blockCap` (SCALE.md cliff #2):
+    *
+    *  - bounded blocks: |block|² pairwise join — beats the exploded
+    *    join at fixture block sizes (stopword-heavy grams make the
+    *    per-gram join output quadratic) — measured 2× faster at sf0.1;
+    *  - oversized blocks: gram-exploded equi join generates candidates
+    *    only from grams shared by ≥2 and ≤`dfCap` docs in the block,
+    *    then rejoins the full arrays for the exact merge-count — pair
+    *    cost follows gram co-occurrence instead of |block|².
+    *
+    * Hashing shrinks the arrays the joins carry; a cross-gram collision
+    * within one pair (~1e-13) is the accepted error. */
+  private[graft] def ngramPairs(
+      s: SparkSession, grams: DataFrame,
+      blockCap: Int, dfCap: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sized = grams.withColumn("block_n",
+      count(lit(1)).over(Window.partitionBy(col("source"))))
+    val small = sized.where(col("block_n") <= blockCap)
+    val big = sized.where(col("block_n") > blockCap)
+
+    val pairwise = small
+      .select(col("source"), col("doc_id").as("a_id"), col("bg").as("a_bg"))
+      .join(small.select(col("source"), col("doc_id").as("b_id"),
+        col("bg").as("b_bg")), Seq("source"))
+      .where(col("a_id") < col("b_id"))
+
+    val g = big.select(col("source"), col("doc_id"),
+      explode(col("bg")).as("g"))
+    val usable = g.groupBy(col("source"), col("g"))
+      .agg(count(lit(1)).as("df"))
+      .where(col("df") > 1 && col("df") <= dfCap)
+      .select("source", "g")
+    val gp = g.join(usable, Seq("source", "g"))
+    val cand = gp.select(col("source"), col("g"), col("doc_id").as("a_id"))
+      .join(gp.select(col("source"), col("g"), col("doc_id").as("b_id")),
+        Seq("source", "g"))
+      .where(col("a_id") < col("b_id"))
+      .select("source", "a_id", "b_id").distinct()
+    val exploded = cand
+      .join(big.select(col("source"), col("doc_id").as("a_id"),
+        col("bg").as("a_bg")), Seq("source", "a_id"))
+      .join(big.select(col("source"), col("doc_id").as("b_id"),
+        col("bg").as("b_bg")), Seq("source", "b_id"))
+
+    ngramScore(s, pairwise.select("source", "a_id", "b_id", "a_bg", "b_bg")
+      .unionByName(exploded.select("source", "a_id", "b_id", "a_bg", "b_bg")))
+  }
+
   val dedupNgramJaccard: Q = Q(
     "q_dedup_ngram_jaccard",
-    (s, d) => {
-      // Source-blocked pairwise set intersection over 64-bit-hashed,
-      // sorted grams: blocks are bounded (docs per source), so |block|²
-      // pairs × O(na+nb) intersect beats the gram-exploded equi-join,
-      // whose stopword-heavy grams (`the x` in most docs) make the join
-      // output quadratic per gram — measured 2× faster at sf0.1. Hashing
-      // shrinks the arrays the block join carries; a cross-gram collision
-      // within one pair (~1e-13) is the accepted error. For unbounded
-      // blocks the exploded join (see git history) is the fallback shape.
-      val grams = Tables.documents(s, d)
-        .select(col("doc_id"), col("source"),
-          array_sort(transform(
-            TextHash.shingles(TextHash.tokens(col("text")), 2),
-            g => xxhash64(g))).as("bg"))
-      val a = grams.select(col("source"), col("doc_id").as("a_id"),
-        col("bg").as("a_bg"))
-      val b = grams.select(col("source"), col("doc_id").as("b_id"),
-        col("bg").as("b_bg"))
-      a.join(b, Seq("source"))
-        .where(col("a_id") < col("b_id"))
-        .select(col("source"), col("a_id"), col("b_id"),
-          // native merge-count over the sorted hashed grams — no
-          // per-pair hash set (functions.SortedIntersectCount)
-          graft.functions.SortedIntersectCount(s, col("a_bg"), col("b_bg"))
-            .as("n_common"),
-          size(col("a_bg")).cast("long").as("na"),
-          size(col("b_bg")).cast("long").as("nb"))
-        .withColumn("jaccard", col("n_common").cast("double")
-          / (col("na") + col("nb") - col("n_common")))
-        .where(col("jaccard") >= 0.05)
-        .select("source", "a_id", "b_id", "n_common", "jaccard")
-        .orderBy("source", "a_id", "b_id")
-    },
+    (s, d) =>
+      ngramPairs(s, ngramGrams(s, d), NgramBlockCap, NgramDfCap)
+        .orderBy("source", "a_id", "b_id"),
     Some("""WITH d AS (
       SELECT doc_id, source,
         list_distinct(list_transform(

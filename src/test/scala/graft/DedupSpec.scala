@@ -86,6 +86,42 @@ class DedupSpec extends SparkSpec {
     overlap.foreach { k => assert(lsh(k) == brute(k), s"cos mismatch at $k") }
   }
 
+  test("LSH bucket cap keeps a pathological all-identical corpus linear") {
+    // 200 identical docs collapse every band into one bucket; uncapped
+    // all-pairs would emit C(200,2)=19900 pairs. The cap bounds the
+    // bucket at C(64,2) head pairs + (200-64) star pairs, and the star
+    // shape must keep every doc connected to the duplicate component.
+    val tmp = java.nio.file.Files.createTempDirectory("graft_degen").toString
+    val txt = "the quick brown fox jumps over the lazy dog again and again"
+    (1L to 200L).map(i => (i, txt, "en", "srcA", txt.length.toLong))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val pairs = Registry.byName("q_dedup_near").fn(spark, tmp).cache()
+    val n = pairs.count()
+    val cap = 64
+    val bound = cap * (cap - 1) / 2 + (200 - cap)
+    assert(n <= bound, s"pair count $n exceeds capped bound $bound")
+    assert(n >= 200 - 1, s"pair count $n cannot connect 200 duplicates")
+    val ids = pairs.select("a_id").as[Long].collect().toSet ++
+      pairs.select("b_id").as[Long].collect().toSet
+    assert(ids == (1L to 200L).toSet, "an overflow doc lost its link")
+    pairs.unpersist()
+  }
+
+  test("ngram fallback: gram-exploded path equals the pairwise path") {
+    val grams = queries.DedupOps.ngramGrams(spark, sf).cache()
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4))).toSet
+    val pairwise =
+      rows(queries.DedupOps.ngramPairs(spark, grams, Int.MaxValue, 64))
+    val exploded = rows(queries.DedupOps.ngramPairs(spark, grams, 0, 64))
+    assert(pairwise.nonEmpty)
+    assert(exploded == pairwise,
+      s"exploded-only=${exploded -- pairwise} pairwise-only=${pairwise -- exploded}")
+    grams.unpersist()
+  }
+
   test("dedup is idempotent: dedup(dedup(x)) == dedup(x)") {
     val once = engine.Tables.documents(spark, sf)
       .dropDuplicates("text")
