@@ -85,6 +85,91 @@ class JobConfigSpec extends AnyFunSuite {
     assert(c.restoreInstanceName == s"postgres-${"a" * 29}-auto-restore")
     assert(JobConfig(base).trimmedServiceName == "orders-service")
   }
+
+  test("credential config (A25/A26) validates dependent fields together") {
+    // IAM auth needs username + region at parse time
+    intercept[IllegalArgumentException] {
+      JobConfig(base + ("IAM_AUTH_ENABLED" -> "true"))
+    }
+    val iam = JobConfig(base ++ Map("IAM_AUTH_ENABLED" -> "true",
+      "RDS_IAM_AUTH_USERNAME" -> "svc", "AWS_REGION" -> "us-east-1"))
+    assert(iam.iamAuthEnabled && iam.region.contains("us-east-1"))
+    // cross-account profile needs the role to assume
+    intercept[IllegalArgumentException] {
+      JobConfig(base + ("USE_BACKUPS_ACCOUNT" -> "true"))
+    }
+  }
+
+  test("sinkConf maps role + KMS key to the standard S3A keys") {
+    val c = JobConfig(base ++ Map("USE_BACKUPS_ACCOUNT" -> "true",
+      "BACKUPS_ROLE_ARN" -> "arn:aws:iam::0:role/prod-backup",
+      "KMS_KEY_ID" -> "key-1"))
+    val conf = c.sinkConf
+    assert(conf("fs.s3a.assumed.role.arn") == "arn:aws:iam::0:role/prod-backup")
+    assert(conf("fs.s3a.server-side-encryption-algorithm") == "SSE-KMS")
+    assert(conf("fs.s3a.server-side-encryption.key") == "key-1")
+    // without the account flag the role keys stay absent
+    val plain = JobConfig(base + ("KMS_KEY_ID" -> "key-1")).sinkConf
+    assert(!plain.contains("fs.s3a.assumed.role.arn"))
+    assert(plain.contains("fs.s3a.server-side-encryption.key"))
+  }
+}
+
+class NotifySpec extends AnyFunSuite {
+  import graft.engine.Notify
+
+  test("check-in GETs the configured URL once and succeeds on 2xx") {
+    val hits = scala.collection.mutable.ArrayBuffer[String]()
+    Notify.checkIn("https://monitor.example/ping", u => { hits += u; 200 })
+    assert(hits.toSeq == Seq("https://monitor.example/ping"))
+  }
+
+  test("check-in fails loudly on non-2xx and on transport errors") {
+    intercept[Notify.CheckInFailedException] {
+      Notify.checkIn("https://monitor.example/ping", _ => 503)
+    }
+    intercept[Notify.CheckInFailedException] {
+      Notify.checkIn("https://monitor.example/ping",
+        _ => throw new java.io.IOException("no route"))
+    }
+  }
+}
+
+class AsyncJobSpec extends SparkSpec {
+  import graft.engine.AsyncJob
+
+  test("submit -> poll -> success carries the result and the lifecycle") {
+    val transitions = scala.collection.mutable.ArrayBuffer[AsyncJob.Lifecycle]()
+    val h = AsyncJob.submit(spark, "t-ok") { () =>
+      Tables.nation(spark, sf).count()
+    }
+    val n = h.await(intervalMs = 10, sleep = Thread.sleep,
+      onTransition = transitions += _)
+    assert(n == 25L)
+    assert(transitions.last == AsyncJob.Success)
+    assert(h.status() == AsyncJob.Success)
+  }
+
+  test("failed body surfaces as Error and await rethrows it") {
+    val h = AsyncJob.submit(spark, "t-fail") { () =>
+      sys.error("backup task failed")
+    }
+    val e = intercept[RuntimeException] { h.await(intervalMs = 10) }
+    assert(e.getMessage == "backup task failed")
+    assert(h.status().isInstanceOf[AsyncJob.Error])
+  }
+
+  test("duplicate live task id is rejected, id is reusable after finish") {
+    val gate = new java.util.concurrent.CountDownLatch(1)
+    val h = AsyncJob.submit(spark, "t-dup") { () => gate.await(); 1 }
+    intercept[AsyncJob.DuplicateTaskException] {
+      AsyncJob.submit(spark, "t-dup") { () => 2 }
+    }
+    gate.countDown()
+    assert(h.await(intervalMs = 10) == 1)
+    // terminal task released the id
+    assert(AsyncJob.submit(spark, "t-dup") { () => 3 }.await(intervalMs = 10) == 3)
+  }
 }
 
 class SnapshotSpec extends SparkSpec {
