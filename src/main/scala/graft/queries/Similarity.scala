@@ -87,6 +87,30 @@ object Similarity {
     WHERE ${Vectors.sqlCosine("a.embedding", "b.embedding")} >= 0.35
     ORDER BY label, a_id, b_id"""))
 
+  /** Native `cosine_sim` driven through the SQL registration path:
+    * the query text resolves the function from the session catalog —
+    * populated app-wide by `spark.sql.extensions=graft.GraftExtensions`
+    * on the Verify/Bench sessions (ExtensionsSpec proves injection on a
+    * clean session). The idempotent register() call covers sessions
+    * built without the static conf so the query is portable. */
+  val simCosineSql: Q = Q(
+    "q_sim_cosine_sql",
+    (s, d) => {
+      graft.functions.CosineSimilarity.register(s)
+      Tables.embeddings(s, d).createOrReplaceTempView("embeddings")
+      s.sql("""
+        SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+          cosine_sim(a.embedding, b.embedding) AS cos
+        FROM embeddings a JOIN embeddings b ON b.vec_id = a.vec_id + 1
+        WHERE a.vec_id % 10 = 0
+        ORDER BY a_id""")
+    },
+    Some(s"""SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+      ${Vectors.sqlCosine("a.embedding", "b.embedding")} AS cos
+    FROM embeddings a JOIN embeddings b ON b.vec_id = a.vec_id + 1
+    WHERE a.vec_id % 10 = 0
+    ORDER BY a_id"""))
+
   /** B37: cross-modal join — documents ⋈ embeddings by id with
     * modality-specific predicates on both sides. */
   val multimodalJoin: Q = Q(
@@ -111,5 +135,6 @@ object Similarity {
     WHERE n_chars >= 200 AND label < 5
     ORDER BY doc_id"""))
 
-  val all: Seq[Q] = Seq(simTopkCosine, dedupEmbedding, multimodalJoin)
+  val all: Seq[Q] =
+    Seq(simTopkCosine, dedupEmbedding, simCosineSql, multimodalJoin)
 }
