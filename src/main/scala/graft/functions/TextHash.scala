@@ -26,12 +26,26 @@ object TextHash {
           i => array_join(slice(toks, i, lit(k)), " "))))
       .otherwise(array().cast("array<string>"))
 
-  /** MinHash signature: for each of `perms` salted hash functions, the
-    * minimum xxhash64 over the shingle set. Null-free for non-empty
-    * shingle arrays. */
-  def minhashSignature(sh: Column, perms: Int): Column =
+  /** One 64-bit content hash per shingle. Hash each string ONCE — the
+    * permutation family below then works in the integer domain, so a
+    * `perms`-wide signature costs one variable-length string hash +
+    * `perms` fixed-width long hashes per shingle instead of `perms`
+    * string hashes. (An affine h*A+B family would be cheaper still,
+    * but ANSI mode — Spark 4's default — throws on the intended
+    * mod-2^64 wraparound.) */
+  def shingleHashes(sh: Column): Column = transform(sh, x => xxhash64(x))
+
+  /** MinHash signature over pre-hashed shingles (see [[shingleHashes]]).
+    * Null-free for non-empty arrays. */
+  def minhashFromHashes(hs: Column, perms: Int): Column =
     array((0 until perms).map(s =>
-      array_min(transform(sh, x => xxhash64(lit(s), x)))): _*)
+      array_min(transform(hs, h => xxhash64(lit(s), h)))): _*)
+
+  /** MinHash signature straight from shingle strings. Callers on a hot
+    * path should materialize [[shingleHashes]] in its own projection
+    * first so the string hash isn't re-expanded per permutation. */
+  def minhashSignature(sh: Column, perms: Int): Column =
+    minhashFromHashes(shingleHashes(sh), perms)
 
   /** LSH band keys: hash of each consecutive `rowsPerBand`-slice of the
     * signature, salted by band index. Docs sharing any band key are

@@ -31,13 +31,19 @@ object DedupOps {
     * unaffected (DedupSpec proves both properties). */
   private val BucketCap = 64
 
-  /** doc_id → MinHash signature over distinct 3-word shingles. */
+  /** doc_id → MinHash signature over distinct 3-word shingles. Shingle
+    * strings are hashed once in their own projection; the 32-perm
+    * signature then runs in the integer domain (the projections stay
+    * separate — CollapseProject won't duplicate a non-cheap alias used
+    * 32 times). */
   private def signatures(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)
       .select(col("doc_id"),
         TextHash.shingles(TextHash.tokens(col("text")), 3).as("sh"))
       .select(col("doc_id"), size(col("sh")).cast("long").as("n_shingles"),
-        TextHash.minhashSignature(col("sh"), Perms).as("sig"))
+        TextHash.shingleHashes(col("sh")).as("hs"))
+      .select(col("doc_id"), col("n_shingles"),
+        TextHash.minhashFromHashes(col("hs"), Perms).as("sig"))
 
   /** B33a: per-document MinHash signatures (head of the signature shown;
     * not SQL-expressible — covered by DedupSpec property tests). */
