@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 
-import graft.functions.{CosineSimilarity, SortedIntersectCount}
+import graft.functions.{CosineSimilarity, GramHashes, MinHashSig, SortedIntersectCount}
 
 /** SparkSessionExtensions entry point: registers the engine's native
   * functions for any session built with
@@ -17,5 +17,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       CosineSimilarity.info, CosineSimilarity.builder))
     e.injectFunction((FunctionIdentifier(SortedIntersectCount.name),
       SortedIntersectCount.info, SortedIntersectCount.builder))
+    e.injectFunction((FunctionIdentifier(GramHashes.name),
+      GramHashes.info, GramHashes.builder))
+    e.injectFunction((FunctionIdentifier(MinHashSig.name),
+      MinHashSig.info, MinHashSig.builder))
   }
 }

@@ -1,0 +1,204 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal, UnaryExpression, XXH64}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.functions.call_function
+import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, LongType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native one-pass text → k-gram sketch kernels.
+  *
+  * Why native expressions and not the composed higher-order-function
+  * forms (TextHash.scala): HOFs are CodegenFallback — interpreted — and
+  * interpreted eval has NO common-subexpression caching. Any reference
+  * to an expensive array alias from inside a lambda (e.g.
+  * `element_at(tokenHashes, i)` per shingle) re-evaluates the whole
+  * token pipeline per element, and optimizer inlining (filter pushdown
+  * through projects, ScanOperation/Generate collapse) can silently
+  * create exactly that shape from innocent-looking query code —
+  * measured 0.2 s → 6 s (filter pushdown), → 200 s (under a Generate)
+  * at sf0.1. A native kernel is immune by construction: tokenization,
+  * gram hashing and the sketch run in one tight JVM loop per row, and
+  * the worst case any inlining can cause is one extra linear pass.
+  *
+  * Tokenization parity with TextHash.tokens: lowercase, split on a
+  * single space, drop empty tokens. Gram hashes chain XXH64 over the
+  * k token hashes; the MinHash permutation family is the affine
+  * h·A(s)+B(s) over Z/2^64 (A odd → bijection; wraparound is fine in
+  * the JVM, unlike ANSI-mode Catalyst arithmetic).
+  */
+object GramSketch {
+  private val Seed = 42L
+  private val Space = UTF8String.fromString(" ")
+
+  /** xxhash64 of each non-empty lowercased whitespace token. */
+  def tokenHashes(text: UTF8String): Array[Long] = {
+    val parts = text.toLowerCase.split(Space, -1)
+    val out = new Array[Long](parts.length)
+    var n = 0
+    var i = 0
+    while (i < parts.length) {
+      val p = parts(i)
+      if (p.numBytes > 0) {
+        out(n) = XXH64.hashUnsafeBytes(
+          p.getBaseObject, p.getBaseOffset, p.numBytes, Seed)
+        n += 1
+      }
+      i += 1
+    }
+    if (n == out.length) out else java.util.Arrays.copyOf(out, n)
+  }
+
+  /** Chained XXH64 over `th(i until i+k)`. */
+  private def gramHash(th: Array[Long], i: Int, k: Int): Long = {
+    var h = Seed
+    var j = 0
+    while (j < k) { h = XXH64.hashLong(th(i + j), h); j += 1 }
+    h
+  }
+
+  /** All k-gram hashes of a document, in positional order (multiset —
+    * NOT distinct). Empty when the document has fewer than k tokens. */
+  def gramHashesRaw(text: UTF8String, k: Int): Array[Long] = {
+    val th = tokenHashes(text)
+    val n = th.length - k + 1
+    if (n <= 0) return Array.emptyLongArray
+    val out = new Array[Long](n)
+    var i = 0
+    while (i < n) { out(i) = gramHash(th, i, k); i += 1 }
+    out
+  }
+
+  /** Sorted DISTINCT k-gram hashes (the set-similarity input shape —
+    * feeds SortedIntersectCount directly). */
+  def gramHashesSortedDistinct(text: UTF8String, k: Int): Array[Long] = {
+    val g = gramHashesRaw(text, k)
+    if (g.length <= 1) return g
+    java.util.Arrays.sort(g)
+    var n = 1
+    var i = 1
+    while (i < g.length) {
+      if (g(i) != g(n - 1)) { g(n) = g(i); n += 1 }
+      i += 1
+    }
+    if (n == g.length) g else java.util.Arrays.copyOf(g, n)
+  }
+
+  // Affine permutation constants (splitmix64 odd multipliers).
+  private[functions] def permA(s: Int): Long =
+    0x9E3779B97F4A7C15L * (2L * s + 1)
+  private[functions] def permB(s: Int): Long =
+    0xBF58476D1CE4E5B9L * s
+
+  /** MinHash signature: min over the gram multiset of h·A(s)+B(s) per
+    * permutation s (min over multiset == min over set, so no distinct
+    * pass is needed). Documents with fewer than k tokens yield the
+    * all-Long.MaxValue seed signature — dedup callers must drop them
+    * before banding (they cannot be near-dups by this measure). */
+  def minhashSig(text: UTF8String, k: Int, perms: Int): Array[Long] = {
+    val sig = new Array[Long](perms)
+    java.util.Arrays.fill(sig, Long.MaxValue)
+    val th = tokenHashes(text)
+    val n = th.length - k + 1
+    var i = 0
+    while (i < n) {
+      val g = gramHash(th, i, k)
+      var s = 0
+      while (s < perms) {
+        val v = g * permA(s) + permB(s)
+        if (v < sig(s)) sig(s) = v
+        s += 1
+      }
+      i += 1
+    }
+    sig
+  }
+}
+
+/** `gram_hashes(text, k)` → sorted distinct 64-bit k-gram hashes. */
+case class GramHashes(child: Expression, k: Int) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType && k >= 1) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects (string, k>=1), got ${child.dataType.simpleString}, k=$k")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = GramHashes.name
+
+  def kernel(t: UTF8String): ArrayData =
+    new GenericArrayData(GramSketch.gramHashesSortedDistinct(t, k))
+
+  override def nullSafeEval(t: Any): Any = kernel(t.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val obj = ctx.addReferenceObj("gramHashes", this)
+    nullSafeCodeGen(ctx, ev, t => s"${ev.value} = $obj.kernel($t);")
+  }
+  override protected def withNewChildInternal(c: Expression): GramHashes =
+    copy(child = c)
+}
+
+object GramHashes {
+  val name = "gram_hashes"
+  val info = new ExpressionInfo(classOf[GramHashes].getName, name)
+  val builder: Seq[Expression] => Expression = {
+    case Seq(t, Literal(k: Int, IntegerType)) => GramHashes(t, k)
+    case other => throw new IllegalArgumentException(
+      s"$name expects (text, k literal int), got ${other.size} args")
+  }
+  def register(spark: SparkSession): Unit =
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier(name), info, builder)
+  def apply(spark: SparkSession, text: Column, k: Int): Column = {
+    register(spark)
+    call_function(name, text, org.apache.spark.sql.functions.lit(k))
+  }
+}
+
+/** `minhash_sig(text, k, perms)` → MinHash signature (array<bigint> of
+  * length perms) over the document's k-gram set. */
+case class MinHashSig(child: Expression, k: Int, perms: Int)
+    extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType && k >= 1 && perms >= 1)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects (string, k>=1, perms>=1), got " +
+        s"${child.dataType.simpleString}, k=$k, perms=$perms")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = MinHashSig.name
+
+  def kernel(t: UTF8String): ArrayData =
+    new GenericArrayData(GramSketch.minhashSig(t, k, perms))
+
+  override def nullSafeEval(t: Any): Any = kernel(t.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val obj = ctx.addReferenceObj("minhashSig", this)
+    nullSafeCodeGen(ctx, ev, t => s"${ev.value} = $obj.kernel($t);")
+  }
+  override protected def withNewChildInternal(c: Expression): MinHashSig =
+    copy(child = c)
+}
+
+object MinHashSig {
+  val name = "minhash_sig"
+  val info = new ExpressionInfo(classOf[MinHashSig].getName, name)
+  val builder: Seq[Expression] => Expression = {
+    case Seq(t, Literal(k: Int, IntegerType), Literal(p: Int, IntegerType)) =>
+      MinHashSig(t, k, p)
+    case other => throw new IllegalArgumentException(
+      s"$name expects (text, k literal int, perms literal int), got ${other.size} args")
+  }
+  def register(spark: SparkSession): Unit =
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier(name), info, builder)
+  def apply(spark: SparkSession, text: Column, k: Int, perms: Int): Column = {
+    register(spark)
+    call_function(name, text, org.apache.spark.sql.functions.lit(k),
+      org.apache.spark.sql.functions.lit(perms))
+  }
+}

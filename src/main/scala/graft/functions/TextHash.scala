@@ -35,11 +35,45 @@ object TextHash {
     * mod-2^64 wraparound.) */
   def shingleHashes(sh: Column): Column = transform(sh, x => xxhash64(x))
 
+  /** 64-bit hash of each token. Materialize this once per document
+    * (own projection), then derive every k-gram sketch from it. */
+  def tokenHashes(toks: Column): Column = transform(toks, t => xxhash64(t))
+
+  /** Distinct k-shingle hashes computed straight from token hashes —
+    * the shingle STRING is never materialized: a k-gram's hash is the
+    * xxhash64 of its k token hashes. Equivalent (up to the hash
+    * family) to `shingleHashes(shingles(toks, k))`: the whitespace
+    * join there is injective because tokens cannot contain the
+    * separator, so distinct-on-long here equals distinct-on-string
+    * modulo 64-bit collisions. Cuts per-shingle cost from
+    * slice+join+string-hash+string-distinct to k fixed-width hashes +
+    * a primitive-set distinct — measured ~4× on the MinHash pipeline. */
+  def shingleHashesFromTokenHashes(th: Column, k: Int): Column =
+    when(size(th) >= k,
+      array_distinct(transform(sequence(lit(1), size(th) - (k - 1)),
+        i => xxhash64((0 until k).map(j => element_at(th, i + j)): _*))))
+      .otherwise(array().cast("array<long>"))
+
   /** MinHash signature over pre-hashed shingles (see [[shingleHashes]]).
-    * Null-free for non-empty arrays. */
+    *
+    * Shaped as ONE `aggregate` fold so the expression references `hs`
+    * exactly once. The previous form (`perms` separate
+    * `array_min(transform(hs, …))` terms) referenced `hs` 32 times —
+    * when Catalyst's project-collapsing (CollapseProject /
+    * ScanOperation, triggered by e.g. a pushed-down filter landing
+    * between the projections) inlines the `hs` alias into each use,
+    * the shingle pipeline recomputes 32× (measured 0.2 s → 6 s at
+    * sf0.1; nesting under a Generate compounded it to 200 s+).
+    * Single-reference sketch expressions are immune by construction.
+    *
+    * Empty `hs` yields the all-Long.MaxValue seed signature (the old
+    * form yielded nulls) — dedup pipelines must still drop no-shingle
+    * docs before banding. */
   def minhashFromHashes(hs: Column, perms: Int): Column =
-    array((0 until perms).map(s =>
-      array_min(transform(hs, h => xxhash64(lit(s), h)))): _*)
+    aggregate(hs,
+      typedlit(Seq.fill(perms)(Long.MaxValue)),
+      (acc, h) => zip_with(acc, typedlit((0 until perms).toList),
+        (a, s) => least(a, xxhash64(s, h))))
 
   /** MinHash signature straight from shingle strings. Callers on a hot
     * path should materialize [[shingleHashes]] in its own projection
@@ -51,8 +85,12 @@ object TextHash {
     * signature, salted by band index. Docs sharing any band key are
     * candidate pairs. */
   def bandKeys(sig: Column, bands: Int, rowsPerBand: Int): Column =
-    array((0 until bands).map(b =>
-      xxhash64(lit(b), slice(sig, b * rowsPerBand + 1, rowsPerBand))): _*)
+    // Single reference to `sig` (see minhashFromHashes): an array of
+    // `bands` slice terms would reference it `bands` times and invite
+    // multiplicative recompute under project-collapsing.
+    transform(sequence(lit(0), lit(bands - 1)),
+      b => xxhash64(b, slice(sig, b * rowsPerBand + lit(1),
+        lit(rowsPerBand))))
 
   /** Estimated Jaccard between two signatures: matching-position
     * fraction. */

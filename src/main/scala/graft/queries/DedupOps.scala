@@ -31,19 +31,20 @@ object DedupOps {
     * unaffected (DedupSpec proves both properties). */
   private val BucketCap = 64
 
-  /** doc_id → MinHash signature over distinct 3-word shingles. Shingle
-    * strings are hashed once in their own projection; the 32-perm
-    * signature then runs in the integer domain (the projections stay
-    * separate — CollapseProject won't duplicate a non-cheap alias used
-    * 32 times). */
+  /** doc_id → MinHash signature over 3-word shingles, via the native
+    * one-pass kernel (functions.GramSketch). The earlier composed
+    * higher-order-function pipeline was correct but fragile: optimizer
+    * inlining (filter pushdown, Generate collapse) re-evaluates
+    * interpreted HOF aliases per lambda element, turning the linear
+    * sketch quadratic (measured 0.2 s → 6-200 s at sf0.1 depending on
+    * consumer shape — see GramSketch's scaladoc). n_shingles counts
+    * DISTINCT shingles, mirroring the expression form. */
   private def signatures(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)
       .select(col("doc_id"),
-        TextHash.shingles(TextHash.tokens(col("text")), 3).as("sh"))
-      .select(col("doc_id"), size(col("sh")).cast("long").as("n_shingles"),
-        TextHash.shingleHashes(col("sh")).as("hs"))
-      .select(col("doc_id"), col("n_shingles"),
-        TextHash.minhashFromHashes(col("hs"), Perms).as("sig"))
+        size(graft.functions.GramHashes(s, col("text"), 3))
+          .cast("long").as("n_shingles"),
+        graft.functions.MinHashSig(s, col("text"), 3, Perms).as("sig"))
 
   /** B33a: per-document MinHash signatures (head of the signature shown;
     * not SQL-expressible — covered by DedupSpec property tests). */
@@ -151,13 +152,14 @@ object DedupOps {
   private val NgramDfCap = 64
 
   /** (doc_id, source, bg): each doc's distinct token bigrams, 64-bit
-    * hashed and sorted (the merge-count input shape). */
+    * hashed and sorted (the merge-count input shape), via the native
+    * one-pass kernel — the bigram string is never built (same |A∩B|
+    * counts modulo 64-bit collisions, which the hashed-gram design
+    * already accepts). */
   private[graft] def ngramGrams(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)
       .select(col("doc_id"), col("source"),
-        array_sort(transform(
-          TextHash.shingles(TextHash.tokens(col("text")), 2),
-          g => xxhash64(g))).as("bg"))
+        graft.functions.GramHashes(s, col("text"), 2).as("bg"))
 
   /** Exact score + threshold over candidate pairs carrying both gram
     * arrays: native merge-count over the sorted hashed grams — no

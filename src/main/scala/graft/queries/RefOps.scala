@@ -162,7 +162,12 @@ object RefOps {
   /** A7: snapshot round-trip verification — write lineitem to a
     * throwaway parquet dir, restore, diff both ways with EXCEPT ALL
     * (backup.sh:264-299,372-376 strengthened to content equality). The
-    * oracle states the postcondition: restore equals source exactly. */
+    * oracle states the postcondition: restore equals source exactly.
+    *
+    * CONTRACT NOTE: this is a pipeline JOB, not a lazy query —
+    * *building* the returned DataFrame runs the snapshot write+restore
+    * (idempotent: stable overwrite dir). A harness that constructs
+    * queries without executing them will still perform the write. */
   val roundTrip: Q = Q(
     "q_ref_round_trip",
     (s, d) => {
@@ -188,7 +193,11 @@ object RefOps {
     * project to CSV (header, explicit schema), re-ingest through the
     * csv reader, and aggregate; the oracle states the round-trip
     * postcondition directly over the original parquet. Int/string
-    * columns only — exact through text. */
+    * columns only — exact through text.
+    *
+    * CONTRACT NOTE: like q_ref_round_trip, building this DataFrame
+    * executes the CSV export job (idempotent overwrite of a stable
+    * tmp dir) before returning the lazy re-read. */
   val csvSource: Q = Q(
     "q_ref_csv_source",
     (s, d) => {

@@ -122,6 +122,58 @@ class DedupSpec extends SparkSpec {
     grams.unpersist()
   }
 
+  test("native gram_hashes: sorted, distinct, counts match the expression form") {
+    val both = nearDupDocs.select(col("doc_id"),
+      functions.GramHashes(spark, col("text"), 3).as("g"),
+      TextHash.shingles(TextHash.tokens(col("text")), 3).as("sh"))
+      .collect()
+    both.foreach { r =>
+      val g = r.getSeq[Long](1)
+      assert(g == g.sorted, "gram hashes must be sorted")
+      assert(g.distinct.size == g.size, "gram hashes must be distinct")
+      assert(g.size == r.getSeq[String](2).distinct.size,
+        "native distinct-gram count must equal string-shingle count")
+    }
+  }
+
+  test("native minhash_sig estimated jaccard tracks exact shingle jaccard") {
+    val sig = nearDupDocs.select(col("doc_id"),
+      TextHash.shingles(TextHash.tokens(col("text")), 3).as("sh"),
+      functions.MinHashSig(spark, col("text"), 3, 64).as("sig"))
+    val a = sig.select(col("doc_id").as("a_id"), col("sh").as("a_sh"),
+      col("sig").as("a_sig"))
+    val b = sig.select(col("doc_id").as("b_id"), col("sh").as("b_sh"),
+      col("sig").as("b_sig"))
+    val pairs = a.crossJoin(b).where(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"),
+        TextHash.estJaccard(col("a_sig"), col("b_sig"), 64).as("est"),
+        (size(array_intersect(col("a_sh"), col("b_sh"))).cast("double") /
+          size(array_union(col("a_sh"), col("b_sh")))).as("exact"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> (r.getDouble(2), r.getDouble(3)))
+      .toMap
+    assert(pairs((1L, 2L)) == ((1.0, 1.0)))
+    val (est13, exact13) = pairs((1L, 3L))
+    assert(math.abs(est13 - exact13) < 0.25, s"est=$est13 exact=$exact13")
+    assert(pairs((1L, 4L))._1 < 0.2)
+  }
+
+  test("native kernels are SQL-callable and null/short-doc safe") {
+    import spark.implicits._
+    functions.GramHashes.register(spark)
+    functions.MinHashSig.register(spark)
+    Seq((1L, "one two three four"), (2L, "tiny"), (3L, null: String))
+      .toDF("id", "text").createOrReplaceTempView("gs_docs")
+    val rows = spark.sql("""
+      SELECT id, gram_hashes(text, 3) AS g, minhash_sig(text, 3, 8) AS s
+      FROM gs_docs ORDER BY id""").collect()
+    assert(rows(0).getSeq[Long](1).size == 2)   // 4 tokens -> 2 trigrams
+    assert(rows(0).getSeq[Long](2).size == 8)
+    assert(rows(1).getSeq[Long](1).isEmpty)     // < k tokens -> empty grams
+    assert(rows(1).getSeq[Long](2).forall(_ == Long.MaxValue)) // seed sig
+    assert(rows(2).isNullAt(1) && rows(2).isNullAt(2)) // null text -> null
+  }
+
   test("dedup is idempotent: dedup(dedup(x)) == dedup(x)") {
     val once = engine.Tables.documents(spark, sf)
       .dropDuplicates("text")
