@@ -19,10 +19,11 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *     equality via symmetric EXCEPT ALL.
   *
   * At 100 TB: the write is a cluster-wide parquet job (optionally
-  * partitionBy a key column); verification's exceptAll is a shuffle on
-  * full rows — run it on a sampled or key-range subset when the full
-  * diff is too expensive, exactly as the reference only restore-tests
-  * one instance, not every byte.
+  * partitionBy a key column); verification compares order-insensitive
+  * hash digests (scalar aggregates, no shuffle) and only falls back to
+  * the full-width EXCEPT ALL diff when the digests disagree — the same
+  * spirit as the reference restore-testing one instance, not every
+  * byte, but with whole-content coverage.
   */
 object Snapshot {
   /** Empty-snapshot failure, reference exit code 2 (backup.sh:215). */
@@ -113,16 +114,54 @@ object Snapshot {
     def verified: Boolean = missing == 0L && extra == 0L && originalRows == restoredRows
   }
 
-  /** Write `df` to `dest`, read it back, and diff both directions with
-    * EXCEPT ALL (multiset equality — stricter than the reference's
-    * "restore succeeded" check). */
+  /** Order-insensitive multiset digest of a DataFrame: row count plus
+    * the sum of per-row xxhash64 over all columns, summed in the exact
+    * decimal domain (ANSI-safe — a long sum of 64-bit hashes would
+    * overflow). Equal multisets always produce equal digests; a
+    * differing multiset escaping detection needs a ~2^-64 hash-sum
+    * collision. One narrow scan, no shuffle beyond a scalar agg. */
+  private def contentDigest(df: DataFrame): (Long, java.math.BigDecimal) = {
+    import org.apache.spark.sql.functions._
+    val rowHash = xxhash64(df.columns.map(col): _*)
+      .cast(org.apache.spark.sql.types.DecimalType(38, 0))
+    val r = df.agg(count(lit(1)), sum(rowHash)).head()
+    (r.getLong(0),
+      if (r.isNullAt(1)) java.math.BigDecimal.ZERO
+      else r.getDecimal(1))
+  }
+
+  /** Write `df` to `dest`, read it back, and verify content equality
+    * (multiset — stricter than the reference's "restore succeeded"
+    * check, backup.sh:264-299).
+    *
+    * Fast path: compare order-insensitive hash digests — two narrow
+    * scans, no shuffle. This is the 100 TB design: a symmetric
+    * EXCEPT ALL is two full-width shuffles of the entire snapshot,
+    * while the digest is a scalar aggregate. Only when the digests
+    * disagree (which a healthy pipeline never hits) does it fall back
+    * to the exact EXCEPT ALL diff to report how many rows went
+    * missing/extra. */
   def roundTripVerify(spark: SparkSession, df: DataFrame, dest: String): RoundTrip = {
     val n = write(df, dest)
+    verifyContent(spark, df, dest).copy(originalRows = n)
+  }
+
+  /** Verify an EXISTING snapshot at `dest` against the expected `df` —
+    * the standalone restore-side check (backup.sh:372-376), also the
+    * slow path of [[roundTripVerify]]. Digest fast path as above;
+    * exact EXCEPT ALL missing/extra counts only on digest mismatch. */
+  def verifyContent(spark: SparkSession, df: DataFrame, dest: String): RoundTrip = {
     val restored = spark.read.parquet(dest)
-    RoundTrip(
-      originalRows = n,
-      restoredRows = restored.count(),
-      missing = df.exceptAll(restored).count(),
-      extra = restored.exceptAll(df).count())
+    val (srcN, srcDigest) = contentDigest(df)
+    val (rstN, rstDigest) = contentDigest(restored)
+    if (srcN == rstN && srcDigest.compareTo(rstDigest) == 0)
+      RoundTrip(originalRows = srcN, restoredRows = rstN,
+        missing = 0L, extra = 0L)
+    else
+      RoundTrip(
+        originalRows = srcN,
+        restoredRows = rstN,
+        missing = df.exceptAll(restored).count(),
+        extra = restored.exceptAll(df).count())
   }
 }

@@ -180,6 +180,22 @@ class SnapshotSpec extends SparkSpec {
     assert(rt.verified && rt.originalRows == 25)
   }
 
+  test("verifyContent digest mismatch falls back to exact missing/extra counts") {
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("graft_test_").toString
+    val nation = Tables.nation(spark, sf)
+    Snapshot.write(nation, s"$dir/nation")
+    // expected side differs: one row dropped, one row mutated
+    val expected = nation.where(col("n_nationkey") =!= 3)
+      .unionByName(nation.where(col("n_nationkey") === 3)
+        .withColumn("n_name", lit("MUTATED")))
+      .where(col("n_nationkey") =!= 7)
+    val rt = Snapshot.verifyContent(spark, expected, s"$dir/nation")
+    assert(!rt.verified)
+    assert(rt.missing == 1L)  // MUTATED row absent from the snapshot
+    assert(rt.extra == 2L)    // snapshot's original key-3 row + key-7 row
+  }
+
   test("incremental diff classifies inserts, deletes, unchanged") {
     import org.apache.spark.sql.functions._
     val prev = Tables.nation(spark, sf)
