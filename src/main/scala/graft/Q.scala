@@ -40,7 +40,9 @@ object Registry {
       queries.DedupOps.all ++
       queries.StreamingOps.all ++
       queries.MultimodalOps.all ++
-      queries.SqlQueries.all
+      queries.SqlQueries.all ++
+      queries.PipelineOps.all ++
+      queries.AnnOps.all
 
   lazy val byName: Map[String, Q] = all.map(q => q.name -> q).toMap
 }

@@ -1,0 +1,232 @@
+package graft.queries
+
+import graft.Q
+import graft.engine.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Training-data pipeline operators that sit ON TOP of the dedup /
+  * text-analysis primitives: duplicate-cluster resolution (connected
+  * components), sequence packing, and corpus-relative quality
+  * filtering. These are the stages a 100 TB pre-training pipeline runs
+  * after pair generation — the reference's "verify then act" shape
+  * (backup.sh:264-299 restore-check before the destructive cleanup)
+  * applied to corpus curation.
+  */
+object PipelineOps {
+
+  /** Minimum exact n-gram Jaccard for an edge to count as a confident
+    * near-duplicate when clustering (tighter than the 0.05 recall floor
+    * used for candidate reporting in q_dedup_ngram_jaccard). */
+  private val EdgeThreshold = 0.4
+
+  /** Upper bound on label-propagation rounds. Convergence takes
+    * O(component diameter) rounds; near-dup clusters are dense (almost
+    * cliques), so real corpora converge in a handful. The bound only
+    * guards a pathological path-shaped graph. */
+  private val MaxIters = 30
+
+  /** Distributed connected components by iterative min-label
+    * propagation: every node repeatedly takes the minimum label among
+    * itself and its neighbors until a fixpoint.
+    *
+    * Scale shape: `edges` is materialized ONCE (localCheckpoint — at
+    * cluster scale a checkpoint to reliable storage) so each round is
+    * one keyed shuffle over the edge list plus one over the label list,
+    * never re-running the upstream dedup pipeline; lineage is cut per
+    * round so the plan stays constant-size. Rounds = graph diameter —
+    * for dedup graphs (near-cliques) a handful; for adversarial
+    * long-path graphs the alternating star contractions of
+    * Kiveris et al., "Connected Components in MapReduce and Beyond"
+    * (SOCC'14) drop this to O(log n) rounds — noted, not needed here.
+    *
+    * Everything is integer/long arithmetic — bit-deterministic under
+    * any partitioning and accumulation order.
+    *
+    * @param edges two long columns `src`, `dst` (undirected; either
+    *              orientation, self-loops tolerated)
+    * @return (`node`, `label`) — label = min node id in the component
+    */
+  def connectedComponents(spark: SparkSession, edges: DataFrame): DataFrame = {
+    val e = edges.select(col("src").cast("long"), col("dst").cast("long"))
+      .where(col("src") =!= col("dst"))
+      .localCheckpoint()
+    val sym = e.unionByName(
+      e.select(col("dst").as("src"), col("src").as("dst")))
+    var labels = sym.select(col("src").as("node")).distinct()
+      .select(col("node"), col("node").as("label"))
+      .localCheckpoint()
+    var converged = false
+    var iter = 0
+    while (!converged && iter < MaxIters) {
+      val prop = sym
+        .join(labels, sym("src") === labels("node"))
+        .groupBy(col("dst"))
+        .agg(min(col("label")).as("nbr_label"))
+      val next = labels
+        .join(prop, labels("node") === prop("dst"), "left")
+        .select(
+          labels("node"),
+          least(col("label"), coalesce(col("nbr_label"), col("label")))
+            .as("label"),
+          (col("nbr_label").isNotNull && col("nbr_label") < col("label"))
+            .as("chg"))
+        .localCheckpoint()
+      converged = next.where(col("chg")).limit(1).isEmpty
+      labels = next.select("node", "label")
+      iter += 1
+    }
+    require(converged,
+      s"connectedComponents did not converge in $MaxIters rounds")
+    labels
+  }
+
+  /** Mandated EXT (dedup clustering): near-duplicate CLUSTERS — the
+    * stage after pair generation in every dedup pipeline. Confident
+    * ngram-Jaccard pairs (≥ 0.4) become edges; connected components
+    * assign every document a canonical id (= min doc_id in its
+    * component, singletons canonical to themselves); the pipeline
+    * would then keep exactly the canonical docs.
+    *
+    * Oracle: DuckDB recursive CTE computing the same transitive
+    * closure → min reachable id. */
+  val dedupComponents: Q = Q(
+    "q_dedup_components",
+    (s, d) => {
+      val edges = DedupOps.ngramPairs(s, DedupOps.ngramGrams(s, d),
+          blockCap = 512, dfCap = 64)
+        .where(col("jaccard") >= EdgeThreshold)
+        .select(col("a_id").as("src"), col("b_id").as("dst"))
+      val comp = connectedComponents(s, edges)
+      val docs = Tables.documents(s, d).select(col("doc_id"))
+      val canon = docs
+        .join(comp, docs("doc_id") === comp("node"), "left")
+        .select(col("doc_id"),
+          coalesce(col("label"), col("doc_id")).as("canonical_id"))
+      val sizes = canon.groupBy(col("canonical_id"))
+        .agg(count(lit(1)).as("cluster_size"))
+      canon.join(sizes, Seq("canonical_id"))
+        .select(col("doc_id"), col("canonical_id"), col("cluster_size"),
+          (col("doc_id") =!= col("canonical_id")).as("is_dup"))
+        .orderBy("doc_id")
+    },
+    Some("""WITH RECURSIVE d AS (
+      SELECT doc_id, source,
+        list_distinct(list_transform(
+          generate_series(1, len(list_filter(string_split(lower(text), ' '),
+            t -> t != '')) - 1),
+          i -> list_filter(string_split(lower(text), ' '), t -> t != '')[i]
+            || ' ' ||
+            list_filter(string_split(lower(text), ' '), t -> t != '')[i+1]))
+          AS bg
+      FROM documents),
+    pairs AS (
+      SELECT a.doc_id AS a_id, b.doc_id AS b_id
+      FROM d a JOIN d b ON a.source = b.source AND a.doc_id < b.doc_id
+      WHERE CAST(len(list_intersect(a.bg, b.bg)) AS DOUBLE)
+        / (len(a.bg) + len(b.bg) - len(list_intersect(a.bg, b.bg))) >= 0.4),
+    edges AS (
+      SELECT a_id AS src, b_id AS dst FROM pairs
+      UNION ALL SELECT b_id, a_id FROM pairs),
+    reach(node, lbl) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.node),
+    comp AS (
+      SELECT node AS doc_id, min(lbl) AS canonical_id
+      FROM reach GROUP BY node)
+    SELECT c.doc_id, c.canonical_id,
+      CAST(n.cluster_size AS BIGINT) AS cluster_size,
+      c.doc_id != c.canonical_id AS is_dup
+    FROM comp c JOIN (
+      SELECT canonical_id, count(*) AS cluster_size
+      FROM comp GROUP BY canonical_id) n USING (canonical_id)
+    ORDER BY doc_id"""))
+
+  /** Context-window token budget for sequence packing. */
+  private val PackBudget = 2048L
+
+  /** Mandated EXT (sequence packing): assign documents to fixed
+    * token-budget context windows ("bins") for training. This is
+    * offset packing — each doc lands in the bin where its cumulative
+    * start offset falls — the one-pass, shuffle-once formulation that
+    * scales (true greedy first-fit is inherently sequential). A doc
+    * straddling a boundary belongs to its start bin; packers handle
+    * the overflow by splitting or padding downstream.
+    *
+    * One window shuffle on (source); cumulative sums are exact longs. */
+  val textPack: Q = Q(
+    "q_text_pack",
+    (s, d) => {
+      val nTokens = ceil(col("n_chars").cast("double") / 4.0).cast("long")
+      val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("source"), nTokens.as("n_tokens"))
+        .withColumn("start_offset",
+          coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+        .withColumn("bin_id",
+          expr(s"start_offset div $PackBudget"))
+        .withColumn("bin_offset",
+          col("start_offset") - col("bin_id") * PackBudget)
+        .orderBy("source", "doc_id")
+    },
+    Some(s"""WITH t AS (
+      SELECT doc_id, source,
+        CAST(ceil(CAST(n_chars AS DOUBLE) / 4.0e0) AS BIGINT) AS n_tokens
+      FROM documents),
+    c AS (
+      SELECT doc_id, source, n_tokens,
+        COALESCE(CAST(sum(n_tokens) OVER (PARTITION BY source
+          ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+          AS BIGINT), 0) AS start_offset
+      FROM t)
+    SELECT doc_id, source, n_tokens, start_offset,
+      start_offset // $PackBudget AS bin_id,
+      start_offset - (start_offset // $PackBudget) * $PackBudget
+        AS bin_offset
+    FROM c ORDER BY source, doc_id"""))
+
+  /** Mandated EXT (corpus-relative quality filter): drop the bottom
+    * 20% of documents per language by alphabetic-character ratio, plus
+    * all token-degenerate docs — the percentile-threshold corpus
+    * selection shape (absolute thresholds live in q_text_quality).
+    * percent_rank over (ratio, doc_id) is rank arithmetic on exact
+    * inputs (one int division for the ratio) — deterministic in both
+    * engines. One window shuffle on lang. */
+  val textQualityFilter: Q = Q(
+    "q_text_quality_filter",
+    (s, d) => {
+      val nTok = size(filter(split(lower(col("text")), " "), t => t =!= ""))
+        .cast("long")
+      val alphaRatio =
+        length(regexp_replace(col("text"), "[^a-z]", "")).cast("double") /
+          col("n_chars")
+      val w = Window.partitionBy(col("lang"))
+        .orderBy(col("alpha_ratio"), col("doc_id"))
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"), nTok.as("n_tokens"),
+          alphaRatio.as("alpha_ratio"))
+        .withColumn("lang_pctile", percent_rank().over(w))
+        .where(col("lang_pctile") >= 0.2 && col("n_tokens") > 0)
+        .select("doc_id", "lang", "n_tokens", "alpha_ratio", "lang_pctile")
+        .orderBy("doc_id")
+    },
+    Some("""WITH q AS (
+      SELECT doc_id, lang,
+        CAST(len(list_filter(string_split(lower(text), ' '), t -> t != ''))
+          AS BIGINT) AS n_tokens,
+        CAST(length(regexp_replace(text, '[^a-z]', '', 'g')) AS DOUBLE)
+          / n_chars AS alpha_ratio
+      FROM documents),
+    r AS (
+      SELECT *, percent_rank() OVER (PARTITION BY lang
+        ORDER BY alpha_ratio, doc_id) AS lang_pctile
+      FROM q)
+    SELECT doc_id, lang, n_tokens, alpha_ratio, lang_pctile
+    FROM r WHERE lang_pctile >= 0.2e0 AND n_tokens > 0
+    ORDER BY doc_id"""))
+
+  val all: Seq[Q] = Seq(dedupComponents, textPack, textQualityFilter)
+}

@@ -1,0 +1,109 @@
+package graft
+
+import graft.queries.{AnnOps, PipelineOps}
+import org.apache.spark.sql.functions._
+
+/** Semantics of the pipeline-stage operators: connected-component
+  * dedup clustering, sequence packing, quality filtering, and IVF ANN
+  * (the no-oracle parts; the oracle-checked queries are the driver's
+  * job). */
+class PipelineSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("connectedComponents labels a path, a clique, and singletons") {
+    // graph: path 1-2-3-4 (diameter 3), clique {10,11,12}, edge 20-21,
+    // self-loop 30-30 (must not create a phantom component)
+    val edges = Seq(
+      (2L, 1L), (2L, 3L), (4L, 3L),
+      (10L, 11L), (11L, 12L), (10L, 12L),
+      (21L, 20L), (30L, 30L)).toDF("src", "dst")
+    val got = PipelineOps.connectedComponents(spark, edges)
+      .orderBy("node").as[(Long, Long)].collect().toSeq
+    assert(got == Seq(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 20L))
+  }
+
+  test("q_dedup_components covers every doc; canonicals are cluster minima") {
+    val df = q("q_dedup_components").cache()
+    val docs = graft.engine.Tables.documents(spark, sf).count()
+    assert(df.count() == docs)
+    // canonical_id <= doc_id (component min), and every canonical is
+    // itself canonical (label of a label is itself)
+    assert(df.where(col("canonical_id") > col("doc_id")).isEmpty)
+    val canons = df.select(col("canonical_id").as("doc_id")).distinct()
+    val bad = canons.join(df, Seq("doc_id"))
+      .where(col("doc_id") =!= col("canonical_id"))
+    assert(bad.isEmpty)
+    // cluster sizes sum back to the doc count
+    val sizeSum = df.select(col("canonical_id"), col("cluster_size"))
+      .distinct().agg(sum("cluster_size")).head().getLong(0)
+    assert(sizeSum == docs)
+    df.unpersist()
+  }
+
+  test("q_text_pack bins are contiguous per source and offsets stay in budget") {
+    val df = q("q_text_pack").cache()
+    // bin_offset ∈ [0, budget); start_offset = bin_id*budget + bin_offset
+    assert(df.where(col("bin_offset") < 0 || col("bin_offset") >= 2048).isEmpty)
+    assert(df.where(col("start_offset") =!=
+      col("bin_id") * 2048 + col("bin_offset")).isEmpty)
+    // within a source, bin_id is nondecreasing in doc_id and starts at 0
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("source").orderBy("doc_id")
+    assert(df.withColumn("prev", lag("bin_id", 1).over(w))
+      .where(col("prev") > col("bin_id")).isEmpty)
+    assert(df.groupBy("source").agg(min("bin_id").as("m"))
+      .where(col("m") =!= 0).isEmpty)
+    df.unpersist()
+  }
+
+  test("q_text_quality_filter drops bottom quintile per lang and degenerates") {
+    val df = q("q_text_quality_filter").cache()
+    assert(df.where(col("lang_pctile") < 0.2 || col("n_tokens") === 0).isEmpty)
+    // roughly 80% of docs survive (quintile cut, minus degenerates)
+    val total = graft.engine.Tables.documents(spark, sf).count()
+    val kept = df.count()
+    assert(kept <= total * 0.85 && kept >= total * 0.6,
+      s"kept $kept of $total")
+    df.unpersist()
+  }
+
+  test("IVF centroids are deterministic across retrains") {
+    val emb = graft.engine.Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding"))
+    val a = AnnOps.trainCentroids(emb)
+    val b = AnnOps.trainCentroids(emb)
+    assert(a == b) // exact: decimal-domain sums, driver-side division
+    assert(a.size == 16 && a.head.size == 64)
+  }
+
+  test("q_sim_ivf_topk achieves recall >= 0.5 vs brute force at k=5") {
+    // brute-force truth for the same probe set
+    val e = graft.engine.Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding"))
+    val probes = e.where(col("vec_id") < 10)
+      .select(col("vec_id").as("probe_id"), col("embedding").as("pv"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("probe_id").orderBy(col("cos").desc, col("vec_id").asc)
+    val truth = broadcast(probes).crossJoin(e)
+      .where(col("vec_id") =!= col("probe_id"))
+      .withColumn("cos",
+        graft.functions.CosineSimilarity(spark, col("pv"), col("embedding")))
+      .withColumn("k", row_number().over(w))
+      .where(col("k") <= 5)
+      .select(col("probe_id"), col("vec_id"))
+    val got = q("q_sim_ivf_topk").select(col("probe_id"), col("vec_id"))
+    val nTruth = truth.count()
+    val hit = got.join(truth, Seq("probe_id", "vec_id")).count()
+    assert(nTruth > 0)
+    assert(hit.toDouble / nTruth >= 0.5,
+      s"recall ${hit.toDouble / nTruth}")
+    // every probe returns exactly 5 neighbors with cos descending in k
+    val g = q("q_sim_ivf_topk")
+    assert(g.groupBy("probe_id").count().where(col("count") =!= 5).isEmpty)
+    val w2 = org.apache.spark.sql.expressions.Window
+      .partitionBy("probe_id").orderBy("k")
+    assert(g.withColumn("prev", lag("cos", 1).over(w2))
+      .where(col("prev") < col("cos")).isEmpty)
+  }
+}
