@@ -243,7 +243,28 @@ object Aggregates {
     FROM nation JOIN region ON n_regionkey = r_regionkey
     GROUP BY r_name ORDER BY r_name"""))
 
+  /** Unpivot (melt) — the inverse of aggPivot: wide metric columns to
+    * (key, metric, value) long form. Narrow, shuffle-free; the oracle
+    * states the same relation as a UNION ALL. */
+  val aggUnpivot: Q = Q(
+    "q_agg_unpivot",
+    (s, d) =>
+      Tables.part(s, d)
+        .select(col("p_partkey"),
+          col("p_retailprice").cast("double").as("retail"),
+          col("p_size").cast("double").as("psize"))
+        .unpivot(Array(col("p_partkey")),
+          Array(col("retail"), col("psize")), "metric", "value")
+        .orderBy("p_partkey", "metric"),
+    Some("""SELECT p_partkey, metric, value FROM (
+      SELECT p_partkey, 'retail' AS metric,
+        CAST(p_retailprice AS DOUBLE) AS value FROM part
+      UNION ALL
+      SELECT p_partkey, 'psize', CAST(p_size AS DOUBLE) FROM part)
+    ORDER BY p_partkey, metric"""))
+
   val all: Seq[Q] = Seq(
     aggHashGroup, aggDistinct, aggApproxDistinct, aggRollup, aggCube,
-    aggPartialFinal, aggStats, aggPivot, aggSample, aggCollect)
+    aggPartialFinal, aggStats, aggPivot, aggSample, aggCollect,
+    aggUnpivot)
 }

@@ -223,7 +223,33 @@ object RefOps {
       count(DISTINCT user_id) AS n_users
     FROM events GROUP BY event_type ORDER BY event_type"""))
 
+  /** B2c: ORC as a source/sink format — the second columnar format a
+    * lake engine must read (Spark's built-in ORC datasource; predicate
+    * pushdown and column pruning work as with parquet). Documents
+    * project to ORC, re-ingest, and aggregate; the oracle states the
+    * round-trip postcondition over the original parquet.
+    *
+    * CONTRACT NOTE: like q_ref_csv_source, building this DataFrame
+    * executes the ORC export job (idempotent overwrite, stable tmp dir). */
+  val orcSource: Q = Q(
+    "q_ref_orc_source",
+    (s, d) => {
+      val dest = s"${sys.props("java.io.tmpdir")}/graft_orc/documents_orc"
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+        .write.mode("overwrite").orc(dest)
+      s.read.orc(dest)
+        .where(col("n_chars") >= 100)
+        .groupBy(col("lang"), col("source"))
+        .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("sum_chars"))
+        .orderBy("lang", "source")
+    },
+    Some("""SELECT lang, source, count(*) AS n,
+      CAST(sum(n_chars) AS BIGINT) AS sum_chars
+    FROM documents WHERE n_chars >= 100
+    GROUP BY lang, source ORDER BY lang, source"""))
+
   val all: Seq[Q] = Seq(
     lineFilter, grepExists, extractId, identifier, versionDispatch,
-    statusLast, nonemptyGuard, roundTrip, csvSource)
+    statusLast, nonemptyGuard, roundTrip, csvSource, orcSource)
 }

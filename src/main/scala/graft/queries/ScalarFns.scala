@@ -245,6 +245,90 @@ object ScalarFns {
       TRY_CAST('2001-05-17' AS DATE) AS good_date
     FROM customer ORDER BY c_custkey"""))
 
+  /** Mandated EXT: cryptographic/content hash family — the shard keys
+    * and content-addressed ids of a 100 TB dedup pipeline (md5 already
+    * anchors q_text_fingerprint; this covers the wider surface). Hex
+    * casing differs per engine for hex(): Spark upper, DuckDB upper —
+    * both upper, no normalization needed. */
+  val fnHash: Q = Q(
+    "q_fn_hash",
+    (s, d) =>
+      Tables.documents(s, d)
+        .select(
+          col("doc_id"),
+          md5(col("text")).as("md5_hex"),
+          sha2(col("text"), 256).as("sha256_hex"),
+          base64(substring(col("text"), 1, 16).cast("binary")).as("b64_head"),
+          hex(substring(col("text"), 1, 8).cast("binary")).as("hex_head"),
+          bit_length(col("text")).cast("long").as("n_bits"))
+        .orderBy("doc_id"),
+    Some("""SELECT doc_id,
+      md5(text) AS md5_hex,
+      sha256(text) AS sha256_hex,
+      to_base64(encode(substr(text, 1, 16))) AS b64_head,
+      hex(encode(substr(text, 1, 8))) AS hex_head,
+      CAST(bit_length(text) AS BIGINT) AS n_bits
+    FROM documents ORDER BY doc_id"""))
+
+  /** Mandated EXT: regex family — extract / extract-all / global
+    * replace / boolean match. Both engines compile the same pattern
+    * dialect for these constructs (Java regex vs RE2 agree on classes,
+    * quantifiers, \b); DuckDB's regexp_replace needs the explicit 'g'
+    * flag to match Spark's replace-all default. */
+  val fnRegex: Q = Q(
+    "q_fn_regex",
+    (s, d) =>
+      Tables.documents(s, d)
+        .select(
+          col("doc_id"),
+          regexp_extract(col("text"), "[0-9]+", 0).as("first_num"),
+          size(expr("regexp_extract_all(text, '[0-9]+', 0)"))
+            .cast("long").as("n_nums"),
+          regexp_replace(col("text"), "[aeiou]", "").as("no_vowels"),
+          col("text").rlike("\\bthe\\b").as("has_the"),
+          regexp_extract(col("text"), "([a-z]+)ing\\b", 1).as("ing_stem"))
+        .orderBy("doc_id"),
+    Some("""SELECT doc_id,
+      regexp_extract(text, '[0-9]+') AS first_num,
+      CAST(len(regexp_extract_all(text, '[0-9]+')) AS BIGINT) AS n_nums,
+      regexp_replace(text, '[aeiou]', '', 'g') AS no_vowels,
+      regexp_matches(text, '\bthe\b') AS has_the,
+      regexp_extract(text, '([a-z]+)ing\b', 1) AS ing_stem
+    FROM documents ORDER BY doc_id"""))
+
+  /** Mandated EXT: struct/map construction + field access — the nested
+    * data model (typed metadata columns ride beside payloads at scale,
+    * cf. multimodal/Multimodal.scala). The oracle states the identities
+    * the nested round-trip must satisfy in plain SQL — equivalent
+    * values, not identical construction. */
+  val fnStruct: Q = Q(
+    "q_fn_struct",
+    (s, d) =>
+      Tables.documents(s, d)
+        .withColumn("meta",
+          struct(col("lang"), col("source"), col("n_chars")))
+        .withColumn("m", map_from_arrays(
+          array(lit("lang"), lit("source")),
+          array(col("lang"), col("source"))))
+        .select(
+          col("doc_id"),
+          col("meta.lang").as("s_lang"),
+          (col("meta.n_chars") + 1).as("s_chars1"),
+          element_at(col("m"), "source").as("m_source"),
+          size(col("m")).cast("long").as("m_size"),
+          sort_array(map_keys(col("m"))).as("m_keys"),
+          element_at(transform_values(col("m"), (_, v) => upper(v)),
+            "lang").as("m_lang_upper"))
+        .orderBy("doc_id"),
+    Some("""SELECT doc_id,
+      lang AS s_lang,
+      n_chars + 1 AS s_chars1,
+      source AS m_source,
+      CAST(2 AS BIGINT) AS m_size,
+      ['lang', 'source'] AS m_keys,
+      upper(lang) AS m_lang_upper
+    FROM documents ORDER BY doc_id"""))
+
   val all: Seq[Q] = Seq(fnString, fnDate, fnMath, fnArray, fnJson, fnNull,
-    fnTryCast)
+    fnTryCast, fnHash, fnRegex, fnStruct)
 }

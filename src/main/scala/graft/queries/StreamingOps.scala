@@ -108,6 +108,43 @@ object StreamingOps {
       FROM events)
     WHERE rn = 1 ORDER BY user_id, event_type"""))
 
+  /** B43 batch parity: the stream-stream interval join's predicate as
+    * a plain batch interval join — clicks within 5 minutes before each
+    * error, same user (StreamingJobs.clicksBeforeErrors runs this
+    * with watermarks on both sides; StreamingSpec proves the parity).
+    * The time-range equi+theta join is finite-state in streaming for
+    * exactly the reason it's shuffle-bounded in batch: the equi key
+    * (user) partitions, the interval bounds the pairing. */
+  val streamJoin: Q = Q(
+    "q_stream_join",
+    (s, d) => {
+      val ev = Tables.events(s, d)
+      val clicks = ev.where(col("event_type") === "click")
+        .select(col("event_id").as("click_id"),
+          col("user_id").as("c_user"), col("ts").as("click_ts"))
+      val errors = ev.where(col("event_type") === "error")
+        .select(col("event_id").as("error_id"), col("user_id"),
+          col("ts").as("error_ts"))
+      errors.join(clicks, expr(
+        """c_user = user_id
+           AND click_ts >= error_ts - INTERVAL 5 MINUTES
+           AND click_ts < error_ts"""))
+        .select(col("user_id"), col("error_id"), col("error_ts"),
+          col("click_id"), col("click_ts"))
+        .orderBy("user_id", "error_id", "click_id")
+    },
+    Some("""SELECT e.user_id AS user_id, e.event_id AS error_id,
+      CAST(e.ts AS TIMESTAMP) AS error_ts,
+      c.event_id AS click_id, CAST(c.ts AS TIMESTAMP) AS click_ts
+    FROM events e JOIN events c
+      ON c.user_id = e.user_id
+      AND e.event_type = 'error' AND c.event_type = 'click'
+      AND CAST(c.ts AS TIMESTAMP)
+        >= CAST(e.ts AS TIMESTAMP) - INTERVAL 5 MINUTE
+      AND CAST(c.ts AS TIMESTAMP) < CAST(e.ts AS TIMESTAMP)
+    ORDER BY user_id, error_id, click_id"""))
+
   val all: Seq[Q] = Seq(
-    streamTumbling, streamSliding, streamSession, streamDedupState)
+    streamTumbling, streamSliding, streamSession, streamDedupState,
+    streamJoin)
 }

@@ -165,7 +165,38 @@ object Windows {
       ORDER BY o_totalprice ASC, o_orderkey ASC)
     ORDER BY o_custkey, o_totalprice, o_orderkey"""))
 
+  /** B21b: RANGE frame over event time — per-user trailing 10-minute
+    * count and sum, the sliding-metric shape that ROWS frames can't
+    * express (frame membership follows the VALUE of the ordering key).
+    * Ordering on epoch millis (unique per user in the fixture, but the
+    * frame is tie-insensitive by construction: a RANGE frame includes
+    * every row in the value interval regardless of tie order). The sum
+    * runs in the exact decimal domain — a windowed double sum would be
+    * accumulation-order-dependent. */
+  val windowRange: Q = Q(
+    "q_window_range",
+    (s, d) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts_ms"))
+        .rangeBetween(-600000L, 0L)
+      Tables.events(s, d)
+        .select(col("event_id"), col("user_id"),
+          unix_millis(col("ts")).as("ts_ms"), col("value"))
+        .withColumn("trailing_n", count(lit(1)).over(w))
+        .withColumn("trailing_sum",
+          sum(Det.dec(col("value"), 2, 28)).over(w).cast("double"))
+        .orderBy("event_id")
+    },
+    Some("""SELECT event_id, user_id,
+      epoch_ms(CAST(ts AS TIMESTAMP)) AS ts_ms, value,
+      count(*) OVER w AS trailing_n,
+      CAST(sum(CAST(value AS DECIMAL(28,2))) OVER w AS DOUBLE)
+        AS trailing_sum
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ms(CAST(ts AS TIMESTAMP))
+      RANGE BETWEEN 600000 PRECEDING AND CURRENT ROW)
+    ORDER BY event_id"""))
+
   val all: Seq[Q] = Seq(
     windowRank, windowAnalytic, windowFrame, topkPerGroup,
-    windowDistribution)
+    windowDistribution, windowRange)
 }

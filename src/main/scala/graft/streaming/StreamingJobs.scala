@@ -49,6 +49,29 @@ object StreamingJobs {
       .withWatermark("ts", "10 minutes")
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** B43: stream-stream interval join — for every error event, the
+    * click events by the same user in the preceding 5 minutes. Both
+    * sides carry watermarks and the join condition bounds event time
+    * on both sides, so the state store retains only the 5-minute
+    * (+watermark slack) click buffer per user — the condition is what
+    * makes unbounded-stream ⋈ unbounded-stream finite-state. Batch
+    * parity: queries.StreamingOps.streamJoin runs the same predicate
+    * as a plain interval join (oracle-checked). */
+  def clicksBeforeErrors(clicks: DataFrame, errors: DataFrame): DataFrame = {
+    val c = clicks.withWatermark("ts", "10 minutes")
+      .select(col("event_id").as("click_id"), col("user_id").as("c_user"),
+        col("ts").as("click_ts"))
+    val e = errors.withWatermark("ts", "10 minutes")
+      .select(col("event_id").as("error_id"), col("user_id"),
+        col("ts").as("error_ts"))
+    e.join(c, expr(
+      """c_user = user_id
+         AND click_ts >= error_ts - INTERVAL 5 MINUTES
+         AND click_ts < error_ts"""))
+      .select(col("user_id"), col("error_id"), col("error_ts"),
+        col("click_id"), col("click_ts"))
+  }
+
   /** B42b: arbitrary keyed state — running event count per user via
     * flatMapGroupsWithState (the mapGroupsWithState family). */
   def runningCountPerUser(events: Dataset[Event]): Dataset[UserRunningCount] = {

@@ -76,6 +76,56 @@ class StreamingSpec extends SparkSpec {
     assert(spark.table("dedup_out").count() == 2)
   }
 
+  test("stream-stream interval join pairs clicks with later errors, bounded state") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val clicks = MemoryStream[Event]
+    val errors = MemoryStream[Event]
+    val q = StreamingJobs.clicksBeforeErrors(clicks.toDF(), errors.toDF())
+      .writeStream.outputMode(OutputMode.Append).format("memory")
+      .queryName("ss_join_out").start()
+    // user 1: clicks at 10:02 and 10:04; error at 10:05 → both pair.
+    // click at 09:58 is outside the 5-minute window → no pair.
+    // user 2: click at 10:03 but no error → no pair.
+    clicks.addData(
+      Event(10, Timestamp.valueOf("2024-01-01 09:58:00"), 1, "click", 0),
+      Event(11, ts(2), 1, "click", 0), Event(12, ts(4), 1, "click", 0),
+      Event(13, ts(3), 2, "click", 0))
+    errors.addData(Event(20, ts(5), 1, "error", 0))
+    q.processAllAvailable()
+    // advance both watermarks past the window, then a straggler error
+    // at 10:06 still inside retained click state pairs with 10:02/10:04
+    clicks.addData(Event(14, Timestamp.valueOf("2024-01-01 10:30:00"), 9, "click", 0))
+    errors.addData(Event(21, ts(6), 1, "error", 0))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("ss_join_out")
+      .select("error_id", "click_id").as[(Long, Long)].collect().toSet
+    assert(got == Set((20L, 11L), (20L, 12L), (21L, 11L), (21L, 12L)),
+      s"got $got")
+  }
+
+  test("q_stream_join batch form matches the streaming join on the fixture") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val ev = graft.engine.Tables.events(spark, sf)
+      .select(col("event_id"), col("ts"), col("user_id"),
+        col("event_type"), col("value")).as[Event]
+    val clicks = MemoryStream[Event]
+    val errors = MemoryStream[Event]
+    clicks.addData(ev.filter(_.event_type == "click").collect().toSeq)
+    errors.addData(ev.filter(_.event_type == "error").collect().toSeq)
+    runToMemory(
+      StreamingJobs.clicksBeforeErrors(clicks.toDF(), errors.toDF()),
+      "ss_parity_out")
+    val streamed = spark.table("ss_parity_out")
+      .select("error_id", "click_id").as[(Long, Long)].collect().toSet
+    val batch = q("q_stream_join")
+      .select("error_id", "click_id").as[(Long, Long)].collect().toSet
+    assert(streamed == batch && batch.nonEmpty,
+      s"stream ${streamed.size} vs batch ${batch.size}")
+  }
+
   test("flatMapGroupsWithState keeps a running per-user count across batches") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
