@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 
-import graft.functions.{CosineSimilarity, GramHashes, MinHashSig, SortedIntersectCount}
+import graft.functions.{CosineSimilarity, GramHashes, MinHashSig, NearestCells, SortedIntersectCount}
 
 /** SparkSessionExtensions entry point: registers the engine's native
   * functions for any session built with
@@ -21,5 +21,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       GramHashes.info, GramHashes.builder))
     e.injectFunction((FunctionIdentifier(MinHashSig.name),
       MinHashSig.info, MinHashSig.builder))
+    e.injectFunction((FunctionIdentifier(NearestCells.name),
+      NearestCells.info, NearestCells.builder))
   }
 }

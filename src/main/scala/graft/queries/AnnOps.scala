@@ -31,28 +31,12 @@ object AnnOps {
   private val NProbe = 4
   private val TopK = 5
 
-  /** Squared L2 distance from a vector column to a literal centroid —
-    * a codegen'd fold, one traversal, no UDF. */
-  private def l2sq(v: Column, c: Seq[Double]): Column =
-    aggregate(
-      zip_with(v, typedlit(c), (x, y) => {
-        val dd = x.cast("double") - y
-        dd * dd
-      }),
-      lit(0.0), (acc, x) => acc + x)
-
-  /** (distance, cellIdx) structs to every centroid; struct ordering
-    * makes min/sort deterministic (ties fall to the lower index). The
-    * explicit cast pins the field names, which array() coercion
-    * otherwise rewrites to col1/col2. */
-  private def cellDists(v: Column, cents: Seq[Seq[Double]]): Column =
-    array(cents.zipWithIndex.map { case (c, i) =>
-      struct(l2sq(v, c), lit(i)).cast("struct<d:double,i:int>")
-    }: _*)
-
-  /** Nearest-centroid id. */
-  private def cellOf(v: Column, cents: Seq[Seq[Double]]): Column =
-    array_min(cellDists(v, cents)).getField("i")
+  /** Nearest-centroid id, via the native one-pass kernel
+    * (functions.NearestCells — the composed HOF fold form hit the
+    * Generate-inlining re-evaluation cliff: 34 s at sf0.1). */
+  private def cellOf(s: SparkSession, v: Column, cents: Seq[Seq[Double]])
+      : Column =
+    element_at(graft.functions.NearestCells(s, v, cents, 1), 1)
 
   /** Train the coarse quantizer: init = first K vectors by vec_id,
     * then `iters` Lloyd rounds. Per round: one narrow assignment pass
@@ -64,6 +48,7 @@ object AnnOps {
   def trainCentroids(
       emb: DataFrame, k: Int = K, iters: Int = LloydIters)
       : Seq[Seq[Double]] = {
+    val s = emb.sparkSession
     val dim = emb.select(size(col("embedding"))).head().getInt(0)
     var cents: Seq[Seq[Double]] = emb
       .orderBy(col("vec_id")).limit(k)
@@ -73,7 +58,7 @@ object AnnOps {
       .toSeq
     for (_ <- 1 to iters) {
       val stats = emb
-        .select(cellOf(col("embedding"), cents).as("cell"),
+        .select(cellOf(s, col("embedding"), cents).as("cell"),
           posexplode(col("embedding")).as(Seq("pos", "x")))
         .groupBy(col("cell"), col("pos"))
         .agg(sum(col("x").cast(DecimalType(28, 10))).as("sx"),
@@ -114,12 +99,11 @@ object AnnOps {
       val cents = trainCentroids(emb)
       val corpus = emb.select(
         col("vec_id"), col("embedding"),
-        cellOf(col("embedding"), cents).as("cell"))
+        cellOf(s, col("embedding"), cents).as("cell"))
       val probes = emb.where(col("vec_id") < 10)
         .select(col("vec_id").as("probe_id"), col("embedding").as("pv"),
-          explode(slice(array_sort(cellDists(col("embedding"), cents)),
-            1, NProbe)).as("pc"))
-        .select(col("probe_id"), col("pv"), col("pc.i").as("cell"))
+          explode(graft.functions.NearestCells(
+            s, col("embedding"), cents, NProbe)).as("cell"))
       val w = Window.partitionBy(col("probe_id"))
         .orderBy(col("cos").desc, col("vec_id").asc)
       probes.join(corpus, Seq("cell"))

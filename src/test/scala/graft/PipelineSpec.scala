@@ -68,6 +68,30 @@ class PipelineSpec extends SparkSpec {
     df.unpersist()
   }
 
+  test("nearest_cells matches a driver-side recomputation; null/ragged -> NULL") {
+    val cents = Seq(Seq(0.0, 0.0), Seq(1.0, 1.0), Seq(2.0, 0.0))
+    val rows = Seq(
+      (1L, Seq(0.1f, 0.1f)), (2L, Seq(1.2f, 0.9f)), (3L, Seq(1.9f, -0.1f)),
+      (4L, Seq(0.5f, 0.5f))) // equidistant from cells 0 and 1 -> tie to 0
+    val df = rows.toDF("id", "v")
+      .select(col("id"),
+        graft.functions.NearestCells(spark, col("v"), cents, 2).as("nc"))
+      .orderBy("id")
+    val got = df.as[(Long, Seq[Int])].collect().toSeq
+    def bf(v: Seq[Float]): Seq[Int] =
+      cents.zipWithIndex.map { case (c, i) =>
+        (c.zip(v).map { case (ci, vi) => (vi - ci) * (vi - ci) }.sum, i)
+      }.sortBy(identity).take(2).map(_._2)
+    rows.foreach { case (id, v) =>
+      assert(got.find(_._1 == id).get._2 == bf(v), s"id=$id")
+    }
+    assert(got.find(_._1 == 4L).get._2.head == 0) // deterministic tie
+    // ragged input -> NULL, not an exception or a wrong cell
+    val ragged = Seq((9L, Seq(1.0f))).toDF("id", "v")
+      .select(graft.functions.NearestCells(spark, col("v"), cents, 1).as("nc"))
+    assert(ragged.head().isNullAt(0))
+  }
+
   test("IVF centroids are deterministic across retrains") {
     val emb = graft.engine.Tables.embeddings(spark, sf)
       .select(col("vec_id"), col("embedding"))
