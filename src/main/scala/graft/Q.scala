@@ -42,7 +42,8 @@ object Registry {
       queries.MultimodalOps.all ++
       queries.SqlQueries.all ++
       queries.PipelineOps.all ++
-      queries.AnnOps.all
+      queries.AnnOps.all ++
+      queries.EventOps.all
 
   lazy val byName: Map[String, Q] = all.map(q => q.name -> q).toMap
 }

@@ -49,9 +49,19 @@ object PipelineOps {
     * @return (`node`, `label`) — label = min node id in the component
     */
   def connectedComponents(spark: SparkSession, edges: DataFrame): DataFrame = {
-    val e = edges.select(col("src").cast("long"), col("dst").cast("long"))
+    val e0 = edges.select(col("src").cast("long"), col("dst").cast("long"))
       .where(col("src") =!= col("dst"))
       .localCheckpoint()
+    // Size the iteration shuffles to the EDGE LIST, not the corpus: the
+    // propagation rounds touch only nodes that have edges (a sliver of
+    // the corpus after near-dup thresholding), and running a handful of
+    // near-empty rounds across the full default parallelism costs more
+    // in task scheduling than the data movement. ~100k edges per
+    // partition; a 100 TB edge list still fans out to thousands.
+    val parts = math.max(1,
+      math.min(spark.sparkContext.defaultParallelism,
+        (e0.count() / 100000L).toInt + 1))
+    val e = e0.repartition(parts)
     val sym = e.unionByName(
       e.select(col("dst").as("src"), col("src").as("dst")))
     var labels = sym.select(col("src").as("node")).distinct()

@@ -196,6 +196,28 @@ class SnapshotSpec extends SparkSpec {
     assert(rt.extra == 2L)    // snapshot's original key-3 row + key-7 row
   }
 
+  test("compact rewrites a fragmented snapshot into sized files, content-equal") {
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("graft_test_").toString
+    val li = Tables.lineitem(spark, sf)
+    li.repartition(20).write.mode("overwrite").parquet(s"$dir/frag")
+    val before = new java.io.File(s"$dir/frag")
+      .listFiles().count(_.getName.endsWith(".parquet"))
+    assert(before == 20)
+    val c = Snapshot.compact(spark, s"$dir/frag", s"$dir/compacted",
+      targetBytes = 1L << 30)
+    assert(c.files >= 20 && c.targetFiles == 1) // >=: counts _SUCCESS too
+    val after = new java.io.File(s"$dir/compacted")
+      .listFiles().count(_.getName.endsWith(".parquet"))
+    assert(after == 1)
+    // content equality is asserted inside compact (digest); double-check rows
+    assert(spark.read.parquet(s"$dir/compacted").count() == li.count())
+    // refuses to clobber its input
+    intercept[IllegalArgumentException] {
+      Snapshot.compact(spark, s"$dir/frag", s"$dir/frag")
+    }
+  }
+
   test("incremental diff classifies inserts, deletes, unchanged") {
     import org.apache.spark.sql.functions._
     val prev = Tables.nation(spark, sf)

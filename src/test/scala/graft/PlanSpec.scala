@@ -39,6 +39,23 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("TakeOrderedAndProject"), plan.take(800))
   }
 
+  test("stream-stream join's batch form is an equi join with a range residual") {
+    val plan = executed("q_stream_join")
+    // user_id must be the shuffle key; the time range stays a residual —
+    // a nested-loop here would be quadratic in events
+    assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin")
+      || plan.contains("BroadcastHashJoin"), plan.take(1200))
+    assert(!plan.contains("CartesianProduct")
+      && !plan.contains("BroadcastNestedLoopJoin"), plan.take(1200))
+  }
+
+  test("IVF search joins on the cell key, never crossing the corpus") {
+    val plan = executed("q_sim_ivf_topk")
+    assert(!plan.contains("CartesianProduct")
+      && !plan.contains("BroadcastNestedLoopJoin"), plan.take(1200))
+    assert(plan.contains("cell"), plan.take(1200))
+  }
+
   test("partitioned snapshot write round-trips and prunes partitions") {
     val dir = java.nio.file.Files.createTempDirectory("graft_part_")
       .resolve("li").toString
