@@ -21,8 +21,10 @@ object BenchOne {
     spark.sparkContext.setLogLevel("WARN")
     (1 to iters).foreach { i =>
       val t0 = System.nanoTime()
-      val n = SparkEntry.queries(name)(spark, sfDir).count()
-      println(f"[benchone] $name iter$i: ${(System.nanoTime() - t0) / 1e9}%.2f s ($n rows)")
+      // Same full-materialization metric as Bench (noop sink): count()
+      // would let Catalyst prune the projections and drop the sort.
+      Bench.materialize(SparkEntry.queries(name)(spark, sfDir))
+      println(f"[benchone] $name iter$i: ${(System.nanoTime() - t0) / 1e9}%.2f s")
     }
     spark.stop()
   }

@@ -115,7 +115,12 @@ object ScalarFns {
           (col("p_size") % lit(7)).as("size_mod"),
           greatest(col("p_retailprice"), lit(1000.0)).as("hi"),
           least(col("p_retailprice"), lit(1000.0)).as("lo"),
-          col("p_retailprice").cast("decimal(12,2)").as("price_dec"))
+          // Render the decimal as text: a DECIMAL-typed output column is
+          // normalized differently by the two comparator read paths
+          // (pyarrow Decimal('900.00') vs DuckDB fetchdf float64 900.0),
+          // so declared queries must not emit DECIMAL columns.
+          col("p_retailprice").cast("decimal(12,2)").cast("string")
+            .as("price_dec"))
         .orderBy("p_partkey"),
     Some("""SELECT p_partkey, p_retailprice,
       CAST(round(CAST(p_retailprice AS DECIMAL(12,2)) * CAST(1.1 AS DECIMAL(2,1)), 2)
@@ -129,7 +134,7 @@ object ScalarFns {
       p_size % 7 AS size_mod,
       greatest(p_retailprice, 1000.0e0) AS hi,
       least(p_retailprice, 1000.0e0) AS lo,
-      CAST(p_retailprice AS DECIMAL(12,2)) AS price_dec
+      CAST(CAST(p_retailprice AS DECIMAL(12,2)) AS VARCHAR) AS price_dec
     FROM part ORDER BY p_partkey"""))
 
   /** B29: array/higher-order family over embeddings. Folds are
@@ -316,7 +321,9 @@ object ScalarFns {
           (col("meta.n_chars") + 1).as("s_chars1"),
           element_at(col("m"), "source").as("m_source"),
           size(col("m")).cast("long").as("m_size"),
-          sort_array(map_keys(col("m"))).as("m_keys"),
+          // Joined to one string: an ARRAY-typed output column crashes the
+          // driver's row-sort (unhashable ndarray in pandas lexsort).
+          array_join(sort_array(map_keys(col("m"))), ",").as("m_keys"),
           element_at(transform_values(col("m"), (_, v) => upper(v)),
             "lang").as("m_lang_upper"))
         .orderBy("doc_id"),
@@ -325,7 +332,7 @@ object ScalarFns {
       n_chars + 1 AS s_chars1,
       source AS m_source,
       CAST(2 AS BIGINT) AS m_size,
-      ['lang', 'source'] AS m_keys,
+      'lang,source' AS m_keys,
       upper(lang) AS m_lang_upper
     FROM documents ORDER BY doc_id"""))
 

