@@ -46,30 +46,43 @@ object AsyncJob {
     private val result = new AtomicReference[Option[T]](None)
 
     private[AsyncJob] val thread: Thread = new Thread(() => {
-      state.set(InProgress)
-      try {
-        spark.sparkContext.setJobGroup(taskId,
-          s"graft async job $taskId", interruptOnCancel = true)
-        val r = body()
-        result.set(Some(r))
-        state.compareAndSet(InProgress, Success)
-      } catch {
-        case e: Throwable =>
-          if (state.get() != Cancelled) state.set(Error(e))
-      } finally {
-        spark.sparkContext.clearJobGroup()
-        live.remove(taskId)
-      }
+      // CAS, not set: a cancel() that lands before this thread is
+      // scheduled has already moved Created → Cancelled, and the body
+      // must never start (previously the set() overwrote Cancelled and
+      // the job ran to completion as Success).
+      if (state.compareAndSet(Created, InProgress)) {
+        try {
+          spark.sparkContext.setJobGroup(taskId,
+            s"graft async job $taskId", interruptOnCancel = true)
+          val r = body()
+          result.set(Some(r))
+          state.compareAndSet(InProgress, Success)
+        } catch {
+          case e: Throwable => state.compareAndSet(InProgress, Error(e))
+        } finally {
+          spark.sparkContext.clearJobGroup()
+          live.remove(taskId)
+        }
+      } else live.remove(taskId)
     }, s"graft-async-$taskId")
 
     /** Current lifecycle state (the `rds_task_status` poll). */
     def status(): Lifecycle = state.get()
 
-    /** Cancel the job group on the cluster and mark the task. */
+    /** Cancel the job group on the cluster and mark the task. Only a
+      * non-terminal task can be cancelled — a completed Success/Error
+      * must keep its outcome (the reference's poll loop reads the final
+      * lifecycle exactly once, backup.sh:139-156). */
     def cancel(): Unit = {
-      state.set(Cancelled)
-      spark.sparkContext.cancelJobGroup(taskId)
-      live.remove(taskId)
+      @annotation.tailrec
+      def toCancelled(): Boolean = state.get() match {
+        case s if isTerminal(s) => false
+        case s => state.compareAndSet(s, Cancelled) || toCancelled()
+      }
+      if (toCancelled()) {
+        spark.sparkContext.cancelJobGroup(taskId)
+        live.remove(taskId)
+      }
     }
 
     /** Poll to a terminal state (transition-only logging via

@@ -27,11 +27,17 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, I
   * strictly, so equal distances fall to the lower index —
   * deterministic under any partitioning.
   */
-case class NearestCells(child: Expression, centroids: Array[Array[Double]],
+case class NearestCells(child: Expression, centroids: Seq[Seq[Double]],
     n: Int) extends UnaryExpression {
 
+  // Seq, not Array, in the constructor: case-class equality over an
+  // Array is reference equality, which breaks semanticEquals /
+  // canonicalization / CSE for structurally identical expressions. The
+  // kernel loops over a private array conversion instead.
   private val k = centroids.length
-  private val dim = if (k == 0) 0 else centroids(0).length
+  private val dim = if (k == 0) 0 else centroids.head.length
+  @transient private lazy val cmat: Array[Array[Double]] =
+    centroids.map(_.toArray).toArray
 
   override def checkInputDataTypes(): TypeCheckResult =
     child.dataType match {
@@ -61,7 +67,7 @@ case class NearestCells(child: Expression, centroids: Array[Array[Double]],
     val d = new Array[Double](k)
     var c = 0
     while (c < k) {
-      val cent = centroids(c)
+      val cent = cmat(c)
       var acc = 0.0
       var j = 0
       while (j < dim) {
@@ -118,7 +124,8 @@ object NearestCells {
         c.dataType.isInstanceOf[ArrayType] =>
       val cents = c.eval().asInstanceOf[ArrayData].toObjectArray(
         c.dataType.asInstanceOf[ArrayType].elementType)
-        .map(_.asInstanceOf[ArrayData].toDoubleArray())
+        .map(_.asInstanceOf[ArrayData].toDoubleArray().toIndexedSeq)
+        .toIndexedSeq
       NearestCells(v, cents, n)
     case other => throw new IllegalArgumentException(
       s"$name expects (vec, centroid matrix literal, n literal int), " +

@@ -206,9 +206,9 @@ object DedupOps {
 
     val g = big.select(col("source"), col("doc_id"),
       explode(col("bg")).as("g"))
-    val usable = g.groupBy(col("source"), col("g"))
+    val gramDf = g.groupBy(col("source"), col("g"))
       .agg(count(lit(1)).as("df"))
-      .where(col("df") > 1 && col("df") <= dfCap)
+    val usable = gramDf.where(col("df") > 1 && col("df") <= dfCap)
       .select("source", "g")
     val gp = g.join(usable, Seq("source", "g"))
     val cand = gp.select(col("source"), col("g"), col("doc_id").as("a_id"))
@@ -222,8 +222,41 @@ object DedupOps {
       .join(big.select(col("source"), col("doc_id").as("b_id"),
         col("bg").as("b_bg")), Seq("source", "b_id"))
 
+    // Residual path: a doc whose EVERY gram is either unique (df=1) or
+    // block-ubiquitous (df>dfCap) generates no candidates above, yet its
+    // true pairs exist — e.g. a boilerplate-only doc duplicated across a
+    // big block. Any gram such a doc shares with anyone is pruned, so
+    // its pairs can NEVER come from the candidate join (the two paths
+    // are disjoint — no double counting). Recover them exactly by
+    // pairing each such doc against its whole block and re-scoring:
+    // cost is |residual|·|block|, linear in the block per residual doc.
+    // The remaining (documented) approximation: two docs that BOTH have
+    // usable grams but whose every SHARED gram is ubiquitous still slip
+    // through — recovering those is the df² fan-out this path exists to
+    // avoid.
+    // (df=1 grams are shared with nobody, so an all-unique-gram doc has
+    // no pairs at all and is correctly excluded from the residual.)
+    val usableDocs = gp.select(col("source"), col("doc_id")).distinct()
+    val resid = g
+      .join(gramDf.where(col("df") > dfCap).select("source", "g"),
+        Seq("source", "g"))
+      .select(col("source"), col("doc_id")).distinct()
+      .join(usableDocs, Seq("source", "doc_id"), "left_anti")
+    val residPairs = resid.select(col("source"), col("doc_id").as("r_id"))
+      .join(big.select(col("source"), col("doc_id").as("o_id")),
+        Seq("source"))
+      .where(col("r_id") =!= col("o_id"))
+      .select(col("source"), least(col("r_id"), col("o_id")).as("a_id"),
+        greatest(col("r_id"), col("o_id")).as("b_id"))
+      .distinct() // a residual-residual pair arrives once per side
+      .join(big.select(col("source"), col("doc_id").as("a_id"),
+        col("bg").as("a_bg")), Seq("source", "a_id"))
+      .join(big.select(col("source"), col("doc_id").as("b_id"),
+        col("bg").as("b_bg")), Seq("source", "b_id"))
+
     ngramScore(s, pairwise.select("source", "a_id", "b_id", "a_bg", "b_bg")
-      .unionByName(exploded.select("source", "a_id", "b_id", "a_bg", "b_bg")))
+      .unionByName(exploded.select("source", "a_id", "b_id", "a_bg", "b_bg"))
+      .unionByName(residPairs.select("source", "a_id", "b_id", "a_bg", "b_bg")))
   }
 
   val dedupNgramJaccard: Q = Q(

@@ -122,6 +122,35 @@ class DedupSpec extends SparkSpec {
     grams.unpersist()
   }
 
+  test("ngram fallback residual: boilerplate-only docs keep their exact pairs") {
+    // With a tiny dfCap every boilerplate bigram is "ubiquitous" and
+    // pruned from candidate generation, so docs made ONLY of boilerplate
+    // (d1, d2) would silently lose all their pairs — including the
+    // jaccard-1.0 duplicate pair (1,2) — without the residual path.
+    // Ground truth is the pairwise shape on the same grams.
+    val tmp = java.nio.file.Files.createTempDirectory("graft_resid").toString
+    val boiler = "aaa bbb ccc ddd"
+    val docs =
+      Seq((1L, boiler), (2L, boiler), // boilerplate-only duplicates
+        (3L, s"$boiler xxx yyy zzz"), // share a rare (usable) phrase
+        (4L, s"$boiler xxx yyy zzz")) ++
+        (5L to 8L).map(i => (i, s"$boiler p$i q$i r$i")) // unique fillers
+    docs.map { case (i, t) => (i, t, "en", "srcA", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val grams = queries.DedupOps.ngramGrams(spark, tmp).cache()
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4))).toSet
+    val exact = rows(queries.DedupOps.ngramPairs(spark, grams, Int.MaxValue, 2))
+    val exploded = rows(queries.DedupOps.ngramPairs(spark, grams, 0, 2))
+    assert(exact.exists { case (_, a, b, _, j) => a == 1L && b == 2L && j == 1.0 },
+      "fixture must contain the boilerplate duplicate pair")
+    assert(exploded == exact,
+      s"exploded-only=${exploded -- exact} exact-only=${exact -- exploded}")
+    grams.unpersist()
+  }
+
   test("native gram_hashes: sorted, distinct, counts match the expression form") {
     val both = nearDupDocs.select(col("doc_id"),
       functions.GramHashes(spark, col("text"), 3).as("g"),

@@ -170,6 +170,28 @@ class AsyncJobSpec extends SparkSpec {
     // terminal task released the id
     assert(AsyncJob.submit(spark, "t-dup") { () => 3 }.await(intervalMs = 10) == 3)
   }
+
+  test("cancel mid-run sticks: a finishing body cannot overwrite Cancelled") {
+    val entered = new java.util.concurrent.CountDownLatch(1)
+    val release = new java.util.concurrent.CountDownLatch(1)
+    val h = AsyncJob.submit(spark, "t-cancel") { () =>
+      entered.countDown(); release.await(); 42
+    }
+    entered.await()
+    h.cancel()
+    assert(h.status() == AsyncJob.Cancelled)
+    release.countDown()
+    h.thread.join(5000)
+    // the body ran to completion, but its CAS(InProgress -> Success) lost
+    assert(h.status() == AsyncJob.Cancelled)
+  }
+
+  test("cancel after completion is a no-op: Success is terminal") {
+    val h = AsyncJob.submit(spark, "t-late-cancel") { () => 7 }
+    assert(h.await(intervalMs = 10) == 7)
+    h.cancel()
+    assert(h.status() == AsyncJob.Success)
+  }
 }
 
 class SnapshotSpec extends SparkSpec {
