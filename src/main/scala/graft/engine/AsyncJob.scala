@@ -45,15 +45,19 @@ object AsyncJob {
     private val state = new AtomicReference[Lifecycle](Created)
     private val result = new AtomicReference[Option[T]](None)
 
-    private[AsyncJob] val thread: Thread = new Thread(() => {
+    private[graft] val thread: Thread = new Thread(() => {
+      // Register the job group BEFORE the lifecycle CAS: a cancel()
+      // landing between CAS(Created→InProgress) and setJobGroup would
+      // otherwise cancel a group that does not exist yet, letting the
+      // body's Spark jobs run to completion uncancelled.
+      spark.sparkContext.setJobGroup(taskId,
+        s"graft async job $taskId", interruptOnCancel = true)
       // CAS, not set: a cancel() that lands before this thread is
       // scheduled has already moved Created → Cancelled, and the body
       // must never start (previously the set() overwrote Cancelled and
       // the job ran to completion as Success).
       if (state.compareAndSet(Created, InProgress)) {
         try {
-          spark.sparkContext.setJobGroup(taskId,
-            s"graft async job $taskId", interruptOnCancel = true)
           val r = body()
           result.set(Some(r))
           state.compareAndSet(InProgress, Success)
@@ -80,7 +84,10 @@ object AsyncJob {
         case s => state.compareAndSet(s, Cancelled) || toCancelled()
       }
       if (toCancelled()) {
-        spark.sparkContext.cancelJobGroup(taskId)
+        // AndFutureJobs: even if the cancel raced ahead of the body's
+        // first job submission, later jobs tagged with this group id are
+        // rejected too — no cluster work is wasted on a cancelled task.
+        spark.sparkContext.cancelJobGroupAndFutureJobs(taskId)
         live.remove(taskId)
       }
     }
