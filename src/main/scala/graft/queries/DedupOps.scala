@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.Q
 import graft.engine.Tables
-import graft.functions.{TextHash, Vectors}
+import graft.functions.TextHash
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -22,6 +22,14 @@ object DedupOps {
   private val Perms = 32
   private val Bands = 8
   private val RowsPerBand = 4
+
+  /** The random-hyperplane model for embedding LSH (seeded → identical
+    * across JVMs/plan branches); shared by q_sim_lsh_topk and
+    * q_dedup_embedding's candidate generator. */
+  private[graft] val LshPlanes: Seq[Seq[Double]] = {
+    val rnd = new scala.util.Random(42)
+    Seq.fill(16)(Seq.fill(64)(rnd.nextGaussian()))
+  }
 
   /** Max docs fully paired within one band bucket. Past the cap a
     * bucket degrades to star pairs against its representative (min
@@ -295,16 +303,14 @@ object DedupOps {
   val simLshTopk: Q = Q(
     "q_sim_lsh_topk",
     (s, d) => {
-      val rnd = new scala.util.Random(42)
-      val planes: Seq[Seq[Double]] =
-        Seq.fill(16)(Seq.fill(64)(rnd.nextGaussian()))
-      def sigBits(v: org.apache.spark.sql.Column) =
-        planes.zipWithIndex.map { case (p, i) =>
-          when(Vectors.dot(v, typedlit(p)) > 0, lit(1 << i)).otherwise(0)
-        }.reduce(_ + _)
+      // One-pass native signature kernel: all 16 plane dots over a
+      // single read of the vector (HyperplaneSig's scaladoc has the
+      // interpreted-HOF cliff this replaces; bits are bit-identical to
+      // the composed 16× Vectors.dot form).
       val e = Tables.embeddings(s, d)
         .select(col("vec_id"), col("embedding"),
-          sigBits(col("embedding")).as("sig"))
+          graft.functions.HyperplaneSig(
+            s, col("embedding"), DedupOps.LshPlanes).as("sig"))
       def banded(df: DataFrame, prefix: String) =
         df.select(col("vec_id").as(s"${prefix}_id"),
           col("embedding").as(s"${prefix}_v"),

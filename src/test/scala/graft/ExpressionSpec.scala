@@ -36,6 +36,42 @@ class ExpressionSpec extends SparkSpec {
     assert(withNull.head.isNullAt(0))
   }
 
+  test("hyperplane_sig is bit-identical to the composed per-plane dot form") {
+    import graft.functions.HyperplaneSig
+    val planes = graft.queries.DedupOps.LshPlanes
+    def composedBits(v: org.apache.spark.sql.Column) =
+      planes.zipWithIndex.map { case (p, i) =>
+        when(Vectors.dot(v, typedlit(p)) > 0, lit(1 << i)).otherwise(0)
+      }.reduce(_ + _)
+    val rows = Tables.embeddings(spark, sf).limit(200)
+      .select(
+        HyperplaneSig(spark, col("embedding"), planes).as("fused"),
+        composedBits(col("embedding")).as("composed"))
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(r.getInt(0) == r.getInt(1),
+      s"fused=${r.getInt(0)} composed=${r.getInt(1)}"))
+  }
+
+  test("hyperplane_sig yields NULL on dimension mismatch and null elements") {
+    import spark.implicits._
+    import graft.functions.HyperplaneSig
+    val planes = Seq(Seq(1.0, -1.0), Seq(0.5, 0.5))
+    val df = Seq(
+      Seq(1.0f, 2.0f),           // ok: dot1=-1<=0, dot2=1.5>0 → bit1 only
+      Seq(1.0f))                 // ragged
+      .toDF("v")
+    val rows = df.select(HyperplaneSig(spark, col("v"), planes).as("s"))
+      .collect()
+    assert(rows(0).getInt(0) == 2)
+    assert(rows(1).isNullAt(0))
+    val withNull = Seq(Tuple1(Seq(Some(1.0f), None)))
+      .toDF("v")
+      .select(HyperplaneSig(spark, col("v").cast("array<float>"), planes))
+      .collect()
+    assert(withNull(0).isNullAt(0))
+  }
+
   test("cosine_sim is callable from SQL via GraftExtensions-style registration") {
     CosineSimilarity.register(spark)
     val v = spark.sql(
