@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 
-import graft.functions.{CosineSimilarity, GramHashes, MinHashSig, NearestCells, SortedIntersectCount}
+import graft.functions.{CosineSimilarity, GramHashes, HyperplaneSig, MinHashSig, NearestCells, RollingHash, SortedIntersectCount}
 
 /** SparkSessionExtensions entry point: registers the engine's native
   * functions for any session built with
@@ -23,5 +23,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       MinHashSig.info, MinHashSig.builder))
     e.injectFunction((FunctionIdentifier(NearestCells.name),
       NearestCells.info, NearestCells.builder))
+    e.injectFunction((FunctionIdentifier(HyperplaneSig.name),
+      HyperplaneSig.info, HyperplaneSig.builder))
+    e.injectFunction((FunctionIdentifier(RollingHash.name),
+      RollingHash.info, RollingHash.builder))
   }
 }

@@ -223,10 +223,10 @@ object TextOps {
         .select(
           col("doc_id"),
           md5(lower(trim(col("text")))).as("fingerprint"),
-          expr("""aggregate(
-            transform(sequence(1, length(text)),
-              i -> CAST(ascii(substr(text, i, 1)) AS LONG)),
-            0L, (h, c) -> (h * 31 + c) % 1000000007)""").as("rolling_hash"),
+          // Native one-pass kernel: the composed HOF form was O(n²) per
+          // document (substr(text,i,1) rescans from the front) and
+          // interpreted — see RollingHash's scaladoc.
+          graft.functions.RollingHash(s, col("text")).as("rolling_hash"),
           (col("n_chars") / lit(100)).cast("long").as("len_bucket"))
         .orderBy("doc_id"),
     Some("""SELECT doc_id, md5(lower(trim(text))) AS fingerprint,

@@ -72,6 +72,28 @@ class ExpressionSpec extends SparkSpec {
     assert(withNull(0).isNullAt(0))
   }
 
+  test("rolling_hash matches the composed HOF fold, including edge cases") {
+    import spark.implicits._
+    import graft.functions.RollingHash
+    val composed = expr("""aggregate(
+      transform(sequence(1, length(t)),
+        i -> CAST(ascii(substr(t, i, 1)) AS LONG)),
+      0L, (h, c) -> (h * 31 + c) % 1000000007)""")
+    val docs = Tables.documents(spark, sf).limit(200)
+      .select(col("text").as("t"))
+      .unionByName(Seq("", "a", "abc", "naïve café — ✓",
+        "😀 astral", "x" * 5000).toDF("t"))
+    val rows = docs.select(
+      RollingHash(spark, col("t")).as("fused"), composed.as("hof")).collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(r.getLong(0) == r.getLong(1),
+      s"fused=${r.getLong(0)} hof=${r.getLong(1)}"))
+    // null text → null, like the HOF form
+    val nulls = Seq(Option.empty[String]).toDF("t").select(
+      RollingHash(spark, col("t")).as("fused"), composed.as("hof")).head
+    assert(nulls.isNullAt(0) && nulls.isNullAt(1))
+  }
+
   test("cosine_sim is callable from SQL via GraftExtensions-style registration") {
     CosineSimilarity.register(spark)
     val v = spark.sql(
