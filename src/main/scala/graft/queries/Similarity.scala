@@ -60,30 +60,97 @@ object Similarity {
       WHERE c.vec_id != p.vec_id)
     WHERE k <= 10 ORDER BY probe_id, k"""))
 
-  /** Mandated EXT: embedding-cosine near-duplicate pairs, blocked by
-    * label so the pair space is an equi join (the exact-verify stage of
-    * an LSH dedup at scale). */
+  /** The random-hyperplane model for q_dedup_embedding's candidate
+    * generator: 32 planes → 8 bands × 4 bits. Seeded (deterministic
+    * across JVMs); distinct from DedupOps.LshPlanes (16 planes) because
+    * the dedup join wants more bands for recall at its low threshold. */
+  private[graft] val DedupPlanes: Seq[Seq[Double]] = {
+    val rnd = new scala.util.Random(7)
+    Seq.fill(32)(Seq.fill(64)(rnd.nextGaussian()))
+  }
+  private val DedupBands = 8
+  private val DedupRowsPerBand = 4
+
+  /** DuckDB mirror of one plane dot against `embedding`: same
+    * left-to-right double fold as HyperplaneSig's kernel (plane values
+    * rendered with Scala's shortest-round-trip Double.toString, which
+    * every correct parser reads back to the identical double), so each
+    * signature BIT — a sign test on a bit-identical double — matches. */
+  private def sqlPlaneDot(plane: Seq[Double]): String = {
+    val lit = plane.map(_.toString).mkString("[", ", ", "]")
+    s"""list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       list_transform(generate_series(1, 64),
+         i -> CAST(embedding[i] AS DOUBLE) * ($lit)[i])),
+       (s, x) -> s + x)"""
+  }
+  private def sqlBandVal(b: Int): String =
+    (0 until DedupRowsPerBand).map { j =>
+      s"(CASE WHEN ${sqlPlaneDot(DedupPlanes(b * DedupRowsPerBand + j))} > 0" +
+        s" THEN ${1 << j} ELSE 0 END)"
+    }.mkString(" + ")
+
+  /** Mandated EXT: embedding-cosine near-duplicate pairs — candidates
+    * from an 8-band random-hyperplane LSH join WITHIN label, exact
+    * cosine ≥ 0.35 as the residual filter. The LSH stage is part of the
+    * DECLARED semantics (and mirrored bit-exactly in the oracle SQL):
+    * at this threshold (fixture pairs sit at cos 0.35-0.47, where a
+    * hyperplane bit agrees with only p≈0.61) no LSH configuration has
+    * recall 1, so hiding the candidate stage would silently change the
+    * result set. Declaring it makes the query the true 100 TB path —
+    * pair cost follows band collisions (~60% of random same-label pairs
+    * pruned at these parameters, far more on clustered real-world data)
+    * instead of |label block|² — while both engines verify the whole
+    * signature → band → collide → re-rank pipeline. Recall vs the
+    * brute-force pair set is measured and asserted in DedupSpec. */
   val dedupEmbedding: Q = Q(
     "q_dedup_embedding",
     (s, d) => {
       val e = Tables.embeddings(s, d)
-        .select(col("vec_id"), col("label"), col("embedding"))
-      val a = e.select(col("vec_id").as("a_id"), col("label"),
-        col("embedding").as("av"))
-      val b = e.select(col("vec_id").as("b_id"), col("label"),
-        col("embedding").as("bv"))
-      a.join(b, Seq("label"))
+        .where(size(col("embedding")) === 64)
+        .select(col("vec_id"), col("label"), col("embedding"),
+          graft.functions.HyperplaneSig(
+            s, col("embedding"), DedupPlanes).as("sig"))
+      // Narrow banded relation (no embedding payload) → the candidate
+      // shuffle moves (id, label, band) only; vectors rejoin by id for
+      // the exact re-rank.
+      val banded = e.select(col("vec_id"), col("label"),
+        explode(array((0 until DedupBands).map(b =>
+          struct(lit(b).as("band_idx"),
+            shiftright(col("sig"), b * DedupRowsPerBand)
+              .bitwiseAND((1 << DedupRowsPerBand) - 1).as("band_val"))): _*))
+          .as("band"))
+        .select(col("vec_id"), col("label"),
+          col("band.band_idx").as("band_idx"),
+          col("band.band_val").as("band_val"))
+      val cands = banded.select(col("label"), col("band_idx"),
+          col("band_val"), col("vec_id").as("a_id"))
+        .join(banded.select(col("label"), col("band_idx"),
+          col("band_val"), col("vec_id").as("b_id")),
+          Seq("label", "band_idx", "band_val"))
         .where(col("a_id") < col("b_id"))
+        .select("label", "a_id", "b_id").distinct()
+      cands
+        .join(e.select(col("vec_id").as("a_id"), col("embedding").as("av")),
+          Seq("a_id"))
+        .join(e.select(col("vec_id").as("b_id"), col("embedding").as("bv")),
+          Seq("b_id"))
         .withColumn("cos",
           graft.functions.CosineSimilarity(s, col("av"), col("bv")))
         .where(col("cos") >= 0.35)
         .select("label", "a_id", "b_id", "cos")
         .orderBy("label", "a_id", "b_id")
     },
-    Some(s"""SELECT a.label AS label, a.vec_id AS a_id, b.vec_id AS b_id,
+    Some(s"""WITH sig AS (
+      SELECT vec_id, label, embedding,
+        ${(0 until DedupBands).map(b => s"(${sqlBandVal(b)}) AS band_$b")
+          .mkString(",\n        ")}
+      FROM embeddings WHERE len(embedding) = 64)
+    SELECT a.label AS label, a.vec_id AS a_id, b.vec_id AS b_id,
       ${Vectors.sqlCosine("a.embedding", "b.embedding")} AS cos
-    FROM embeddings a JOIN embeddings b
+    FROM sig a JOIN sig b
       ON a.label = b.label AND a.vec_id < b.vec_id
+      AND (${(0 until DedupBands).map(b => s"a.band_$b = b.band_$b")
+        .mkString(" OR ")})
     WHERE ${Vectors.sqlCosine("a.embedding", "b.embedding")} >= 0.35
     ORDER BY label, a_id, b_id"""))
 

@@ -86,6 +86,37 @@ class DedupSpec extends SparkSpec {
     overlap.foreach { k => assert(lsh(k) == brute(k), s"cos mismatch at $k") }
   }
 
+  test("embedding dedup: LSH candidates give exact-cosine subset of brute force, recall documented") {
+    val lsh = Registry.byName("q_dedup_embedding").fn(spark, sf)
+      .select("a_id", "b_id", "cos").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    // brute force: all same-label pairs, exact cosine >= 0.35
+    val e = graft.engine.Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("label"), col("embedding"))
+    val brute = e.select(col("vec_id").as("a_id"), col("label"),
+        col("embedding").as("av"))
+      .join(e.select(col("vec_id").as("b_id"), col("label"),
+        col("embedding").as("bv")), Seq("label"))
+      .where(col("a_id") < col("b_id"))
+      .withColumn("cos", graft.functions.CosineSimilarity(
+        spark, col("av"), col("bv")))
+      .where(col("cos") >= 0.35)
+      .select("a_id", "b_id", "cos").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    // precision 1: every LSH pair is a true pair with the identical score
+    lsh.foreach { case (k, c) =>
+      assert(brute.contains(k), s"false positive $k")
+      assert(brute(k) == c, s"cos mismatch at $k")
+    }
+    // recall: at threshold 0.35 a hyperplane bit agrees with only
+    // p≈0.61, so misses are expected BY DESIGN (the declared semantics
+    // include the candidate stage). Pin a floor so a banding regression
+    // (e.g. a band-key bug collapsing collisions) fails loudly.
+    assert(brute.nonEmpty)
+    val recall = lsh.size.toDouble / brute.size
+    assert(recall >= 0.5, s"recall $recall (${lsh.size}/${brute.size})")
+  }
+
   test("LSH bucket cap keeps a pathological all-identical corpus linear") {
     // 200 identical docs collapse every band into one bucket; uncapped
     // all-pairs would emit C(200,2)=19900 pairs. The cap bounds the
