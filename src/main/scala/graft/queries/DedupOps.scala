@@ -159,6 +159,11 @@ object DedupOps {
     * only lose pairs whose EVERY shared gram is ubiquitous. */
   private val NgramDfCap = 64
 
+  /** Residual docs per block that get the full |block| pairing in the
+    * residual-recovery path; overflow docs star-pair against the block
+    * representative only (see the residual-path comment in ngramPairs). */
+  private val NgramResidCap = 64
+
   /** (doc_id, source, bg): each doc's distinct token bigrams, 64-bit
     * hashed and sorted (the merge-count input shape), via the native
     * one-pass kernel — the bigram string is never built (same |A∩B|
@@ -199,7 +204,8 @@ object DedupOps {
     * within one pair (~1e-13) is the accepted error. */
   private[graft] def ngramPairs(
       s: SparkSession, grams: DataFrame,
-      blockCap: Int, dfCap: Int): DataFrame = {
+      blockCap: Int, dfCap: Int,
+      residCap: Int = NgramResidCap): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val sized = grams.withColumn("block_n",
       count(lit(1)).over(Window.partitionBy(col("source"))))
@@ -235,9 +241,16 @@ object DedupOps {
     // true pairs exist — e.g. a boilerplate-only doc duplicated across a
     // big block. Any gram such a doc shares with anyone is pruned, so
     // its pairs can NEVER come from the candidate join (the two paths
-    // are disjoint — no double counting). Recover them exactly by
-    // pairing each such doc against its whole block and re-scoring:
-    // cost is |residual|·|block|, linear in the block per residual doc.
+    // are disjoint — no double counting). Recover them by pairing each
+    // such doc against its whole block and re-scoring. In the worst case
+    // (a block that is MOSTLY boilerplate-only docs) |residual| →
+    // |block| and this degrades to the |block|² fan-out the dfCap
+    // pruning exists to avoid, so the residual set is capped per block:
+    // the first `residCap` docs (by doc_id — deterministic) get the full
+    // block pairing; every overflow doc star-pairs against the block's
+    // min doc_id only, keeping its link into the duplicate component
+    // (the BucketCap pattern from dedupMinhashPairs) at linear cost.
+    // Total residual cost: residCap·|block| + |overflow|.
     // The remaining (documented) approximation: two docs that BOTH have
     // usable grams but whose every SHARED gram is ubiquitous still slip
     // through — recovering those is the df² fan-out this path exists to
@@ -250,9 +263,17 @@ object DedupOps {
         Seq("source", "g"))
       .select(col("source"), col("doc_id")).distinct()
       .join(usableDocs, Seq("source", "doc_id"), "left_anti")
-    val residPairs = resid.select(col("source"), col("doc_id").as("r_id"))
+      .withColumn("rn", row_number()
+        .over(Window.partitionBy(col("source")).orderBy(col("doc_id"))))
+    val blockRep = big.groupBy(col("source"))
+      .agg(min(col("doc_id")).as("o_id"))
+    val residPairs = resid.where(col("rn") <= residCap)
+      .select(col("source"), col("doc_id").as("r_id"))
       .join(big.select(col("source"), col("doc_id").as("o_id")),
         Seq("source"))
+      .unionByName(resid.where(col("rn") > residCap)
+        .select(col("source"), col("doc_id").as("r_id"))
+        .join(blockRep, Seq("source")))
       .where(col("r_id") =!= col("o_id"))
       .select(col("source"), least(col("r_id"), col("o_id")).as("a_id"),
         greatest(col("r_id"), col("o_id")).as("b_id"))

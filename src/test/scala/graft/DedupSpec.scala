@@ -182,6 +182,33 @@ class DedupSpec extends SparkSpec {
     grams.unpersist()
   }
 
+  test("ngram residual cap keeps a mostly-boilerplate block linear and connected") {
+    // 120 identical boilerplate-only docs: with a tiny dfCap every gram
+    // is ubiquitous, so ALL of them land in the residual set. Uncapped,
+    // the residual path would pair each against the whole block —
+    // O(block²), the exact fan-out the dfCap pruning exists to avoid.
+    // With residCap=8 the first 8 docs (by doc_id) get the full block
+    // pairing and the 112 overflow docs star-pair against the block min
+    // only; every doc must still reach the duplicate component.
+    val tmp = java.nio.file.Files.createTempDirectory("graft_residcap").toString
+    val boiler = "aaa bbb ccc ddd"
+    (1L to 120L).map(i => (i, boiler, "en", "srcA", boiler.length.toLong))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val grams = queries.DedupOps.ngramGrams(spark, tmp).cache()
+    val pairs = queries.DedupOps.ngramPairs(spark, grams, 0, 2, residCap = 8)
+      .cache()
+    val n = pairs.count()
+    // head: C(8,2) among capped docs + 8·112 head-vs-rest; overflow:
+    // 112 star pairs (dedup'd against head coverage of doc 1).
+    val bound = 8 * 119 + 112
+    assert(n <= bound, s"pair count $n exceeds capped bound $bound")
+    val ids = pairs.select("a_id").as[Long].collect().toSet ++
+      pairs.select("b_id").as[Long].collect().toSet
+    assert(ids == (1L to 120L).toSet, "an overflow doc lost its link")
+    pairs.unpersist(); grams.unpersist()
+  }
+
   test("native gram_hashes: sorted, distinct, counts match the expression form") {
     val both = nearDupDocs.select(col("doc_id"),
       functions.GramHashes(spark, col("text"), 3).as("g"),
