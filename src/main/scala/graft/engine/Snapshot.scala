@@ -57,8 +57,9 @@ object Snapshot {
   /** Partition-parallel JDBC extract — the cluster form of `pg_dump`
     * (A1, backup.sh:210): numPartitions range-splits on partitionColumn
     * so every executor pulls its own key range instead of one connection
-    * streaming the whole table. Untested here (no database in the test
-    * environment); the read shape is the standard Spark JDBC contract. */
+    * streaming the whole table. Exercised against embedded Derby in
+    * JdbcExtractSpec: per-partition key-slice counts prove the range
+    * split, and PushedFilters proves residual predicate pushdown. */
   def extractJdbc(
       spark: SparkSession, url: String, table: String,
       partitionColumn: String, lowerBound: Long, upperBound: Long,
