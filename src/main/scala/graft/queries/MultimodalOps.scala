@@ -30,8 +30,13 @@ object MultimodalOps {
     FROM documents ORDER BY doc_id"""))
 
   /** Feature extraction through the stubbed codec — mapPartitions
-    * plumbing is real, decode is a deterministic fake, so no SQL oracle
-    * (rows-only check) but full spec coverage in MultimodalSpec. */
+    * plumbing is real, decode is a deterministic fake whose feature
+    * math (byte-stat moments + 64-byte frame sampling) is simple enough
+    * to mirror in SQL, so the whole path IS oracle-checked: the fixture
+    * corpus is pure ASCII (verified at every SF), so per-character
+    * codepoints equal payload bytes and DuckDB reproduces the codec
+    * exactly. A real codec swap would drop the oracle back to rows-only
+    * + spec coverage (MultimodalSpec). */
   val multimodalFeatures: Q = Q(
     "q_multimodal_features",
     (s, d) => {
@@ -46,7 +51,23 @@ object MultimodalOps {
           element_at(col("features"), 4).as("f_max"))
         .orderBy("media_id")
     },
-    None)
+    // Frame count: ceil(n/64) 64-byte blocks, keep every 4th (stride) →
+    // (nb-1)//4 + 1 for nb >= 1 (fixture docs are never empty).
+    // f_mean mirrors the codec's (sum.toDouble / n).toFloat: exact
+    // integer sum, one IEEE double divide, one double→float round —
+    // bit-identical in both engines.
+    Some("""WITH b AS (
+      SELECT doc_id AS media_id,
+        CAST(length(text) AS BIGINT) AS n_bytes,
+        list_transform(string_split(text, ''), c -> ascii(c)) AS bytes
+      FROM documents)
+    SELECT media_id, n_bytes,
+      CAST(((n_bytes + 63) // 64 - 1) // 4 + 1 AS INTEGER) AS n_frames,
+      CAST(n_bytes AS REAL) AS f_len,
+      CAST(CAST(list_sum(bytes) AS DOUBLE) / n_bytes AS REAL) AS f_mean,
+      CAST(list_min(bytes) AS REAL) AS f_min,
+      CAST(list_max(bytes) AS REAL) AS f_max
+    FROM b ORDER BY media_id"""))
 
   val all: Seq[Q] = Seq(multimodalBinary, multimodalFeatures)
 }
