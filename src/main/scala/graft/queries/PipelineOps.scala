@@ -238,5 +238,112 @@ object PipelineOps {
     FROM r WHERE lang_pctile >= 0.2e0 AND n_tokens > 0
     ORDER BY doc_id"""))
 
-  val all: Seq[Q] = Seq(dedupComponents, textPack, textQualityFilter)
+  /** Chunk size / stride (tokens) for q_text_chunk. Overlap of
+    * ChunkSize - ChunkStride tokens carries context across boundaries —
+    * the RAG / pretraining windowing convention. */
+  private val ChunkSize = 32
+  private val ChunkStride = 24
+
+  /** Mandated EXT (document chunking): split each document into
+    * overlapping token windows — the context-window preparation step
+    * for embedding / pretraining pipelines. Chunk starts step by
+    * `ChunkStride`; every token position belongs to ≥1 chunk; the last
+    * chunk is allowed to run short. Pure per-row expression work
+    * (tokenize once, slice per chunk) + one explode — narrow, no
+    * shuffle, scan-speed at 100 TB. */
+  val textChunk: Q = Q(
+    "q_text_chunk",
+    (s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          filter(split(lower(col("text")), " "), t => t =!= "").as("toks"))
+        .where(size(col("toks")) > 0)
+        .select(col("doc_id"), col("toks"),
+          posexplode(expr(
+            s"transform(sequence(0, (size(toks) - 1) div $ChunkStride)," +
+              s" i -> slice(toks, i * $ChunkStride + 1, $ChunkSize))"))
+            .as(Seq("chunk_idx", "chunk")))
+        .select(
+          col("doc_id"), col("chunk_idx"),
+          size(col("chunk")).cast("long").as("n_chunk_tokens"),
+          array_join(col("chunk"), " ").as("chunk_text"))
+        .orderBy("doc_id", "chunk_idx"),
+    Some(s"""WITH t AS (
+      SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> x != '')
+        AS toks
+      FROM documents),
+    c AS (
+      SELECT doc_id,
+        unnest(generate_series(0, (len(toks) - 1) // $ChunkStride))
+          AS chunk_idx,
+        toks
+      FROM t WHERE len(toks) > 0)
+    SELECT doc_id, CAST(chunk_idx AS INTEGER) AS chunk_idx,
+      CAST(len(toks[chunk_idx * $ChunkStride + 1 :
+        chunk_idx * $ChunkStride + $ChunkSize]) AS BIGINT) AS n_chunk_tokens,
+      array_to_string(toks[chunk_idx * $ChunkStride + 1 :
+        chunk_idx * $ChunkStride + $ChunkSize], ' ') AS chunk_text
+    FROM c ORDER BY doc_id, chunk_idx"""))
+
+  /** Token n-gram width for decontamination matching. Real pipelines
+    * use 8–13-token grams over natural text; the fixture's word-salad
+    * corpus over a ~40-word vocabulary needs a narrower gram to produce
+    * any overlap at all (5 flags genuine duplicated passages at every
+    * SF, where 4 drowns in small-vocabulary chance collisions). */
+  private val DecontamGramLen = 5
+
+  /** Mandated EXT (eval-set decontamination): flag training documents
+    * that share any `DecontamGramLen`-token gram with a held-out eval
+    * set — the benchmark-leak scan every serious pretraining pipeline
+    * runs. The eval set here is the deterministic doc_id % 97 == 0
+    * slice standing in for an external benchmark table.
+    *
+    * Scale shape: explode both sides to (gram, doc) and equi-join on
+    * the gram. The eval side is tiny (benchmarks are thousands of
+    * docs, not billions), so at 100 TB the gram join broadcasts the
+    * eval grams and the corpus side stays a narrow scan + semi-join —
+    * no shuffle of the corpus. Grams join as 64-bit hashes at scale;
+    * the declared query keeps gram strings so the oracle can mirror
+    * them (same pairs modulo hash collisions, as in the ngram dedup). */
+  val textDecontaminate: Q = Q(
+    "q_text_decontaminate",
+    (s, d) => {
+      def grams(df: DataFrame, idAs: String): DataFrame =
+        df.select(col("doc_id"),
+          filter(split(lower(col("text")), " "), t => t =!= "").as("toks"))
+          .where(size(col("toks")) >= DecontamGramLen)
+          .select(col("doc_id").as(idAs),
+            explode(expr(
+              s"transform(sequence(1, size(toks) - $DecontamGramLen + 1)," +
+                s" i -> array_join(slice(toks, i, $DecontamGramLen), ' '))"))
+              .as("gram"))
+      val docs = Tables.documents(s, d)
+      val evalGrams = grams(docs.where(col("doc_id") % 97 === 0), "eval_id")
+        .select("gram").distinct()
+      val trainGrams = grams(docs.where(col("doc_id") % 97 =!= 0), "train_id")
+      trainGrams
+        .join(broadcast(evalGrams), Seq("gram"))
+        .groupBy(col("train_id"))
+        .agg(countDistinct(col("gram")).as("n_shared_grams"))
+        .select(col("train_id").as("doc_id"), col("n_shared_grams"))
+        .orderBy("doc_id")
+    },
+    Some(s"""WITH toks AS (
+      SELECT doc_id,
+        list_filter(string_split(lower(text), ' '), x -> x != '') AS t
+      FROM documents),
+    grams AS (
+      SELECT doc_id, unnest(list_transform(
+        generate_series(1, len(t) - $DecontamGramLen + 1),
+        i -> array_to_string(t[i : i + $DecontamGramLen - 1], ' '))) AS gram
+      FROM toks WHERE len(t) >= $DecontamGramLen),
+    eval_grams AS (
+      SELECT DISTINCT gram FROM grams WHERE doc_id % 97 = 0)
+    SELECT doc_id, count(DISTINCT gram) AS n_shared_grams
+    FROM grams JOIN eval_grams USING (gram)
+    WHERE doc_id % 97 != 0
+    GROUP BY doc_id ORDER BY doc_id"""))
+
+  val all: Seq[Q] = Seq(dedupComponents, textPack, textQualityFilter,
+    textChunk, textDecontaminate)
 }

@@ -404,10 +404,41 @@ object Relational {
     FROM spine LEFT JOIN per_day USING (day)
     ORDER BY day"""))
 
+  /** EXT: salt-exploded skew join through engine.Skew.saltedJoin — the
+    * manual skew mitigation for when AQE's runtime skew split isn't
+    * available (e.g. skew inside a single in-flight partition). A hot
+    * orderkey's fact rows spread across `numSalts` shuffle partitions
+    * via a deterministic per-row salt; the dim side replicates each row
+    * once per salt, so the (key, salt) equi join sees every fact row
+    * exactly once and the result equals the plain equi join — which IS
+    * the oracle. Cost: dim side grows ×numSalts (fine for dimension
+    * tables); the fact side, where the skew lives, never replicates. */
+  val joinSkewSalt: Q = Q(
+    "q_join_skew_salt",
+    (s, d) => {
+      val fact = Tables.lineitem(s, d)
+      val dim = Tables.orders(s, d)
+        .withColumnRenamed("o_orderkey", "l_orderkey")
+      graft.engine.Skew.saltedJoin(fact, dim, Seq("l_orderkey"), numSalts = 8)
+        .groupBy(col("o_orderpriority"))
+        .agg(
+          count(lit(1)).as("n_items"),
+          sum(Det.dec(col("l_extendedprice"), 2, 12)
+            * (lit(1).cast("decimal(8,4)") - Det.dec(col("l_discount"), 4, 8)))
+            .cast("decimal(24,6)").cast("double").as("revenue"))
+        .orderBy("o_orderpriority")
+    },
+    Some("""SELECT o_orderpriority, count(*) AS n_items,
+      CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+        * (CAST(1 AS DECIMAL(8,4)) - CAST(l_discount AS DECIMAL(8,4))))
+        AS DECIMAL(24,6)) AS DOUBLE) AS revenue
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY o_orderpriority ORDER BY o_orderpriority"""))
+
   val all: Seq[Q] = Seq(
     scanProjectFilter, joinInnerEqui, joinBroadcast, joinLeftOuter,
     joinRightOuter, joinFullOuter, joinSemi, joinAnti, joinThetaRange,
     joinAsof,
-    joinInterval, joinNonEqui, sortLimit, unionAll, unionDistinct,
-    intersectQ, exceptQ, dateSpine)
+    joinInterval, joinNonEqui, joinSkewSalt, sortLimit, unionAll,
+    unionDistinct, intersectQ, exceptQ, dateSpine)
 }

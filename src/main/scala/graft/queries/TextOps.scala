@@ -262,7 +262,56 @@ object TextOps {
         AS approx_llm_tokens
     FROM documents ORDER BY doc_id"""))
 
+  /** EXT: corpus n-gram frequency — top token bigrams with a
+    * deterministic (count DESC, gram ASC) tie-break. The vocabulary /
+    * collocation-analysis primitive: at 100 TB this is one explode +
+    * one keyed aggregation (map-side partial combine carries the load;
+    * the final top-k is a single-partition sort of the already-reduced
+    * gram counts, not the corpus). */
+  val textNgramFreq: Q = Q(
+    "q_text_ngram_freq",
+    (s, d) =>
+      Tables.documents(s, d)
+        .select(filter(tokens, t => t =!= "").as("toks"))
+        // sequence(1, 0) is DESCENDING in Spark, not empty — a 1-token
+        // doc would fabricate null bigrams without this guard.
+        .where(size(col("toks")) >= 2)
+        .select(explode(expr(
+          "transform(sequence(1, size(toks) - 1)," +
+            " i -> concat(toks[i - 1], ' ', toks[i]))")).as("bigram"))
+        .groupBy(col("bigram"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("bigram").asc)
+        .limit(100),
+    Some(s"""SELECT bigram, count(*) AS n FROM (
+      SELECT unnest(list_transform(
+        generate_series(1, len(t) - 1), i -> t[i] || ' ' || t[i + 1])) AS bigram
+      FROM (SELECT list_filter($sqlTokens, x -> x != '') AS t FROM documents))
+    GROUP BY bigram ORDER BY n DESC, bigram ASC LIMIT 100"""))
+
+  /** EXT: identifier redaction — the PII-masking shape (emails, phone
+    * numbers, account ids) as a pure regexp_replace pass, shown on the
+    * customer table's embedded numeric ids. Narrow, codegen'd, no
+    * shuffle: at 100 TB this runs at scan speed. The digit-run pattern
+    * is deliberately dialect-portable (identical in Java regex and
+    * RE2). */
+  val textRedact: Q = Q(
+    "q_text_redact",
+    (s, d) =>
+      Tables.customer(s, d)
+        .select(
+          col("c_custkey"),
+          regexp_replace(col("c_name"), "[0-9]{3,}", "<ID>").as("redacted"),
+          (col("c_name") =!= regexp_replace(col("c_name"), "[0-9]{3,}", "<ID>"))
+            .as("was_redacted"))
+        .orderBy("c_custkey"),
+    Some("""SELECT c_custkey,
+      regexp_replace(c_name, '[0-9]{3,}', '<ID>', 'g') AS redacted,
+      c_name != regexp_replace(c_name, '[0-9]{3,}', '<ID>', 'g')
+        AS was_redacted
+    FROM customer ORDER BY c_custkey"""))
+
   val all: Seq[Q] = Seq(
     dedupExact, textTokens, textStats, textTfidf, textLangid, textQuality,
-    textFingerprint, textTokencount)
+    textFingerprint, textTokencount, textNgramFreq, textRedact)
 }

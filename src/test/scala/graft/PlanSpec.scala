@@ -56,6 +56,57 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("cell"), plan.take(1200))
   }
 
+  test("skew-salt join keys on (orderkey, salt) and equals the plain join") {
+    val plan = executed("q_join_skew_salt")
+    // The salt must be part of the join key — that's the whole point
+    // (hot keys spread over `salts` shuffle partitions); a plan that
+    // dropped salt from the keys would silently ×8 the join output.
+    assert(plan.contains("salt"), plan.take(1200))
+    assert(!plan.contains("CartesianProduct")
+      && !plan.contains("BroadcastNestedLoopJoin"), plan.take(1200))
+    val salted = q("q_join_skew_salt").collect().toSeq
+    val plain = {
+      val l = engine.Tables.lineitem(spark, sf)
+      val o = engine.Tables.orders(spark, sf)
+      l.join(o, l("l_orderkey") === o("o_orderkey"))
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_items"))
+        .orderBy("o_orderpriority")
+        .collect().toSeq
+    }
+    assert(salted.map(r => (r.getString(0), r.getLong(1))) ==
+      plain.map(r => (r.getString(0), r.getLong(1))),
+      "salting changed the join result")
+  }
+
+  test("chunking covers every token with the declared overlap") {
+    val chunks = q("q_text_chunk")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(col("n_chunk_tokens")).as("sum_chunk_toks"),
+        max(col("chunk_idx")).as("max_idx"))
+      .collect()
+    val docs = engine.Tables.documents(spark, sf)
+      .select(col("doc_id"),
+        size(filter(split(lower(col("text")), " "), t => t =!= ""))
+          .cast("long").as("n_toks"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    chunks.foreach { r =>
+      val (id, nChunks, sumToks, maxIdx) =
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3))
+      val n = docs(id)
+      // starts step by 24 until they pass the end → every position
+      // covered exactly (1 + overlap-count) times in total
+      val expectChunks = (n - 1) / 24 + 1
+      assert(nChunks == expectChunks, s"doc $id: $nChunks != $expectChunks")
+      assert(maxIdx.toLong == expectChunks - 1)
+      // total sliced tokens = n + 8-token overlap per interior boundary,
+      // except final short chunks that can't reach 8 back-tokens
+      assert(sumToks >= n && sumToks <= n + 8 * (expectChunks - 1),
+        s"doc $id: coverage $sumToks outside [$n, ${n + 8 * (expectChunks - 1)}]")
+    }
+  }
+
   test("partitioned snapshot write round-trips and prunes partitions") {
     val dir = java.nio.file.Files.createTempDirectory("graft_part_")
       .resolve("li").toString
