@@ -79,6 +79,13 @@ class PlanSpec extends SparkSpec {
       "salting changed the join result")
   }
 
+  test("decontamination broadcasts the eval grams, never shuffling the corpus") {
+    val plan = executed("q_text_decontaminate")
+    assert(plan.contains("BroadcastHashJoin"), plan.take(1200))
+    assert(!plan.contains("SortMergeJoin"),
+      "corpus-side shuffle join defeats the broadcast design")
+  }
+
   test("chunking covers every token with the declared overlap") {
     val chunks = q("q_text_chunk")
       .groupBy(col("doc_id"))
