@@ -263,8 +263,66 @@ object Aggregates {
       SELECT p_partkey, 'psize', CAST(p_size AS DOUBLE) FROM part)
     ORDER BY p_partkey, metric"""))
 
+  /** EXT: deterministic weighted sampling — the training-mix primitive
+    * (each source kept at its own rate). Unlike q_sample_stratified's
+    * engine-specific RNG, the keep decision is a pure integer function
+    * of doc_id (Park–Miller step: u = doc_id·48271 mod 2³¹−1), so the
+    * sample is reproducible across engines/retries and SQL-mirrorable →
+    * hash-exact oracle. Narrow (no shuffle): at 100 TB this is a
+    * scan-speed filter, and re-running it yields the same corpus —
+    * the property that makes training mixes auditable. Even-indexed
+    * sources keep 80%, odd 30%. */
+  val sampleWeighted: Q = Q(
+    "q_sample_weighted",
+    (s, d) => {
+      val srcIdx = substring(col("source"), 4, 10).cast("int")
+      val u = pmod(col("doc_id") * lit(48271L), lit(2147483647L))
+      val ratePermille = when(srcIdx % 2 === 0, lit(800)).otherwise(lit(300))
+      Tables.documents(s, d)
+        .withColumn("u", u % 1000)
+        .withColumn("rate_permille", ratePermille)
+        .where(col("u") < col("rate_permille"))
+        .select("doc_id", "source", "u", "rate_permille")
+        .orderBy("doc_id")
+    },
+    Some("""SELECT doc_id, source,
+      (doc_id * 48271) % 2147483647 % 1000 AS u,
+      CASE WHEN CAST(substr(source, 4) AS INTEGER) % 2 = 0
+        THEN 800 ELSE 300 END AS rate_permille
+    FROM documents
+    WHERE (doc_id * 48271) % 2147483647 % 1000 <
+      CASE WHEN CAST(substr(source, 4) AS INTEGER) % 2 = 0
+        THEN 800 ELSE 300 END
+    ORDER BY doc_id"""))
+
+  /** EXT: exact percentiles per group — `percentile` (sort-based exact
+    * interpolation) for the distribution profile of a measure. Both
+    * engines implement the standard (n−1)·p linear interpolation;
+    * round(6) absorbs the last-ulp libm divergence (same discipline as
+    * tfidf). At 100 TB the exact form shuffles each group's values to
+    * one reducer — the documented trade; approx_percentile (B15's HLL
+    * cousin) is the constant-memory alternative already available via
+    * q_agg_approx_distinct's pattern. */
+  val aggPercentile: Q = Q(
+    "q_agg_percentile",
+    (s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(
+          round(expr("percentile(l_quantity, 0.25)"), 6).as("p25"),
+          round(expr("percentile(l_quantity, 0.5)"), 6).as("p50"),
+          round(expr("percentile(l_quantity, 0.75)"), 6).as("p75"),
+          round(expr("percentile(l_quantity, 0.95)"), 6).as("p95"))
+        .orderBy("l_returnflag"),
+    Some("""SELECT l_returnflag,
+      round(quantile_cont(l_quantity, 0.25), 6) AS p25,
+      round(quantile_cont(l_quantity, 0.5), 6) AS p50,
+      round(quantile_cont(l_quantity, 0.75), 6) AS p75,
+      round(quantile_cont(l_quantity, 0.95), 6) AS p95
+    FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""))
+
   val all: Seq[Q] = Seq(
     aggHashGroup, aggDistinct, aggApproxDistinct, aggRollup, aggCube,
     aggPartialFinal, aggStats, aggPivot, aggSample, aggCollect,
-    aggUnpivot)
+    aggUnpivot, sampleWeighted, aggPercentile)
 }
