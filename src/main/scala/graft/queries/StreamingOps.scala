@@ -144,7 +144,33 @@ object StreamingOps {
       AND CAST(c.ts AS TIMESTAMP) < CAST(e.ts AS TIMESTAMP)
     ORDER BY user_id, error_id, click_id"""))
 
+  /** EXT: stream-static enrichment join — the canonical streaming
+    * lookup shape (event stream ⋈ broadcast dimension, then windowed
+    * agg). Stateless on the join itself (only the windowed agg holds
+    * state), so the dim can be arbitrarily refreshed between
+    * micro-batches. Streaming twin: StreamingJobs.enrichedTumbling
+    * (same expressions behind a watermark, StreamingSpec-verified). */
+  val streamStaticJoin: Q = Q(
+    "q_stream_static_join",
+    (s, d) =>
+      Tables.events(s, d)
+        .join(broadcast(Tables.customer(s, d)),
+          col("user_id") === col("c_custkey"))
+        .groupBy(window(col("ts"), "1 hour"), col("c_mktsegment"))
+        .agg(
+          count(lit(1)).as("n"),
+          Det.dsum(col("value"), 4).as("sum_value"))
+        .select(col("window.start").as("w_start"), col("c_mktsegment"),
+          col("n"), col("sum_value"))
+        .orderBy("w_start", "c_mktsegment"),
+    Some(s"""SELECT time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP))
+        AS w_start,
+      c_mktsegment, count(*) AS n, ${Det.sqlSum("value", 4)} AS sum_value
+    FROM events JOIN customer ON user_id = c_custkey
+    GROUP BY w_start, c_mktsegment
+    ORDER BY w_start, c_mktsegment"""))
+
   val all: Seq[Q] = Seq(
     streamTumbling, streamSliding, streamSession, streamDedupState,
-    streamJoin)
+    streamJoin, streamStaticJoin)
 }

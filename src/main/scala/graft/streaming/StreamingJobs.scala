@@ -42,6 +42,22 @@ object StreamingJobs {
         col("session_window.end").as("session_end"),
         col("user_id"), col("n_events"))
 
+  /** EXT: stream-static enrichment — the event stream joins a static
+    * (or per-batch refreshed) dimension, then aggregates per window.
+    * The stream-static join is STATELESS: no watermark state for the
+    * join, only the windowed agg holds state; the dim side re-resolves
+    * each micro-batch, which is what makes slowly-changing dimensions
+    * work without restarts. Batch parity: queries.StreamingOps
+    * .streamStaticJoin (oracle-checked). */
+  def enrichedTumbling(events: DataFrame, dim: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .join(broadcast(dim), col("user_id") === col("c_custkey"))
+      .groupBy(window(col("ts"), "1 hour"), col("c_mktsegment"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("w_start"), col("c_mktsegment"),
+        col("n"))
+
   /** B42a: stateful exact dedup by event_id with bounded state — the
     * streaming form of dropDuplicates where the watermark ages keys out. */
   def dedupWithinWatermark(events: DataFrame): DataFrame =

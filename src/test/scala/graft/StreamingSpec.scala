@@ -65,6 +65,26 @@ class StreamingSpec extends SparkSpec {
     assert(rows(0).getLong(3) == 2 && rows(1).getLong(3) == 1)
   }
 
+  test("stream-static join enriches events against the dim per micro-batch") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val dim = Seq((1L, "BUILDING"), (2L, "MACHINERY"))
+      .toDF("c_custkey", "c_mktsegment")
+    val in = MemoryStream[Event]
+    in.addData(
+      Event(1, ts(5), 1, "click", 1.0),
+      Event(2, ts(10), 1, "click", 1.0),
+      Event(3, ts(15), 2, "click", 1.0),
+      Event(4, ts(20), 99, "click", 1.0)) // no dim row → dropped (inner)
+    // Complete mode: the hour-10 window never finalizes (no later event
+    // advances the watermark), so Append would emit nothing here.
+    runToMemory(StreamingJobs.enrichedTumbling(in.toDF(), dim), "enrich_out",
+      OutputMode.Complete)
+    val rows = spark.table("enrich_out").orderBy("c_mktsegment")
+      .collect().map(r => (r.getString(1), r.getLong(2)))
+    assert(rows.toSeq == Seq(("BUILDING", 2L), ("MACHINERY", 1L)))
+  }
+
   test("dropDuplicatesWithinWatermark dedups repeated event ids") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
