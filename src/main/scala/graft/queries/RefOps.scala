@@ -249,7 +249,52 @@ object RefOps {
     FROM documents WHERE n_chars >= 100
     GROUP BY lang, source ORDER BY lang, source"""))
 
+  /** EXT: incremental snapshot diff as a declared query — classify the
+    * delta between two snapshot generations into inserts / deletes /
+    * unchanged (multiset semantics, engine.Snapshot.incremental's
+    * contract). The "current" generation is a deterministic mutation of
+    * lineitem: every l_orderkey % 7 == 0 row deleted, every
+    * l_orderkey % 13 == 0 survivor re-priced (update = delete+insert).
+    * This declared form uses EXCEPT ALL — the diagnosis shape; the
+    * engine's digest fast path (Snapshot.verifyContent) answers the
+    * cheaper "did anything change" question with scalar aggs only. At
+    * 100 TB: both EXCEPT ALL legs shuffle on full-row hash once; ship
+    * only the delta, never a second full dump. */
+  val incremental: Q = Q(
+    "q_ref_incremental",
+    (s, d) => {
+      val prev = Tables.lineitem(s, d)
+      val cur = prev.where(col("l_orderkey") % 7 =!= 0)
+        .withColumn("l_extendedprice",
+          when(col("l_orderkey") % 13 === 0,
+            col("l_extendedprice") + lit(1.0))
+            .otherwise(col("l_extendedprice")))
+      val ins = cur.exceptAll(prev)
+        .agg(count(lit(1)).as("n_inserted"))
+      val del = prev.exceptAll(cur)
+        .agg(count(lit(1)).as("n_deleted"))
+      val tot = cur.agg(count(lit(1)).as("n_cur"))
+      ins.crossJoin(del).crossJoin(tot)
+        .select(col("n_inserted"), col("n_deleted"),
+          (col("n_cur") - col("n_inserted")).as("n_unchanged"))
+    },
+    Some("""WITH cur AS (
+      SELECT l_orderkey, l_partkey, l_suppkey, l_linenumber, l_quantity,
+        CASE WHEN l_orderkey % 13 = 0 THEN l_extendedprice + 1.0
+          ELSE l_extendedprice END AS l_extendedprice,
+        l_discount, l_tax, l_returnflag, l_linestatus, l_shipdate
+      FROM lineitem WHERE l_orderkey % 7 != 0)
+    SELECT
+      (SELECT count(*) FROM (SELECT * FROM cur EXCEPT ALL
+        SELECT * FROM lineitem)) AS n_inserted,
+      (SELECT count(*) FROM (SELECT * FROM lineitem EXCEPT ALL
+        SELECT * FROM cur)) AS n_deleted,
+      (SELECT count(*) FROM cur) -
+        (SELECT count(*) FROM (SELECT * FROM cur EXCEPT ALL
+          SELECT * FROM lineitem)) AS n_unchanged"""))
+
   val all: Seq[Q] = Seq(
     lineFilter, grepExists, extractId, identifier, versionDispatch,
-    statusLast, nonemptyGuard, roundTrip, csvSource, orcSource)
+    statusLast, nonemptyGuard, roundTrip, csvSource, orcSource,
+    incremental)
 }
