@@ -65,6 +65,31 @@ object Multimodal {
       .as[MediaRow]
   }
 
+  final case class MediaFrame(
+      media_id: Long, frame_idx: Int, n_frame_bytes: Int, frame_md5: String)
+
+  /** Partition-parallel frame sampling — every `stride`-th 64-byte
+    * block per payload, identified by its ORIGINAL block index and
+    * content-hashed (the keyframe-extraction shape: sample, fingerprint,
+    * ship the fingerprint not the frame). Narrow, no shuffle; fan-out
+    * is payload_bytes/(64·stride) rows per media row. */
+  def sampleFrameHashes(
+      media: Dataset[MediaRow], stride: Int = 4): Dataset[MediaFrame] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      // one digest instance per partition, reset per frame
+      val md = java.security.MessageDigest.getInstance("MD5")
+      rows.flatMap { r =>
+        MediaCodec.sampleFrames(r.payload, stride).zipWithIndex.map {
+          case (block, j) =>
+            md.reset()
+            val hex = md.digest(block).map("%02x".format(_)).mkString
+            MediaFrame(r.media_id, j * stride, block.length, hex)
+        }
+      }
+    }
+  }
+
   /** Partition-parallel decode + feature extraction — the mapInPandas
     * batch shape, natively typed. Narrow (no shuffle); codegen hands
     * each partition's rows to the codec in one pass. */

@@ -69,5 +69,31 @@ object MultimodalOps {
       CAST(list_max(bytes) AS REAL) AS f_max
     FROM b ORDER BY media_id"""))
 
-  val all: Seq[Q] = Seq(multimodalBinary, multimodalFeatures)
+  /** EXT: keyframe sampling + fingerprinting through the stub codec —
+    * every 4th 64-byte block, identified by original block index and
+    * md5-fingerprinted. Same oracle trick as q_multimodal_features:
+    * the ASCII fixture makes each frame's bytes equal the text
+    * substring, so DuckDB mirrors the sampler exactly. */
+  val multimodalFrames: Q = Q(
+    "q_multimodal_frames",
+    (s, d) =>
+      Multimodal.sampleFrameHashes(Multimodal.mediaFromDocuments(s, d))
+        .toDF()
+        .orderBy("media_id", "frame_idx"),
+    Some("""WITH b AS (
+      SELECT doc_id AS media_id, text,
+        CAST(length(text) AS BIGINT) AS n FROM documents),
+    f AS (
+      SELECT media_id, text, n,
+        unnest(generate_series(0, ((n + 63) // 64) - 1)) AS block_idx
+      FROM b)
+    SELECT media_id, CAST(block_idx AS INTEGER) AS frame_idx,
+      CAST(length(substr(text, block_idx * 64 + 1, 64)) AS INTEGER)
+        AS n_frame_bytes,
+      md5(substr(text, block_idx * 64 + 1, 64)) AS frame_md5
+    FROM f WHERE block_idx % 4 = 0
+    ORDER BY media_id, frame_idx"""))
+
+  val all: Seq[Q] = Seq(multimodalBinary, multimodalFeatures,
+    multimodalFrames)
 }

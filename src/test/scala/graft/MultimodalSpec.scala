@@ -28,6 +28,22 @@ class MultimodalSpec extends SparkSpec {
     assert(frames.length == 3)
   }
 
+  test("sampled frame hashes carry original block indices and content md5") {
+    import spark.implicits._
+    // 150 bytes → blocks [0,64) [64,128) [128,150); stride 2 keeps 0, 2
+    val payload = ("a" * 64 + "b" * 64 + "c" * 22).getBytes("UTF-8")
+    val media = Seq(Multimodal.MediaRow(7L, payload, "text/plain", 150L)).toDS()
+    val frames = Multimodal.sampleFrameHashes(media, stride = 2)
+      .collect().sortBy(_.frame_idx)
+    assert(frames.map(f => (f.frame_idx, f.n_frame_bytes)).toSeq ==
+      Seq((0, 64), (2, 22)))
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def hex(s: String) =
+      md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(frames(0).frame_md5 == hex("a" * 64))
+    assert(frames(1).frame_md5 == hex("c" * 22))
+  }
+
   test("decode stub derives features from byte statistics") {
     val f = Multimodal.MediaCodec.decode("abc".getBytes("UTF-8"))
     assert(f.toSeq == Seq(3.0f, ((97 + 98 + 99) / 3.0).toFloat, 97.0f, 99.0f))
