@@ -23,6 +23,19 @@ class PipelineSpec extends SparkSpec {
       10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 20L))
   }
 
+  test("connectedComponents converges on a 300-node path (10x MaxIters diameter)") {
+    // Pure min-label propagation needs diameter≈299 rounds and would
+    // abort at MaxIters=30; pointer jumping must close this in
+    // O(log diameter). Also checks a second component is unaffected.
+    val edges = ((1L until 300L).map(i => (i, i + 1)) :+ (1000L, 1001L))
+      .toDF("src", "dst")
+    val got = PipelineOps.connectedComponents(spark, edges)
+      .as[(Long, Long)].collect().toMap
+    assert(got.size == 302)
+    (1L to 300L).foreach(n => assert(got(n) == 1L, s"node $n -> ${got(n)}"))
+    assert(got(1000L) == 1000L && got(1001L) == 1000L)
+  }
+
   test("q_dedup_components covers every doc; canonicals are cluster minima") {
     val df = q("q_dedup_components").cache()
     val docs = graft.engine.Tables.documents(spark, sf).count()
