@@ -336,6 +336,36 @@ object ScalarFns {
       upper(lang) AS m_lang_upper
     FROM documents ORDER BY doc_id"""))
 
+  /** EXT: bitwise family — AND/OR/XOR/NOT, shifts, bit_count, get_bit.
+    * Pure 64-bit integer ops, bit-identical across engines by
+    * definition; the operand mix (id vs a constant mask and a
+    * data-dependent shift) exercises both literal and column paths. */
+  val fnBitwise: Q = Q(
+    "q_fn_bitwise",
+    (s, d) =>
+      Tables.orders(s, d)
+        .select(
+          col("o_orderkey"),
+          (col("o_orderkey").bitwiseAND(lit(0xFFL))).as("and_mask"),
+          (col("o_orderkey").bitwiseOR(lit(0x100L))).as("or_mask"),
+          (col("o_orderkey").bitwiseXOR(col("o_custkey"))).as("xor_cust"),
+          bitwise_not(col("o_orderkey")).as("not_key"),
+          shiftleft(col("o_orderkey"), 3).as("shl3"),
+          shiftright(col("o_orderkey"), 2).as("shr2"),
+          bit_count(col("o_orderkey")).as("n_bits_set"),
+          getbit(col("o_orderkey"), lit(0)).as("bit0"))
+        .orderBy("o_orderkey"),
+    Some("""SELECT o_orderkey,
+      o_orderkey & 255 AS and_mask,
+      o_orderkey | 256 AS or_mask,
+      xor(o_orderkey, o_custkey) AS xor_cust,
+      ~o_orderkey AS not_key,
+      o_orderkey << 3 AS shl3,
+      o_orderkey >> 2 AS shr2,
+      bit_count(o_orderkey) AS n_bits_set,
+      CAST(get_bit(o_orderkey::BIT, 63) AS BIGINT) AS bit0
+    FROM orders ORDER BY o_orderkey"""))
+
   val all: Seq[Q] = Seq(fnString, fnDate, fnMath, fnArray, fnJson, fnNull,
-    fnTryCast, fnHash, fnRegex, fnStruct)
+    fnTryCast, fnHash, fnRegex, fnStruct, fnBitwise)
 }
