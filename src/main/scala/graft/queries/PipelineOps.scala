@@ -279,11 +279,18 @@ object PipelineOps {
         .select(col("doc_id"),
           filter(split(lower(col("text")), " "), t => t =!= "").as("toks"))
         .where(size(col("toks")) > 0)
+        // Explode the (tiny) index sequence, slice in the OUTER
+        // projection: no lambda wraps the slice, so Generate inlining
+        // can't re-evaluate the tokenization per chunk (SCALE.md cliff
+        // #5 — the transform(seq, i -> slice(...)) form feeding an
+        // explode is exactly the interpreted-HOF shape that rule bans).
         .select(col("doc_id"), col("toks"),
-          posexplode(expr(
-            s"transform(sequence(0, (size(toks) - 1) div $ChunkStride)," +
-              s" i -> slice(toks, i * $ChunkStride + 1, $ChunkSize))"))
-            .as(Seq("chunk_idx", "chunk")))
+          explode(sequence(lit(0),
+            expr(s"(size(toks) - 1) div $ChunkStride").cast("int")))
+            .as("chunk_idx"))
+        .select(col("doc_id"), col("chunk_idx"),
+          slice(col("toks"), col("chunk_idx") * ChunkStride + 1,
+            lit(ChunkSize)).as("chunk"))
         .select(
           col("doc_id"), col("chunk_idx"),
           size(col("chunk")).cast("long").as("n_chunk_tokens"),
@@ -329,14 +336,17 @@ object PipelineOps {
   val textDecontaminate: Q = Q(
     "q_text_decontaminate",
     (s, d) => {
+      // index-explode + outer slice — not transform(seq, λ) — for the
+      // same Generate-inlining reason as q_text_chunk
       def grams(df: DataFrame, idAs: String): DataFrame =
         df.select(col("doc_id"),
           filter(split(lower(col("text")), " "), t => t =!= "").as("toks"))
           .where(size(col("toks")) >= DecontamGramLen)
-          .select(col("doc_id").as(idAs),
-            explode(expr(
-              s"transform(sequence(1, size(toks) - $DecontamGramLen + 1)," +
-                s" i -> array_join(slice(toks, i, $DecontamGramLen), ' '))"))
+          .select(col("doc_id").as(idAs), col("toks"),
+            explode(sequence(lit(1),
+              size(col("toks")) - DecontamGramLen + 1)).as("i"))
+          .select(col(idAs),
+            array_join(slice(col("toks"), col("i"), lit(DecontamGramLen)), " ")
               .as("gram"))
       val docs = Tables.documents(s, d)
       val evalGrams = grams(docs.where(col("doc_id") % 97 === 0), "eval_id")

@@ -276,9 +276,13 @@ object TextOps {
         // sequence(1, 0) is DESCENDING in Spark, not empty — a 1-token
         // doc would fabricate null bigrams without this guard.
         .where(size(col("toks")) >= 2)
-        .select(explode(expr(
-          "transform(sequence(1, size(toks) - 1)," +
-            " i -> concat(toks[i - 1], ' ', toks[i]))")).as("bigram"))
+        // index-explode + outer element_at, not transform(seq, λ):
+        // keeps the per-bigram work out of a lambda so Generate
+        // inlining can't re-run the tokenization per element
+        .select(col("toks"),
+          explode(sequence(lit(1), size(col("toks")) - 1)).as("i"))
+        .select(concat(element_at(col("toks"), col("i")), lit(" "),
+          element_at(col("toks"), col("i") + 1)).as("bigram"))
         .groupBy(col("bigram"))
         .agg(count(lit(1)).as("n"))
         .orderBy(col("n").desc, col("bigram").asc)
