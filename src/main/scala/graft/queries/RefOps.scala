@@ -249,6 +249,41 @@ object RefOps {
     FROM documents WHERE n_chars >= 100
     GROUP BY lang, source ORDER BY lang, source"""))
 
+  /** B2d: JSON-lines as a source/sink format — completes the built-in
+    * format family (parquet/ORC/CSV/JSON). Orders project to JSONL
+    * (timestamps as ISO strings for text-format determinism),
+    * re-ingest with an explicit schema (schema inference is a second
+    * full scan — never at 100 TB), and aggregate; the oracle states
+    * the round-trip postcondition over the original parquet.
+    *
+    * CONTRACT NOTE: like q_ref_csv_source, building this DataFrame
+    * executes the JSON export job (idempotent overwrite, stable tmp
+    * dir). */
+  val jsonSource: Q = Q(
+    "q_ref_json_source",
+    (s, d) => {
+      val dest = s"${sys.props("java.io.tmpdir")}/graft_json/orders_json"
+      Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+          col("o_totalprice"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_day"))
+        .write.mode("overwrite").json(dest)
+      s.read
+        .schema("o_orderkey LONG, o_custkey LONG, o_orderstatus STRING," +
+          " o_totalprice DOUBLE, o_day STRING")
+        .json(dest)
+        .groupBy(col("o_orderstatus"))
+        .agg(
+          count(lit(1)).as("n"),
+          Det.dsum(col("o_totalprice"), 2).as("sum_price"),
+          countDistinct(col("o_day")).as("n_days"))
+        .orderBy("o_orderstatus")
+    },
+    Some(s"""SELECT o_orderstatus, count(*) AS n,
+      ${Det.sqlSum("o_totalprice", 2)} AS sum_price,
+      count(DISTINCT strftime(o_orderdate, '%Y-%m-%d')) AS n_days
+    FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus"""))
+
   /** EXT: incremental snapshot diff as a declared query — classify the
     * delta between two snapshot generations into inserts / deletes /
     * unchanged (multiset semantics, engine.Snapshot.incremental's
@@ -296,5 +331,5 @@ object RefOps {
   val all: Seq[Q] = Seq(
     lineFilter, grepExists, extractId, identifier, versionDispatch,
     statusLast, nonemptyGuard, roundTrip, csvSource, orcSource,
-    incremental)
+    jsonSource, incremental)
 }
