@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 
-import graft.functions.{CosineSimilarity, GramHashes, HyperplaneSig, MinHashSig, NearestCells, RollingHash, SortedIntersectCount}
+import graft.functions.{CosineSimilarity, GramHashes, HyperplaneSig, MinHashSig, NearestCells, RollingHash, SimHash64, SortedIntersectCount}
 
 /** SparkSessionExtensions entry point: registers the engine's native
   * functions for any session built with
@@ -27,5 +27,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       HyperplaneSig.info, HyperplaneSig.builder))
     e.injectFunction((FunctionIdentifier(RollingHash.name),
       RollingHash.info, RollingHash.builder))
+    e.injectFunction((FunctionIdentifier(SimHash64.name),
+      SimHash64.info, SimHash64.builder))
   }
 }

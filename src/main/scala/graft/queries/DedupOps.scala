@@ -123,24 +123,24 @@ object DedupOps {
 
   /** Mandated EXT: SimHash fingerprints — 64-bit bitwise-majority
     * sketch over tf-weighted token hashes; near-dups differ in few bits
-    * (DedupSpec asserts the hamming properties). */
+    * (DedupSpec asserts the hamming properties).
+    *
+    * One-pass native kernel (functions.SimHash64): the previous
+    * composed form shuffled the corpus at TOKEN granularity twice
+    * (explode → groupBy(doc,token) → 64 bit-sum aggregates) — at 100 TB
+    * that moves ~100× the corpus through two shuffles to produce one
+    * long per doc. The kernel is a narrow scan-speed projection,
+    * bit-identical to the composed form (DedupSpec proves it). The
+    * token-less-doc filter preserves the old output surface (explode
+    * dropped those rows). */
   val dedupSimhash: Q = Q(
     "q_dedup_simhash",
-    (s, d) => {
-      val tok = Tables.documents(s, d)
+    (s, d) =>
+      Tables.documents(s, d)
+        .where(size(TextHash.tokens(col("text"))) > 0)
         .select(col("doc_id"),
-          explode(TextHash.tokens(col("text"))).as("token"))
-        .groupBy(col("doc_id"), col("token"))
-        .agg(count(lit(1)).as("tf"))
-        .withColumn("th", xxhash64(col("token")))
-      val bitSums = TextHash.simhashBitSums(col("th"), col("tf"))
-      tok.groupBy(col("doc_id"))
-        .agg(bitSums.head, bitSums.tail: _*)
-        .select(col("doc_id"),
-          TextHash.simhashFromBitSums(
-            (0 until 64).map(b => col(s"_bit$b"))).as("simhash"))
-        .orderBy("doc_id")
-    },
+          graft.functions.SimHash64(s, col("text")).as("simhash"))
+        .orderBy("doc_id"),
     None)
 
   /** Mandated EXT: exact n-gram (token bigram) Jaccard near-dup pairs,

@@ -209,6 +209,30 @@ class DedupSpec extends SparkSpec {
     pairs.unpersist(); grams.unpersist()
   }
 
+  test("native simhash64 equals the composed explode/groupBy form bit for bit") {
+    val docs = nearDupDocs
+    val composed = {
+      val tok = docs
+        .select(col("doc_id"), explode(TextHash.tokens(col("text"))).as("token"))
+        .groupBy(col("doc_id"), col("token"))
+        .agg(count(lit(1)).as("tf"))
+        .withColumn("th", xxhash64(col("token")))
+      val bitSums = TextHash.simhashBitSums(col("th"), col("tf"))
+      tok.groupBy(col("doc_id"))
+        .agg(bitSums.head, bitSums.tail: _*)
+        .select(col("doc_id"),
+          TextHash.simhashFromBitSums(
+            (0 until 64).map(b => col(s"_bit$b"))).as("simhash"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    }
+    val native = docs
+      .select(col("doc_id"), functions.SimHash64(spark, col("text")).as("sh"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    composed.foreach { case (id, v) =>
+      assert(native(id) == v, s"doc $id: native ${native(id)} != composed $v")
+    }
+  }
+
   test("native gram_hashes: sorted, distinct, counts match the expression form") {
     val both = nearDupDocs.select(col("doc_id"),
       functions.GramHashes(spark, col("text"), 3).as("g"),
