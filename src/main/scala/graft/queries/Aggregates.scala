@@ -321,8 +321,64 @@ object Aggregates {
       round(quantile_cont(l_quantity, 0.95), 6) AS p95
     FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""))
 
+  /** EXT: correlation / covariance per group — built from exact
+    * decimal co-moments (sums of x, y, xy, x², y² are order-independent
+    * decimals; Det.bigToDouble converts exactly) and the closed-form
+    * formulas in doubles, so both engines execute the identical IEEE
+    * op sequence instead of their internal streaming co-moment
+    * updates (whose accumulation order differs). round(6) guards the
+    * final ulp. */
+  val aggCorr: Q = Q(
+    "q_agg_corr",
+    (s, d) => {
+      val xd = Det.dec(col("l_extendedprice"), 2)
+      val yd = Det.dec(col("l_quantity"), 2, 8)
+      val nD = col("n").cast("double")
+      Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(
+          count(lit(1)).as("n"),
+          sum(xd).as("sxd"), sum(yd).as("syd"),
+          sum(xd * yd).as("sxyd"),
+          sum(xd * xd).as("sxxd"), sum(yd * yd).as("syyd"))
+        .select(
+          col("l_returnflag"), col("n"),
+          round((Det.bigToDouble(col("sxyd"))
+            - Det.bigToDouble(col("sxd")) * Det.bigToDouble(col("syd")) / nD)
+            / (nD - 1.0), 6).as("covar_price_qty"),
+          round((nD * Det.bigToDouble(col("sxyd"))
+            - Det.bigToDouble(col("sxd")) * Det.bigToDouble(col("syd")))
+            / (sqrt(nD * Det.bigToDouble(col("sxxd"))
+              - Det.bigToDouble(col("sxd")) * Det.bigToDouble(col("sxd")))
+              * sqrt(nD * Det.bigToDouble(col("syyd"))
+                - Det.bigToDouble(col("syd")) * Det.bigToDouble(col("syd")))),
+            6).as("corr_price_qty"))
+        .orderBy("l_returnflag")
+    },
+    Some {
+      val sx = Det.sqlBigToDouble(s"sum(${Det.sqlDec("l_extendedprice", 2)})")
+      val sy = Det.sqlBigToDouble(s"sum(${Det.sqlDec("l_quantity", 2, 8)})")
+      val sxy = Det.sqlBigToDouble(
+        s"sum(${Det.sqlDec("l_extendedprice", 2)} * ${Det.sqlDec("l_quantity", 2, 8)})")
+      val sxx = Det.sqlBigToDouble(
+        s"sum(${Det.sqlDec("l_extendedprice", 2)} * ${Det.sqlDec("l_extendedprice", 2)})")
+      val syy = Det.sqlBigToDouble(
+        s"sum(${Det.sqlDec("l_quantity", 2, 8)} * ${Det.sqlDec("l_quantity", 2, 8)})")
+      s"""WITH g AS (
+      SELECT l_returnflag, count(*) AS n,
+        $sx AS sx, $sy AS sy, $sxy AS sxy, $sxx AS sxx, $syy AS syy
+      FROM lineitem GROUP BY l_returnflag)
+    SELECT l_returnflag, n,
+      round((sxy - sx * sy / CAST(n AS DOUBLE))
+        / (CAST(n AS DOUBLE) - 1.0), 6) AS covar_price_qty,
+      round((CAST(n AS DOUBLE) * sxy - sx * sy)
+        / (sqrt(CAST(n AS DOUBLE) * sxx - sx * sx)
+          * sqrt(CAST(n AS DOUBLE) * syy - sy * sy)), 6) AS corr_price_qty
+    FROM g ORDER BY l_returnflag"""
+    })
+
   val all: Seq[Q] = Seq(
     aggHashGroup, aggDistinct, aggApproxDistinct, aggRollup, aggCube,
     aggPartialFinal, aggStats, aggPivot, aggSample, aggCollect,
-    aggUnpivot, sampleWeighted, aggPercentile)
+    aggUnpivot, sampleWeighted, aggPercentile, aggCorr)
 }
