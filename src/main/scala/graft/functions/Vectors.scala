@@ -38,4 +38,30 @@ object Vectors {
   /** DuckDB SQL mirror of [[cosine]]. */
   def sqlCosine(a: String, b: String): String =
     s"(${sqlDot(a, b)} / sqrt(${sqlDot(a, a)} * ${sqlDot(b, b)}))"
+
+  /** DuckDB mirror of one hyperplane dot against list column `v`: the
+    * same left-to-right double fold as HyperplaneSig's kernel (plane
+    * values rendered with Scala's shortest-round-trip Double.toString,
+    * which every correct parser reads back to the identical double), so
+    * each signature BIT — a sign test on a bit-identical double —
+    * matches. */
+  def sqlPlaneDot(plane: Seq[Double], v: String): String = {
+    val lit = plane.map(_.toString).mkString("[", ", ", "]")
+    s"""list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       list_transform(generate_series(1, ${plane.length}),
+         i -> CAST($v[i] AS DOUBLE) * ($lit)[i])),
+       (s, x) -> s + x)"""
+  }
+
+  /** DuckDB mirror of band `b`'s value from a hyperplane signature:
+    * `rowsPerBand` sign bits packed little-endian, matching
+    * `shiftright(sig, b*rowsPerBand) & ((1<<rowsPerBand)-1)` over
+    * HyperplaneSig's bit order. */
+  def sqlBandVal(
+      planes: Seq[Seq[Double]], b: Int, rowsPerBand: Int,
+      v: String): String =
+    (0 until rowsPerBand).map { j =>
+      s"(CASE WHEN ${sqlPlaneDot(planes(b * rowsPerBand + j), v)} > 0" +
+        s" THEN ${1 << j} ELSE 0 END)"
+    }.mkString(" + ")
 }

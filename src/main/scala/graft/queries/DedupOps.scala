@@ -358,7 +358,37 @@ object DedupOps {
         .select("probe_id", "k", "cand_id", "cos")
         .orderBy("probe_id", "k")
     },
-    None)
+    // The full LSH pipeline is declared semantics, mirrored bit-exactly
+    // (same trick as q_dedup_embedding): plane literals round-trip
+    // through shortest-repr doubles, each signature bit is a sign test
+    // on a bit-identical fold, candidates come only from band
+    // collisions, and the exact cosine re-rank + (cos DESC, cand_id)
+    // tie-break make the top-5 deterministic in both engines.
+    Some {
+      import graft.functions.Vectors
+      val bands = (0 until 4).map(b =>
+        s"(${Vectors.sqlBandVal(LshPlanes, b, 4, "embedding")}) AS band_$b")
+        .mkString(",\n        ")
+      val collide = (0 until 4).map(b => s"p.band_$b = c.band_$b")
+        .mkString(" OR ")
+      s"""WITH sig AS (
+      SELECT vec_id, embedding,
+        $bands
+      FROM embeddings),
+    cand AS (
+      SELECT DISTINCT p.vec_id AS probe_id, c.vec_id AS cand_id,
+        ${Vectors.sqlCosine("p.embedding", "c.embedding")} AS cos
+      FROM sig p JOIN sig c
+        ON c.vec_id != p.vec_id AND ($collide)
+      WHERE p.vec_id % 100 = 0),
+    ranked AS (
+      SELECT probe_id, cand_id, cos,
+        CAST(row_number() OVER (PARTITION BY probe_id
+          ORDER BY cos DESC, cand_id ASC) AS BIGINT) AS k
+      FROM cand)
+    SELECT probe_id, k, cand_id, cos
+    FROM ranked WHERE k <= 5 ORDER BY probe_id, k"""
+    })
 
   val all: Seq[Q] = Seq(
     dedupMinhashSig, dedupMinhashPairs, dedupSimhash, dedupNgramJaccard,

@@ -71,23 +71,10 @@ object Similarity {
   private val DedupBands = 8
   private val DedupRowsPerBand = 4
 
-  /** DuckDB mirror of one plane dot against `embedding`: same
-    * left-to-right double fold as HyperplaneSig's kernel (plane values
-    * rendered with Scala's shortest-round-trip Double.toString, which
-    * every correct parser reads back to the identical double), so each
-    * signature BIT — a sign test on a bit-identical double — matches. */
-  private def sqlPlaneDot(plane: Seq[Double]): String = {
-    val lit = plane.map(_.toString).mkString("[", ", ", "]")
-    s"""list_reduce(list_prepend(CAST(0 AS DOUBLE),
-       list_transform(generate_series(1, 64),
-         i -> CAST(embedding[i] AS DOUBLE) * ($lit)[i])),
-       (s, x) -> s + x)"""
-  }
+  /** DuckDB band-value mirror (plane-literal embedding + fold parity
+    * notes live on Vectors.sqlPlaneDot/sqlBandVal). */
   private def sqlBandVal(b: Int): String =
-    (0 until DedupRowsPerBand).map { j =>
-      s"(CASE WHEN ${sqlPlaneDot(DedupPlanes(b * DedupRowsPerBand + j))} > 0" +
-        s" THEN ${1 << j} ELSE 0 END)"
-    }.mkString(" + ")
+    Vectors.sqlBandVal(DedupPlanes, b, DedupRowsPerBand, "embedding")
 
   /** Mandated EXT: embedding-cosine near-duplicate pairs — candidates
     * from an 8-band random-hyperplane LSH join WITHIN label, exact
