@@ -127,6 +127,37 @@ object Snapshot {
     Compaction(summary.getFileCount, summary.getLength, n)
   }
 
+  /** Write `df` as parquet laid out in Z-order (Morton order) on two
+    * integer dimensions, so parquet min/max statistics prune files for
+    * predicates on EITHER or BOTH dimensions. A snapshot sorted on one
+    * column clusters only that column — every file spans the full range
+    * of the other, and a 2-D range query scans everything. Interleaving
+    * the bits ([[graft.functions.ZOrder64]]) bounds every file's
+    * (min,max) box in both dimensions (the lakehouse OPTIMIZE ZORDER
+    * technique; Morton 1966). `repartitionByRange` on the key makes the
+    * files globally range-disjoint in key space, which is what the
+    * footer-pruning needs; the sort inside each file tightens row-group
+    * stats too. Dimensions must be non-negative and < 2^32 (normalize
+    * skewed/non-integer domains to ranks first — bits above 32 are
+    * ignored).
+    *
+    * @return rows written (post-write footer count, same guard as write) */
+  def writeZOrdered(
+      df: DataFrame, dest: String, dimA: String, dimB: String,
+      numFiles: Int): Long = {
+    import org.apache.spark.sql.functions.col
+    val zkey = graft.functions.ZOrder64(df.sparkSession,
+      col(dimA).cast("long"), col(dimB).cast("long"))
+    val laid = df.withColumn("__zkey", zkey)
+      .repartitionByRange(numFiles, col("__zkey"))
+      .sortWithinPartitions("__zkey")
+      .drop("__zkey")
+    laid.write.mode("overwrite").parquet(dest)
+    val n = df.sparkSession.read.parquet(dest).count()
+    if (n == 0L) throw new EmptySnapshotException(s"snapshot at $dest has no data")
+    n
+  }
+
   final case class Incremental(inserted: Long, deleted: Long, unchanged: Long)
 
   /** Diff two snapshot generations (multiset semantics): rows only in

@@ -366,6 +366,39 @@ object ScalarFns {
       CAST(get_bit(o_orderkey::BIT, 63) AS BIGINT) AS bit0
     FROM orders ORDER BY o_orderkey"""))
 
+  /** EXT: native Z-order (Morton) key — the clustering key behind
+    * [[graft.engine.Snapshot.writeZOrdered]]'s 2-D-prunable file
+    * layout. The oracle re-derives the bit interleave in DuckDB from
+    * first principles (the parallel-prefix spread as a 5-stage CTE
+    * pipeline), so the codegen kernel is cross-checked against an
+    * independent SQL formulation, not itself. */
+  val fnZorder: Q = Q(
+    "q_fn_zorder",
+    (s, d) =>
+      Tables.orders(s, d)
+        .select(
+          col("o_orderkey"),
+          graft.functions.ZOrder64(s,
+            col("o_orderkey").cast("long"),
+            col("o_custkey").cast("long")).as("zkey"))
+        .orderBy("o_orderkey"),
+    Some("""WITH z0 AS (
+        SELECT o_orderkey,
+               CAST(o_orderkey AS BIGINT) & 4294967295 AS a,
+               CAST(o_custkey AS BIGINT) & 4294967295 AS b
+        FROM orders),
+      z1 AS (SELECT o_orderkey, (a | (a << 16)) & 281470681808895 AS a,
+                    (b | (b << 16)) & 281470681808895 AS b FROM z0),
+      z2 AS (SELECT o_orderkey, (a | (a << 8)) & 71777214294589695 AS a,
+                    (b | (b << 8)) & 71777214294589695 AS b FROM z1),
+      z3 AS (SELECT o_orderkey, (a | (a << 4)) & 1085102592571150095 AS a,
+                    (b | (b << 4)) & 1085102592571150095 AS b FROM z2),
+      z4 AS (SELECT o_orderkey, (a | (a << 2)) & 3689348814741910323 AS a,
+                    (b | (b << 2)) & 3689348814741910323 AS b FROM z3),
+      z5 AS (SELECT o_orderkey, (a | (a << 1)) & 6148914691236517205 AS a,
+                    (b | (b << 1)) & 6148914691236517205 AS b FROM z4)
+      SELECT o_orderkey, a | (b << 1) AS zkey FROM z5 ORDER BY o_orderkey"""))
+
   val all: Seq[Q] = Seq(fnString, fnDate, fnMath, fnArray, fnJson, fnNull,
-    fnTryCast, fnHash, fnRegex, fnStruct, fnBitwise)
+    fnTryCast, fnHash, fnRegex, fnStruct, fnBitwise, fnZorder)
 }
