@@ -127,6 +127,32 @@ object Snapshot {
     Compaction(summary.getFileCount, summary.getLength, n)
   }
 
+  /** MERGE INTO: apply a changelog batch to a snapshot, producing the
+    * next generation. `changes` has the base schema plus `opCol`
+    * (`"U"` = upsert — update if the key exists, insert if not;
+    * `"D"` = delete; at most one row per key per batch, the same
+    * precondition Delta/Iceberg MERGE imposes).
+    *
+    * Shaped for the 100 TB case where the changelog is orders of
+    * magnitude smaller than the base: the base is NEVER shuffled —
+    * untouched rows flow through a broadcast anti-join (touched keys
+    * only, not full change rows, go over the wire) and upserts are
+    * appended with a shuffle-free union. The window-over-key
+    * formulation (union + row_number) would shuffle the entire base by
+    * key; set `broadcastKeys = false` to fall back to a shuffled anti
+    * join when the changelog itself is too big to broadcast. */
+  def applyChangelog(
+      base: DataFrame, changes: DataFrame, keys: Seq[String],
+      opCol: String = "op", broadcastKeys: Boolean = true): DataFrame = {
+    import org.apache.spark.sql.functions.{broadcast, col}
+    val dataCols = base.columns.toSeq.map(col)
+    val touched = changes.select(keys.map(col): _*)
+    val kept = base.join(
+      if (broadcastKeys) broadcast(touched) else touched, keys, "left_anti")
+    val upserts = changes.where(col(opCol) === "U").select(dataCols: _*)
+    kept.unionByName(upserts)
+  }
+
   /** Write `df` as parquet laid out in Z-order (Morton order) on two
     * integer dimensions, so parquet min/max statistics prune files for
     * predicates on EITHER or BOTH dimensions. A snapshot sorted on one

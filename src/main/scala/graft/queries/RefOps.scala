@@ -328,8 +328,62 @@ object RefOps {
         (SELECT count(*) FROM (SELECT * FROM cur EXCEPT ALL
           SELECT * FROM lineitem)) AS n_unchanged"""))
 
+  /** EXT: MERGE INTO — apply an upsert/delete/insert changelog batch to
+    * a snapshot (engine.Snapshot.applyChangelog), the maintenance op
+    * between full dumps. The changelog is derived deterministically
+    * from orders itself: keys %7==0 are updated (status → 'M'), keys
+    * %13==0 deleted (wins over update), and keys %31==0 re-inserted
+    * under a fresh negative key (the pure-insert path). At 100 TB the
+    * base never shuffles: untouched rows pass a broadcast anti-join on
+    * touched keys and upserts union in shuffle-free (MergeSpec pins
+    * both plan properties). */
+  val mergeUpsert: Q = Q(
+    "q_ref_merge_upsert",
+    (s, d) => {
+      val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus",
+        "o_totalprice", "o_orderdate")
+      val base = Tables.orders(s, d).select(cols.map(col): _*)
+      val mods = base
+        .where(col("o_orderkey") % 7 === 0 || col("o_orderkey") % 13 === 0)
+        .select(col("o_orderkey"), col("o_custkey"),
+          when(col("o_orderkey") % 13 === 0, col("o_orderstatus"))
+            .otherwise(lit("M")).as("o_orderstatus"),
+          col("o_totalprice"), col("o_orderdate"),
+          when(col("o_orderkey") % 13 === 0, lit("D"))
+            .otherwise(lit("U")).as("op"))
+      val inserts = base
+        .where(col("o_orderkey") % 31 === 0)
+        .select((-col("o_orderkey")).as("o_orderkey"), col("o_custkey"),
+          lit("I").as("o_orderstatus"), col("o_totalprice"),
+          col("o_orderdate"), lit("U").as("op"))
+      Snapshot.applyChangelog(base, mods.unionByName(inserts),
+          Seq("o_orderkey"), "op")
+        .orderBy("o_orderkey")
+    },
+    Some("""WITH chg AS (
+      SELECT o_orderkey, o_custkey,
+        CASE WHEN o_orderkey % 13 = 0 THEN o_orderstatus ELSE 'M' END
+          AS o_orderstatus,
+        o_totalprice, o_orderdate,
+        CASE WHEN o_orderkey % 13 = 0 THEN 'D' ELSE 'U' END AS op
+      FROM orders WHERE o_orderkey % 7 = 0 OR o_orderkey % 13 = 0
+      UNION ALL
+      SELECT -o_orderkey, o_custkey, 'I', o_totalprice, o_orderdate, 'U'
+      FROM orders WHERE o_orderkey % 31 = 0)
+    SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate
+    FROM (
+      SELECT b.o_orderkey, b.o_custkey, b.o_orderstatus, b.o_totalprice,
+        b.o_orderdate
+      FROM orders b LEFT JOIN chg c ON b.o_orderkey = c.o_orderkey
+      WHERE c.o_orderkey IS NULL
+      UNION ALL
+      SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+        o_orderdate
+      FROM chg WHERE op = 'U')
+    ORDER BY o_orderkey"""))
+
   val all: Seq[Q] = Seq(
     lineFilter, grepExists, extractId, identifier, versionDispatch,
     statusLast, nonemptyGuard, roundTrip, csvSource, orcSource,
-    jsonSource, incremental)
+    jsonSource, incremental, mergeUpsert)
 }
