@@ -290,11 +290,15 @@ object RefOps {
     * contract). The "current" generation is a deterministic mutation of
     * lineitem: every l_orderkey % 7 == 0 row deleted, every
     * l_orderkey % 13 == 0 survivor re-priced (update = delete+insert).
-    * This declared form uses EXCEPT ALL — the diagnosis shape; the
-    * engine's digest fast path (Snapshot.verifyContent) answers the
-    * cheaper "did anything change" question with scalar aggs only. At
-    * 100 TB: both EXCEPT ALL legs shuffle on full-row hash once; ship
-    * only the delta, never a second full dump. */
+    * This declared form reduces the multiset diff to ONE shuffle: union
+    * the generations with a signed weight (+1 prev, −1 cur), group by
+    * the full row, and read inserts/deletes off the sign of the summed
+    * weight (a group with d < 0 has −d copies only in cur = inserted;
+    * d > 0 means d copies only in prev = deleted). Two EXCEPT ALL legs
+    * — the naive shape — shuffle both generations twice; at 100 TB
+    * that's the difference between one pass over 200 TB and two. The
+    * engine's digest fast path (Snapshot.verifyContent) still answers
+    * the cheaper "did anything change" question with scalar aggs only. */
   val incremental: Q = Q(
     "q_ref_incremental",
     (s, d) => {
@@ -304,14 +308,20 @@ object RefOps {
           when(col("l_orderkey") % 13 === 0,
             col("l_extendedprice") + lit(1.0))
             .otherwise(col("l_extendedprice")))
-      val ins = cur.exceptAll(prev)
-        .agg(count(lit(1)).as("n_inserted"))
-      val del = prev.exceptAll(cur)
-        .agg(count(lit(1)).as("n_deleted"))
-      val tot = cur.agg(count(lit(1)).as("n_cur"))
-      ins.crossJoin(del).crossJoin(tot)
-        .select(col("n_inserted"), col("n_deleted"),
-          (col("n_cur") - col("n_inserted")).as("n_unchanged"))
+      val rowCols = prev.columns.toSeq.map(col)
+      prev.withColumn("__w", lit(1L))
+        .unionByName(cur.withColumn("__w", lit(-1L)))
+        .groupBy(rowCols: _*)
+        .agg(sum(col("__w")).as("d"),
+          count(when(col("__w") === -1L, 1)).as("cur_n"))
+        .agg(
+          sum(when(col("d") < 0, -col("d")).otherwise(0L))
+            .cast("long").as("n_inserted"),
+          sum(when(col("d") > 0, col("d")).otherwise(0L))
+            .cast("long").as("n_deleted"),
+          (sum(col("cur_n")) -
+            sum(when(col("d") < 0, -col("d")).otherwise(0L)))
+            .cast("long").as("n_unchanged"))
     },
     Some("""WITH cur AS (
       SELECT l_orderkey, l_partkey, l_suppkey, l_linenumber, l_quantity,
