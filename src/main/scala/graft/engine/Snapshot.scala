@@ -127,6 +127,17 @@ object Snapshot {
     Compaction(summary.getFileCount, summary.getLength, n)
   }
 
+  /** Read snapshot generations whose schemas have EVOLVED (columns
+    * added over time) as one DataFrame: `mergeSchema` unions the
+    * parquet footers' schemas, and generations written before a column
+    * existed surface it as null. Additive evolution only — a rename or
+    * type change is a projection the caller must apply per generation
+    * before unioning (silent coercion at 100 TB is how a corpus gets
+    * corrupted). Spark reads each file with its own physical schema, so
+    * no rewrite of old generations is ever needed. */
+  def readEvolved(spark: SparkSession, generations: String*): DataFrame =
+    spark.read.option("mergeSchema", "true").parquet(generations: _*)
+
   /** MERGE INTO: apply a changelog batch to a snapshot, producing the
     * next generation. `changes` has the base schema plus `opCol`
     * (`"U"` = upsert — update if the key exists, insert if not;
