@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 
-import graft.functions.{CosineSimilarity, GramHashes, HyperplaneSig, MinHashSig, NearestCells, RollingHash, SimHash64, SortedIntersectCount, ZOrder64}
+import graft.functions.{AdcScore, CosineSimilarity, GramHashes, HyperplaneSig, MinHashSig, NearestCells, RollingHash, SimHash64, SortedIntersectCount, ZOrder64}
 
 /** SparkSessionExtensions entry point: registers the engine's native
   * functions for any session built with
@@ -31,5 +31,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       SimHash64.info, SimHash64.builder))
     e.injectFunction((FunctionIdentifier(ZOrder64.name),
       ZOrder64.info, ZOrder64.builder))
+    e.injectFunction((FunctionIdentifier(AdcScore.name),
+      AdcScore.info, AdcScore.builder))
   }
 }

@@ -117,5 +117,138 @@ object AnnOps {
     },
     None)
 
-  val all: Seq[Q] = Seq(simIvfTopk)
+  private val PqM = 8          // subspaces (64-dim → 8×8)
+  private val PqK = 16         // codes per subspace (4-bit codes)
+  private val PqSample = 256   // training-sample bound (vec_id <)
+  private val PqIters = 3
+  private val PqShortlist = 40 // ADC shortlist before exact re-rank
+
+  /** Train product-quantization codebooks (Jégou et al., PAMI'11 §II):
+    * split the dimension into `m` subspaces and run k-means in each.
+    * Training happens ON THE DRIVER over a BOUNDED sample (first
+    * `sampleN` vec_ids — a pushed-down filter, O(1) in corpus size,
+    * ~512 KB here), because the model is M·K·(dim/M) doubles — tiny —
+    * while running M separate distributed Lloyd loops would cost
+    * M×iters corpus passes. At 100 TB: same sample bound, same driver
+    * fit, broadcast codebooks, ONE corpus pass to encode.
+    *
+    * Deterministic: sample ordered by vec_id, init = first k slices,
+    * fixed iteration order, ties to the lower centroid index —
+    * bit-identical codebooks every run (matches NearestCells'
+    * tie-break, so driver assignment == kernel assignment).
+    *
+    * @return m codebooks × k centroids × (dim/m) doubles */
+  def trainPqCodebooks(
+      emb: DataFrame, m: Int = PqM, k: Int = PqK,
+      sampleN: Int = PqSample, iters: Int = PqIters)
+      : Seq[Seq[Seq[Double]]] = {
+    val sample: Array[Array[Double]] = emb
+      .orderBy(col("vec_id")).limit(sampleN)
+      .select(col("embedding")).collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+    val dim = sample.head.length
+    require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
+    val sub = dim / m
+    (0 until m).map { mi =>
+      val xs = sample.map(v => java.util.Arrays.copyOfRange(v, mi * sub, (mi + 1) * sub))
+      var cents: Array[Array[Double]] = xs.take(k).map(_.clone)
+      for (_ <- 1 to iters) {
+        val sums = Array.fill(k, sub)(0.0)
+        val counts = Array.fill(k)(0L)
+        xs.foreach { x =>
+          var best = 0
+          var bestD = Double.MaxValue
+          var c = 0
+          while (c < k) {
+            var dAcc = 0.0
+            var j = 0
+            while (j < sub) {
+              val t = x(j) - cents(c)(j); dAcc += t * t; j += 1
+            }
+            if (dAcc < bestD) { bestD = dAcc; best = c }
+            c += 1
+          }
+          counts(best) += 1
+          var j = 0
+          while (j < sub) { sums(best)(j) += x(j); j += 1 }
+        }
+        cents = cents.zipWithIndex.map { case (old, c) =>
+          if (counts(c) == 0) old else sums(c).map(_ / counts(c))
+        }
+      }
+      cents.map(_.toSeq).toSeq
+    }
+  }
+
+  /** EXT: product-quantization ANN — the compressed-domain scale path.
+    * The corpus encodes ONCE to M=8 sub-quantizer codes (4-bit space:
+    * 256-byte vectors → 8 codes, the 100 TB memory story); a probe
+    * precomputes an M×K lookup table of partial inner products, and
+    * the scan scores candidates with M table reads per row via the
+    * native `adc_score` kernel instead of D multiplies. ADC shortlist
+    * → exact cosine re-rank on `PqShortlist` candidates only.
+    *
+    * The probe side is a bounded driver-built table (10 probes ×
+    * M·K doubles) broadcast against the corpus — deliberately a
+    * broadcast nested-loop: PQ's linear scan IS the operator; its win
+    * is per-row cost (8 lookups on 4-byte codes), not candidate
+    * pruning. Compose with IVF cells for sub-linear candidate counts.
+    * Approximate by construction → no SQL oracle; AnnSpec checks
+    * recall vs the brute-force ranking, code-space bounds, and
+    * determinism. */
+  val simPqTopk: Q = Q(
+    "q_sim_pq_topk",
+    (s, d) => {
+      val emb = Tables.embeddings(s, d)
+        .select(col("vec_id"), col("embedding"))
+      val books = trainPqCodebooks(emb)
+      val sub = books.head.head.length
+      val codeCols = books.zipWithIndex.map { case (cents, mi) =>
+        element_at(graft.functions.NearestCells(s,
+          slice(col("embedding"), mi * sub + 1, sub), cents, 1), 1)
+      }
+      val corpus = emb.select(col("vec_id"), col("embedding"),
+        array(codeCols: _*).as("codes"))
+      // bounded probe set: vectors collect to the driver (10 rows),
+      // ADC tables are computed there and broadcast back
+      val probeRows = emb.where(col("vec_id") < 10)
+        .orderBy(col("vec_id")).collect()
+      val probeData: Seq[(Long, Seq[Float], Seq[Double])] =
+        probeRows.toSeq.map { r =>
+          val pid = r.getLong(0)
+          val v = r.getSeq[Float](1)
+          val table = books.zipWithIndex.flatMap { case (cents, mi) =>
+            cents.map { cent =>
+              var acc = 0.0
+              var j = 0
+              while (j < sub) {
+                acc += v(mi * sub + j).toDouble * cent(j); j += 1
+              }
+              acc
+            }
+          }
+          (pid, v, table)
+        }
+      import s.implicits._
+      val probes = probeData.toDF("probe_id", "pv", "table")
+      val wAdc = Window.partitionBy(col("probe_id"))
+        .orderBy(col("adc").desc, col("vec_id").asc)
+      val wCos = Window.partitionBy(col("probe_id"))
+        .orderBy(col("cos").desc, col("vec_id").asc)
+      corpus.crossJoin(broadcast(probes))
+        .where(col("vec_id") =!= col("probe_id"))
+        .withColumn("adc", graft.functions.AdcScore(
+          s, col("codes"), col("table")))
+        .withColumn("r", row_number().over(wAdc))
+        .where(col("r") <= PqShortlist)
+        .withColumn("cos", graft.functions.CosineSimilarity(
+          s, col("pv"), col("embedding")))
+        .withColumn("k", row_number().over(wCos).cast("long"))
+        .where(col("k") <= TopK)
+        .select("probe_id", "k", "vec_id", "cos", "adc")
+        .orderBy("probe_id", "k")
+    },
+    None)
+
+  val all: Seq[Q] = Seq(simIvfTopk, simPqTopk)
 }

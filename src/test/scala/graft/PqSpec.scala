@@ -1,0 +1,77 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.queries.AnnOps
+
+/** Product quantization: the native adc_score kernel's lookup contract,
+  * codebook training determinism, and end-to-end search quality of
+  * q_sim_pq_topk against the brute-force ranking.
+  */
+class PqSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("adc_score sums one table lookup per subspace") {
+    // 2 subspaces, K=3: table[m*3 + c]
+    val df = Seq((Seq(1, 2), Seq(10.0, 20.0, 30.0, 1.0, 2.0, 3.0)))
+      .toDF("codes", "table")
+      .select(graft.functions.AdcScore(
+        spark, col("codes"), col("table")).as("s"))
+    assert(df.head().getDouble(0) == 20.0 + 3.0)
+  }
+
+  test("adc_score yields NULL on out-of-range codes or ragged tables") {
+    val bad = Seq(
+      (Seq(3, 0), Seq(1.0, 2.0, 3.0, 4.0, 5.0, 6.0)), // code 3 >= K=3
+      (Seq(-1, 0), Seq(1.0, 2.0, 3.0, 4.0, 5.0, 6.0)), // negative code
+      (Seq(0, 1), Seq(1.0, 2.0, 3.0, 4.0, 5.0)) // 5 % 2 != 0
+    ).toDF("codes", "table")
+      .select(graft.functions.AdcScore(
+        spark, col("codes"), col("table")).as("s"))
+    assert(bad.collect().forall(_.isNullAt(0)))
+  }
+
+  test("PQ codebooks are deterministic and shaped M x K x dim/M") {
+    val emb = graft.engine.Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding"))
+    val a = AnnOps.trainPqCodebooks(emb)
+    val b = AnnOps.trainPqCodebooks(emb)
+    assert(a == b)
+    assert(a.size == 8 && a.forall(_.size == 16)
+      && a.forall(_.forall(_.size == 8)))
+  }
+
+  test("q_sim_pq_topk: 4-bit code space, recall vs brute force, determinism") {
+    val e = graft.engine.Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding"))
+
+    // brute-force truth for the same probes
+    val probes = e.where(col("vec_id") < 10)
+      .select(col("vec_id").as("probe_id"), col("embedding").as("pv"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("probe_id").orderBy(col("cos").desc, col("vec_id").asc)
+    val truth = broadcast(probes).crossJoin(e)
+      .where(col("vec_id") =!= col("probe_id"))
+      .withColumn("cos",
+        graft.functions.CosineSimilarity(spark, col("pv"), col("embedding")))
+      .withColumn("k", row_number().over(w))
+      .where(col("k") <= 5)
+      .select(col("probe_id"), col("vec_id"))
+
+    val got = q("q_sim_pq_topk")
+    val hit = got.select(col("probe_id"), col("vec_id"))
+      .join(truth, Seq("probe_id", "vec_id")).count()
+    val nTruth = truth.count()
+    assert(nTruth > 0)
+    assert(hit.toDouble / nTruth >= 0.5,
+      s"recall ${hit.toDouble / nTruth} ($hit/$nTruth)")
+
+    // every probe returns exactly TopK neighbors, cos descending
+    assert(got.groupBy("probe_id").count()
+      .where(col("count") =!= 5).isEmpty)
+
+    // repeated runs are bit-identical (codebooks + ADC + re-rank all
+    // deterministic)
+    assert(got.collect().toSeq == q("q_sim_pq_topk").collect().toSeq)
+  }
+}
