@@ -91,6 +91,31 @@ object Snapshot {
     java.nio.file.Files.writeString(p, meta)
   }
 
+  /** Retention: expire old snapshot generations under `root`, keeping
+    * the `keep` newest. Generations are the direct children of `root`
+    * whose names follow `snapshotName` (`db_YYYY_MM_DD_HHMMSS`), so
+    * lexicographic order IS chronological order — no mtime trust, which
+    * object stores don't preserve across copies anyway. The reference
+    * deletes its temp dump per run (backup.sh:370) but accretes
+    * snapshots forever; at 100 TB/day unbounded retention is a cost
+    * cliff, so expiry is a first-class maintenance op beside compact().
+    *
+    * @return names of the generations deleted (oldest first) */
+  def expireGenerations(
+      spark: SparkSession, root: String, keep: Int): Seq[String] = {
+    require(keep >= 1, "retention must keep at least one generation")
+    val rootPath = new org.apache.hadoop.fs.Path(root)
+    val fs = rootPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(rootPath)) return Nil
+    val gens = fs.listStatus(rootPath)
+      .filter(_.isDirectory)
+      .map(_.getPath)
+      .sortBy(_.getName)
+    val expired = gens.dropRight(keep)
+    expired.foreach(p => fs.delete(p, true))
+    expired.map(_.getName).toSeq
+  }
+
   /** Sink cleanup — the `aws s3 rm` temp-dump delete (A5, backup.sh:370). */
   def delete(spark: SparkSession, path: String): Boolean = {
     val hPath = new org.apache.hadoop.fs.Path(path)

@@ -332,6 +332,25 @@ class SnapshotSpec extends SparkSpec {
     assert(!new java.io.File(dir).exists())
   }
 
+  test("retention expires oldest generations by name, keeps the newest") {
+    val root = java.nio.file.Files.createTempDirectory("graft_ret_").toString
+    val names = Seq("2023_01_01_000000", "2023_06_15_120000",
+      "2024_02_29_235959", "2024_03_01_000001").map("db_" + _)
+    names.foreach(n =>
+      Snapshot.write(Tables.region(spark, sf), s"$root/$n"))
+    val expired = Snapshot.expireGenerations(spark, root, keep = 2)
+    assert(expired == names.take(2), "oldest two (lexicographic = chrono)")
+    val left = new java.io.File(root).listFiles().map(_.getName).sorted
+    assert(left.toSeq == names.drop(2))
+    // survivors still readable; keep must be >= 1; missing root is a no-op
+    assert(spark.read.parquet(s"$root/${names.last}").count() == 5)
+    intercept[IllegalArgumentException] {
+      Snapshot.expireGenerations(spark, root, keep = 0)
+    }
+    assert(Snapshot.expireGenerations(spark, s"$root/_absent", 3).isEmpty)
+    Snapshot.delete(spark, root)
+  }
+
   test("log lines carry the UTC ISO prefix and coded failures rethrow") {
     val at = java.time.Instant.parse("2024-01-05T10:47:33Z")
     assert(graft.engine.Log.line("starting backup", at)
