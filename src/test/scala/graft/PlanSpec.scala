@@ -114,6 +114,37 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("runtime bloom filter prunes the fact side of a selective dim join") {
+    // At 100 TB the win: a bloom filter built from the filtered dim's
+    // join keys is pushed into the fact scan, dropping non-joining rows
+    // BEFORE the shuffle. Local fixtures sit under the size thresholds
+    // that gate injection, so the thresholds are lowered for this test
+    // only — on a cluster the defaults (10 MB creation / 10 GB
+    // application side) fire on their own.
+    val conf = spark.conf
+    val saved = Seq(
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold")
+      .map(k => k -> conf.getOption(k))
+    try {
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      conf.set("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+      conf.set("spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "100MB")
+      val li = engine.Tables.lineitem(spark, sf)
+      val ord = engine.Tables.orders(spark, sf)
+        .where(col("o_orderstatus") === "F")
+      val plan = li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+        .groupBy(col("l_returnflag")).agg(count(lit(1)).as("n"))
+        .queryExecution.executedPlan.toString
+      assert(plan.contains("might_contain"),
+        "bloom filter must reach the fact side:\n" + plan.take(1500))
+    } finally saved.foreach {
+      case (k, Some(v)) => conf.set(k, v)
+      case (k, None) => conf.unset(k)
+    }
+  }
+
   test("partitioned snapshot write round-trips and prunes partitions") {
     val dir = java.nio.file.Files.createTempDirectory("graft_part_")
       .resolve("li").toString
