@@ -250,5 +250,73 @@ object AnnOps {
     },
     None)
 
-  val all: Seq[Q] = Seq(simIvfTopk, simPqTopk)
+  /** EXT: IVF-PQ — the production ANN composition (FAISS IVFPQ shape):
+    * IVF cells bound the CANDIDATE COUNT (a probe joins only its
+    * NProbe nearest cells — sub-linear scan), and PQ codes bound the
+    * PER-CANDIDATE COST (M table lookups via `adc_score`, touching
+    * 4-byte codes instead of 256-byte vectors). Codes quantize raw
+    * vectors, not cell residuals (FAISS `by_residual=false`): the
+    * residual subtraction would be a per-row 64-element HOF —
+    * interpreted, against SCALE.md cliff 5 — for accuracy the exact
+    * re-rank stage recovers anyway. At 100 TB: corpus stored
+    * partitioned by cell with only `codes` read for scoring — the
+    * full vector column is fetched for the shortlist rows alone.
+    * Approximate → no SQL oracle; PqSpec checks recall + plan shape. */
+  val simIvfPqTopk: Q = Q(
+    "q_sim_ivfpq_topk",
+    (s, d) => {
+      val emb = Tables.embeddings(s, d)
+        .select(col("vec_id"), col("embedding"))
+      val coarse = trainCentroids(emb)
+      val books = trainPqCodebooks(emb)
+      val sub = books.head.head.length
+      val codeCols = books.zipWithIndex.map { case (cents, mi) =>
+        element_at(graft.functions.NearestCells(s,
+          slice(col("embedding"), mi * sub + 1, sub), cents, 1), 1)
+      }
+      val corpus = emb.select(col("vec_id"), col("embedding"),
+        cellOf(s, col("embedding"), coarse).as("cell"),
+        array(codeCols: _*).as("codes"))
+      val probeRows = emb.where(col("vec_id") < 10)
+        .orderBy(col("vec_id")).collect()
+      val probeData: Seq[(Long, Seq[Float], Seq[Double])] =
+        probeRows.toSeq.map { r =>
+          val pid = r.getLong(0)
+          val v = r.getSeq[Float](1)
+          val table = books.zipWithIndex.flatMap { case (cents, mi) =>
+            cents.map { cent =>
+              var acc = 0.0
+              var j = 0
+              while (j < sub) {
+                acc += v(mi * sub + j).toDouble * cent(j); j += 1
+              }
+              acc
+            }
+          }
+          (pid, v, table)
+        }
+      import s.implicits._
+      val probes = probeData.toDF("probe_id", "pv", "table")
+        .withColumn("cell", explode(graft.functions.NearestCells(
+          s, col("pv"), coarse, NProbe)))
+      val wAdc = Window.partitionBy(col("probe_id"))
+        .orderBy(col("adc").desc, col("vec_id").asc)
+      val wCos = Window.partitionBy(col("probe_id"))
+        .orderBy(col("cos").desc, col("vec_id").asc)
+      probes.join(corpus, Seq("cell"))
+        .where(col("vec_id") =!= col("probe_id"))
+        .withColumn("adc", graft.functions.AdcScore(
+          s, col("codes"), col("table")))
+        .withColumn("r", row_number().over(wAdc))
+        .where(col("r") <= PqShortlist)
+        .withColumn("cos", graft.functions.CosineSimilarity(
+          s, col("pv"), col("embedding")))
+        .withColumn("k", row_number().over(wCos).cast("long"))
+        .where(col("k") <= TopK)
+        .select("probe_id", "k", "vec_id", "cos", "adc", "cell")
+        .orderBy("probe_id", "k")
+    },
+    None)
+
+  val all: Seq[Q] = Seq(simIvfTopk, simPqTopk, simIvfPqTopk)
 }

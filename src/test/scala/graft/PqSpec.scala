@@ -74,4 +74,34 @@ class PqSpec extends SparkSpec {
     // deterministic)
     assert(got.collect().toSeq == q("q_sim_pq_topk").collect().toSeq)
   }
+
+  test("q_sim_ivfpq_topk joins on cells, never crossing the corpus, with recall") {
+    val e = graft.engine.Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding"))
+    val probes = e.where(col("vec_id") < 10)
+      .select(col("vec_id").as("probe_id"), col("embedding").as("pv"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("probe_id").orderBy(col("cos").desc, col("vec_id").asc)
+    val truth = broadcast(probes).crossJoin(e)
+      .where(col("vec_id") =!= col("probe_id"))
+      .withColumn("cos",
+        graft.functions.CosineSimilarity(spark, col("pv"), col("embedding")))
+      .withColumn("k", row_number().over(w))
+      .where(col("k") <= 5)
+      .select(col("probe_id"), col("vec_id"))
+
+    val got = q("q_sim_ivfpq_topk")
+    val hit = got.select(col("probe_id"), col("vec_id"))
+      .join(truth, Seq("probe_id", "vec_id")).count()
+    val recall = hit.toDouble / truth.count()
+    assert(recall >= 0.4, s"recall $recall") // cell pruning + PQ error;
+    // the IVF-alone floor is 0.5 and PQ's shortlist re-rank loses little
+
+    // the candidate generator must be the cell equi join — a cross or
+    // nested-loop here would defeat the sub-linear scan claim
+    val plan = got.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct")
+      && !plan.contains("BroadcastNestedLoopJoin"), plan.take(1200))
+    assert(got.collect().toSeq == q("q_sim_ivfpq_topk").collect().toSeq)
+  }
 }
