@@ -375,6 +375,51 @@ object PipelineOps {
     WHERE doc_id % 97 != 0
     GROUP BY doc_id ORDER BY doc_id"""))
 
+  /** EXT: one-pass table profile — the ANALYZE/data-quality snapshot a
+    * pipeline runs before trusting a new corpus drop: row count,
+    * per-column null counts, exact distincts, ranges, and length
+    * stats, all from a single scan (Spark plans the multi-distinct via
+    * one Expand, still one pass over the data). At 100 TB swap the
+    * exact `countDistinct`s for `approx_count_distinct` — same plan
+    * shape minus the Expand multiplier; exact is kept here because the
+    * oracle can mirror it. All outputs are integer/string domain — no
+    * float parity surface. */
+  val profileTable: Q = Q(
+    "q_profile_table",
+    (s, d) =>
+      Tables.documents(s, d)
+        .agg(
+          count(lit(1)).as("n_rows"),
+          countDistinct(col("doc_id")).as("doc_id_distinct"),
+          min(col("doc_id")).as("doc_id_min"),
+          max(col("doc_id")).as("doc_id_max"),
+          count(when(col("lang").isNull, 1)).as("lang_nulls"),
+          countDistinct(col("lang")).as("lang_distinct"),
+          min(col("lang")).as("lang_min"),
+          max(col("lang")).as("lang_max"),
+          countDistinct(col("source")).as("source_distinct"),
+          min(col("n_chars")).cast("long").as("nchars_min"),
+          max(col("n_chars")).cast("long").as("nchars_max"),
+          sum(col("n_chars")).cast("long").as("nchars_sum"),
+          sum(length(col("text"))).cast("long").as("text_len_sum"),
+          max(length(col("text"))).cast("long").as("text_len_max")),
+    Some("""SELECT
+      count(*) AS n_rows,
+      count(DISTINCT doc_id) AS doc_id_distinct,
+      min(doc_id) AS doc_id_min,
+      max(doc_id) AS doc_id_max,
+      count(*) FILTER (WHERE lang IS NULL) AS lang_nulls,
+      count(DISTINCT lang) AS lang_distinct,
+      min(lang) AS lang_min,
+      max(lang) AS lang_max,
+      count(DISTINCT source) AS source_distinct,
+      CAST(min(n_chars) AS BIGINT) AS nchars_min,
+      CAST(max(n_chars) AS BIGINT) AS nchars_max,
+      CAST(sum(n_chars) AS BIGINT) AS nchars_sum,
+      CAST(sum(len(text)) AS BIGINT) AS text_len_sum,
+      CAST(max(len(text)) AS BIGINT) AS text_len_max
+    FROM documents"""))
+
   val all: Seq[Q] = Seq(dedupComponents, textPack, textQualityFilter,
-    textChunk, textDecontaminate)
+    textChunk, textDecontaminate, profileTable)
 }
