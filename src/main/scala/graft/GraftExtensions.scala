@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 
-import graft.functions.{AdcScore, CosineSimilarity, GramHashes, HyperplaneSig, MinHashSig, NearestCells, RollingHash, SimHash64, SortedIntersectCount, ZOrder64}
+import graft.functions.{AdcScore, CosineSimilarity, GramHashes, HyperplaneSig, MinHashSig, NearestCells, NfcNormalize, RollingHash, SimHash64, SortedIntersectCount, StripAccents, ZOrder64}
 
 /** SparkSessionExtensions entry point: registers the engine's native
   * functions for any session built with
@@ -33,5 +33,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       ZOrder64.info, ZOrder64.builder))
     e.injectFunction((FunctionIdentifier(AdcScore.name),
       AdcScore.info, AdcScore.builder))
+    e.injectFunction((FunctionIdentifier(NfcNormalize.name),
+      NfcNormalize.info, NfcNormalize.builder))
+    e.injectFunction((FunctionIdentifier(StripAccents.name),
+      StripAccents.info, StripAccents.builder))
   }
 }

@@ -315,7 +315,52 @@ object TextOps {
         AS was_redacted
     FROM customer ORDER BY c_custkey"""))
 
+  /** EXT: Unicode normalization — NFC composition + diacritic
+    * stripping via the native kernels (functions.TextNormalize),
+    * named to match DuckDB's `nfc_normalize`/`strip_accents` so the
+    * oracle is a true cross-engine check. The fixture text is ASCII,
+    * so each row is prefixed with a deterministic accented literal
+    * (picked by doc_id) covering the cases that matter: composed vs
+    * DECOMPOSED é (same text, different bytes — the dedup-killer NFC
+    * exists to fix), ß (no decomposition — must pass through), Ü/ï/ñ
+    * (combining-mark strips). `nfc_len < raw_len` on the decomposed
+    * rows is the normalization actually working. */
+  val textNormalize: Q = Q(
+    "q_text_normalize",
+    (s, d) => {
+      val pfx = when(col("doc_id") % 4 === 0, lit("Café "))
+        .when(col("doc_id") % 4 === 1, lit("Café "))
+        .when(col("doc_id") % 4 === 2, lit("Straße Über "))
+        .otherwise(lit("naïve niño "))
+      val sraw = concat(pfx, substring(col("text"), 1, 16))
+      Tables.documents(s, d)
+        .select(
+          col("doc_id"),
+          graft.functions.NfcNormalize(s, sraw).as("nfc"),
+          graft.functions.StripAccents(s, sraw).as("stripped"),
+          length(sraw).cast("long").as("raw_len"),
+          length(graft.functions.NfcNormalize(s, sraw)).cast("long")
+            .as("nfc_len"))
+        .orderBy("doc_id")
+    },
+    Some(s"""WITH sr AS (
+      SELECT doc_id,
+        CASE doc_id % 4
+          WHEN 0 THEN 'Café '
+          WHEN 1 THEN 'Café '
+          WHEN 2 THEN 'Straße Über '
+          ELSE 'naïve niño '
+        END || substr(text, 1, 16) AS s
+      FROM documents)
+    SELECT doc_id,
+      nfc_normalize(s) AS nfc,
+      strip_accents(s) AS stripped,
+      CAST(len(s) AS BIGINT) AS raw_len,
+      CAST(len(nfc_normalize(s)) AS BIGINT) AS nfc_len
+    FROM sr ORDER BY doc_id"""))
+
   val all: Seq[Q] = Seq(
     dedupExact, textTokens, textStats, textTfidf, textLangid, textQuality,
-    textFingerprint, textTokencount, textNgramFreq, textRedact)
+    textFingerprint, textTokencount, textNgramFreq, textRedact,
+    textNormalize)
 }

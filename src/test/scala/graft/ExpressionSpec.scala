@@ -168,6 +168,33 @@ class SkewSpec extends SparkSpec {
 }
 
 class BucketingSpec extends SparkSpec {
+  test("unicode normalize kernels: composition, stripping, pass-throughs") {
+    import graft.functions.{NfcNormalize, StripAccents}
+    import org.apache.spark.unsafe.types.UTF8String
+    val decomposed = "Café"   // e + combining acute
+    val composed = "Café"
+    assert(NfcNormalize.kernel(UTF8String.fromString(decomposed)).toString
+      == composed)
+    assert(StripAccents.kernel(UTF8String.fromString(composed)).toString
+      == "Cafe")
+    assert(StripAccents.kernel(UTF8String.fromString(decomposed)).toString
+      == "Cafe")
+    // no canonical decomposition → unchanged (the utf8proc contract)
+    assert(StripAccents.kernel(UTF8String.fromString("Straße")).toString
+      == "Straße")
+    // ASCII fast path returns the SAME object — zero allocation
+    val ascii = UTF8String.fromString("plain ascii")
+    assert(NfcNormalize.kernel(ascii) eq ascii)
+    assert(StripAccents.kernel(ascii) eq ascii)
+    // SQL registration path
+    graft.functions.NfcNormalize.register(spark)
+    graft.functions.StripAccents.register(spark)
+    val r = spark.sql(
+      s"SELECT nfc_normalize('$decomposed') a, strip_accents('$decomposed') b")
+      .head()
+    assert(r.getString(0) == composed && r.getString(1) == "Cafe")
+  }
+
   test("bucketed co-located join plans without a shuffle exchange") {
     // warehouse dir is a static conf — uses the session default
     // (./spark-warehouse, gitignored); tables drop in finally.
