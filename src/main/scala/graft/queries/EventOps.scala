@@ -104,5 +104,64 @@ object EventOps {
     GROUP BY c.cohort_week, week_offset
     ORDER BY c.cohort_week, week_offset"""))
 
-  val all: Seq[Q] = Seq(eventFunnel, eventRetention)
+  /** EXT: SCD Type-2 history build — collapse each user's event-type
+    * stream into validity intervals [valid_from, valid_to) with an
+    * is_current flag: the gaps-and-islands shape (change flag via lag,
+    * running sum = segment id, one group per island) every warehouse
+    * dimension-history job runs. Two window passes + one aggregation,
+    * all keyed on user_id — scales with users' own streams, never a
+    * self-join over events. Ties inside a user's stream break on
+    * event_id, so segment numbering is total-order deterministic. */
+  val eventScd2: Q = Q(
+    "q_event_scd2",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val wOrd = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      val wRun = wOrd.rowsBetween(Window.unboundedPreceding,
+        Window.currentRow)
+      val wSeg = Window.partitionBy(col("user_id"))
+        .orderBy(col("valid_from"))
+      Tables.events(s, d)
+        .select(col("user_id"), col("event_type"), col("ts"),
+          col("event_id"))
+        .withColumn("chg",
+          when(lag(col("event_type"), 1).over(wOrd).isNull
+            || col("event_type") =!= lag(col("event_type"), 1).over(wOrd),
+            1L).otherwise(0L))
+        .withColumn("seg", sum(col("chg")).over(wRun))
+        .groupBy(col("user_id"), col("seg"), col("event_type"))
+        .agg(min(col("ts")).as("valid_from"),
+          count(lit(1)).as("n_events"))
+        .withColumn("valid_to", lead(col("valid_from"), 1).over(wSeg))
+        .withColumn("is_current", col("valid_to").isNull)
+        .orderBy("user_id", "seg")
+    },
+    Some("""WITH e AS (
+      SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts, event_id
+      FROM events),
+    flagged AS (
+      SELECT *,
+        CASE WHEN lag(event_type) OVER w IS NULL
+          OR event_type != lag(event_type) OVER w
+          THEN 1 ELSE 0 END AS chg
+      FROM e
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    segged AS (
+      SELECT *, CAST(sum(chg) OVER (PARTITION BY user_id
+        ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS seg
+      FROM flagged),
+    hist AS (
+      SELECT user_id, seg, event_type,
+        min(ts) AS valid_from, count(*) AS n_events
+      FROM segged GROUP BY user_id, seg, event_type)
+    SELECT user_id, seg, event_type, valid_from,
+      lead(valid_from) OVER (PARTITION BY user_id ORDER BY valid_from)
+        AS valid_to,
+      n_events,
+      lead(valid_from) OVER (PARTITION BY user_id ORDER BY valid_from)
+        IS NULL AS is_current
+    FROM hist ORDER BY user_id, seg"""))
+
+  val all: Seq[Q] = Seq(eventFunnel, eventRetention, eventScd2)
 }
