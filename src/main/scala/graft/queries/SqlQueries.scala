@@ -132,5 +132,30 @@ object SqlQueries {
           AND o_orderdate >= TIMESTAMP '2001-01-01')
     ORDER BY c_custkey"""))
 
-  val all: Seq[Q] = Seq(sqlQ3, sqlQ5, sqlQ10, sqlSubquery)
+  /** EXT: correlated LATERAL join — top-2 orders per customer via a
+    * per-row correlated subquery with ORDER BY + LIMIT, the SQL-standard
+    * form of the per-group top-k (the DSL twin is q_topk_per_group's
+    * window). Catalyst decorrelates this into a ranked window join, so
+    * the plan is the same shuffle-on-custkey shape, not a per-customer
+    * re-scan of orders. Restricted to c_custkey < 300 to keep the
+    * declared result bounded; the oracle runs the identical text. */
+  val sqlLateral: Q = Q(
+    "q_sql_lateral",
+    (s, d) => withViews(s, d)("""
+      SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+      FROM customer c, LATERAL (
+        SELECT o_orderkey, o_totalprice FROM orders o
+        WHERE o.o_custkey = c.c_custkey
+        ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
+      WHERE c.c_custkey < 300
+      ORDER BY c.c_custkey, t.o_orderkey"""),
+    Some("""SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+    FROM customer c, LATERAL (
+      SELECT o_orderkey, o_totalprice FROM orders o
+      WHERE o.o_custkey = c.c_custkey
+      ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
+    WHERE c.c_custkey < 300
+    ORDER BY c.c_custkey, t.o_orderkey"""))
+
+  val all: Seq[Q] = Seq(sqlQ3, sqlQ5, sqlQ10, sqlSubquery, sqlLateral)
 }
