@@ -116,6 +116,28 @@ object Snapshot {
     expired.map(_.getName).toSeq
   }
 
+  /** Time travel: read the latest generation under `root` whose
+    * `snapshotName` timestamp is <= `asOf` — "the corpus as the
+    * 2024-03-01 training run saw it", reproducibility's half of the
+    * retention trade (expireGenerations bounds how far back travel
+    * reaches). Name order = chrono order, same contract as expiry;
+    * only the chosen generation's files are touched. */
+  def readAsOf(
+      spark: SparkSession, root: String, dbName: String,
+      asOf: Instant): DataFrame = {
+    val cutoff = snapshotName(dbName, asOf)
+    val rootPath = new org.apache.hadoop.fs.Path(root)
+    val fs = rootPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val gens = fs.listStatus(rootPath)
+      .filter(_.isDirectory)
+      .map(_.getPath.getName)
+      .filter(n => n.startsWith(s"${dbName}_") && n <= cutoff)
+      .sorted
+    if (gens.isEmpty) throw new EmptySnapshotException(
+      s"no generation of $dbName at or before $asOf under $root")
+    spark.read.parquet(s"$root/${gens.last}")
+  }
+
   /** Sink cleanup — the `aws s3 rm` temp-dump delete (A5, backup.sh:370). */
   def delete(spark: SparkSession, path: String): Boolean = {
     val hPath = new org.apache.hadoop.fs.Path(path)

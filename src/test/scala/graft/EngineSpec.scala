@@ -351,6 +351,27 @@ class SnapshotSpec extends SparkSpec {
     Snapshot.delete(spark, root)
   }
 
+  test("time travel reads the latest generation at or before the cutoff") {
+    import org.apache.spark.sql.functions.col
+    val root = java.nio.file.Files.createTempDirectory("graft_tt_").toString
+    val at = Seq("2024-01-10T00:00:00Z", "2024-02-10T00:00:00Z",
+      "2024-03-10T00:00:00Z").map(java.time.Instant.parse)
+    at.zipWithIndex.foreach { case (t, i) =>
+      Snapshot.write(
+        Tables.nation(spark, sf).where(col("n_nationkey") < 10 + i),
+        s"$root/${Snapshot.snapshotName("db", t)}")
+    }
+    def rowsAsOf(s: String) = Snapshot.readAsOf(
+      spark, root, "db", java.time.Instant.parse(s)).count()
+    assert(rowsAsOf("2024-02-20T00:00:00Z") == 11) // gen 2
+    assert(rowsAsOf("2024-02-10T00:00:00Z") == 11) // boundary inclusive
+    assert(rowsAsOf("2025-01-01T00:00:00Z") == 12) // latest
+    intercept[Snapshot.EmptySnapshotException] {
+      rowsAsOf("2023-12-31T00:00:00Z") // before the first generation
+    }
+    Snapshot.delete(spark, root)
+  }
+
   test("log lines carry the UTC ISO prefix and coded failures rethrow") {
     val at = java.time.Instant.parse("2024-01-05T10:47:33Z")
     assert(graft.engine.Log.line("starting backup", at)
