@@ -89,6 +89,38 @@ object Aggregates {
         .orderBy("l_returnflag"),
     None)
 
+  /** EXT: mergeable HLL sketches (Apache DataSketches via Spark 3.5+
+    * built-ins) — THE 100 TB cardinality tool: per-shard sketches are
+    * tiny fixed-size states whose UNION equals the sketch of the union
+    * (re-aggregation without re-scanning). Here: per-language token
+    * vocabulary sketches, union-merged to the corpus estimate, beside
+    * exact counts so drift is visible in the declared output. DuckDB's
+    * approx sketch differs → no oracle; AggregatesSpec asserts
+    * merged == direct (the mergeability law) and the error bound. */
+  val aggHllSketch: Q = Q(
+    "q_agg_hll_sketch",
+    (s, d) => {
+      val tok = Tables.documents(s, d)
+        .select(col("lang"),
+          explode(split(lower(col("text")), " ")).as("token"))
+        .where(col("token") =!= "")
+      val per = tok.groupBy(col("lang"))
+        .agg(hll_sketch_agg(col("token"), lit(12)).as("sk"),
+          countDistinct(col("token")).as("exact_vocab"))
+      per.select(col("lang"),
+          hll_sketch_estimate(col("sk")).as("est_vocab"),
+          col("exact_vocab"))
+        .unionByName(per.agg(
+          hll_sketch_estimate(hll_union_agg(col("sk")))
+            .as("est_vocab"),
+          sum(lit(0L)).as("exact_vocab")) // corpus exact needs a 2nd
+          // full pass — the sketch union is the point: mark it -1
+          .select(lit("__all__").as("lang"),
+            col("est_vocab"), lit(-1L).as("exact_vocab")))
+        .orderBy("lang")
+    },
+    None)
+
   /** B16: rollup over (nation, market segment). DuckDB defaults to NULLS
     * LAST while Spark ASC is nulls-first, hence the explicit NULLS FIRST. */
   val aggRollup: Q = Q(
@@ -378,7 +410,7 @@ object Aggregates {
     })
 
   val all: Seq[Q] = Seq(
-    aggHashGroup, aggDistinct, aggApproxDistinct, aggRollup, aggCube,
-    aggPartialFinal, aggStats, aggPivot, aggSample, aggCollect,
+    aggHashGroup, aggDistinct, aggApproxDistinct, aggHllSketch, aggRollup,
+    aggCube, aggPartialFinal, aggStats, aggPivot, aggSample, aggCollect,
     aggUnpivot, sampleWeighted, aggPercentile, aggCorr)
 }

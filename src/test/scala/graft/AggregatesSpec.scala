@@ -43,4 +43,28 @@ class AggregatesSpec extends SparkSpec {
       assert(math.abs(got(k) - s) / s < 1e-6, s"$k: ${got(k)} vs $s")
     }
   }
+
+  test("HLL sketch union of per-lang shards equals the direct corpus sketch") {
+    import org.apache.spark.sql.functions._
+    val tok = graft.engine.Tables.documents(spark, sf)
+      .select(col("lang"), explode(split(lower(col("text")), " ")).as("token"))
+      .where(col("token") =!= "")
+    // mergeability law: union(per-shard sketches) == sketch(all) — this
+    // is what makes re-aggregation at 100 TB free
+    val merged = tok.groupBy(col("lang"))
+      .agg(hll_sketch_agg(col("token"), lit(12)).as("sk"))
+      .agg(hll_sketch_estimate(hll_union_agg(col("sk"))))
+      .head().getLong(0)
+    val direct = tok
+      .agg(hll_sketch_estimate(hll_sketch_agg(col("token"), lit(12))))
+      .head().getLong(0)
+    assert(merged == direct, s"union $merged != direct $direct")
+    val exact = tok.select("token").distinct().count()
+    assert(math.abs(merged - exact).toDouble / exact < 0.05,
+      s"estimate $merged vs exact $exact drifts > 5%")
+    // the declared query carries the same numbers
+    val all = q("q_agg_hll_sketch").where(col("lang") === "__all__")
+      .head()
+    assert(all.getLong(1) == merged)
+  }
 }
