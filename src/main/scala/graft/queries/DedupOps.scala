@@ -390,7 +390,39 @@ object DedupOps {
     FROM ranked WHERE k <= 5 ORDER BY probe_id, k"""
     })
 
+  /** EXT: edit-distance fuzzy matching (entity resolution) — near-
+    * identical customer names within a prefix block, the classic
+    * record-linkage shape. Scale guards, both load-bearing at 100 TB:
+    * (a) the self-join keys on a 16-char prefix block, so the pair
+    * space is Σ|block|², never |table|²; (b) Spark's THRESHOLD form of
+    * levenshtein(l, r, 1) abandons a pair the moment the running
+    * distance exceeds 1 — O(threshold·len) per pair, not O(len²).
+    * DuckDB's plain levenshtein is semantically identical on the kept
+    * pairs, so this IS oracle-checked despite the early-exit form. */
+  val dedupFuzzyName: Q = Q(
+    "q_dedup_fuzzy_name",
+    (s, d) => {
+      val c = Tables.customer(s, d)
+      def side(k: String) = c.select(
+        col("c_custkey").as(s"id_$k"), col("c_name").as(s"name_$k"),
+        substring(col("c_name"), 1, 16).as("blk"))
+      side("a").join(side("b"), "blk")
+        .where(col("id_a") < col("id_b"))
+        .withColumn("dist",
+          levenshtein(col("name_a"), col("name_b"), 1).cast("long"))
+        .where(col("dist") >= 0)
+        .select(col("id_a"), col("id_b"), col("dist"))
+        .orderBy("id_a", "id_b")
+    },
+    Some("""SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+      CAST(levenshtein(a.c_name, b.c_name) AS BIGINT) AS dist
+    FROM customer a JOIN customer b
+      ON substr(a.c_name, 1, 16) = substr(b.c_name, 1, 16)
+      AND a.c_custkey < b.c_custkey
+    WHERE levenshtein(a.c_name, b.c_name) <= 1
+    ORDER BY id_a, id_b"""))
+
   val all: Seq[Q] = Seq(
     dedupMinhashSig, dedupMinhashPairs, dedupSimhash, dedupNgramJaccard,
-    simLshTopk)
+    simLshTopk, dedupFuzzyName)
 }
