@@ -409,8 +409,38 @@ object Aggregates {
     FROM g ORDER BY l_returnflag"""
     })
 
+  /** EXT: equal-width histogram — the distribution-profiling op beside
+    * q_profile_table's scalar stats. Buckets are computed in EXACT
+    * integer domain (price cents DIV width-in-cents), so bucketing is
+    * bit-identical cross-engine with no float-boundary ambiguity; a
+    * fixed [0, 600k) range with a clamped top bucket avoids a separate
+    * min/max pre-pass (at 100 TB the range comes from q_profile_table
+    * or domain knowledge, not a second scan). One narrow projection +
+    * one keyed agg. */
+  val aggHistogram: Q = Q(
+    "q_agg_histogram",
+    (s, d) =>
+      Tables.orders(s, d)
+        .select(least(
+          expr("CAST(CAST(o_totalprice AS DECIMAL(14,2)) * 100 AS BIGINT)" +
+            " DIV 6000000"),
+          lit(9L)).as("bucket"),
+          col("o_totalprice"))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n"),
+          min(col("o_totalprice")).as("lo"),
+          max(col("o_totalprice")).as("hi"))
+        .orderBy("bucket"),
+    Some("""SELECT
+      least(CAST(CAST(o_totalprice AS DECIMAL(14,2)) * 100 AS BIGINT)
+        // 6000000, 9) AS bucket,
+      count(*) AS n,
+      min(o_totalprice) AS lo,
+      max(o_totalprice) AS hi
+    FROM orders GROUP BY 1 ORDER BY bucket"""))
+
   val all: Seq[Q] = Seq(
     aggHashGroup, aggDistinct, aggApproxDistinct, aggHllSketch, aggRollup,
     aggCube, aggPartialFinal, aggStats, aggPivot, aggSample, aggCollect,
-    aggUnpivot, sampleWeighted, aggPercentile, aggCorr)
+    aggUnpivot, sampleWeighted, aggPercentile, aggCorr, aggHistogram)
 }
