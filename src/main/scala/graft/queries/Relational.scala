@@ -435,10 +435,43 @@ object Relational {
     FROM lineitem JOIN orders ON l_orderkey = o_orderkey
     GROUP BY o_orderpriority ORDER BY o_orderpriority"""))
 
+  /** EXT: null-safe equi join (`<=>` / IS NOT DISTINCT FROM) — the join
+    * form where NULL keys MATCH each other instead of silently dropping
+    * (dirty-key reconciliation: two feeds that both use NULL for
+    * "unknown" must pair those rows, not lose them). Keys are made
+    * nullable deterministically (`nullif(custkey % 50, 0)`); the probe
+    * side is bounded so the declared result stays small. Catalyst
+    * plans `<=>` as a hash join on the null-safe key wrapper — still an
+    * equi shuffle, NOT a nested loop, which is the scale point. */
+  val joinNullSafe: Q = Q(
+    "q_join_null_safe",
+    (s, d) => {
+      val key = nullif(col("o_custkey") % 50, lit(0))
+      val a = Tables.orders(s, d)
+        .select(key.as("k"), col("o_orderkey").as("a_order"))
+      val b = Tables.orders(s, d)
+        .where(col("o_orderkey") < 200)
+        .select(key.as("k"), col("o_orderkey").as("b_order"))
+      b.join(a, b("k") <=> a("k"))
+        .groupBy(col("b_order"), b("k").isNull.as("key_is_null"))
+        .agg(count(lit(1)).as("n_matches"))
+        .orderBy("b_order")
+    },
+    Some("""WITH a AS (
+      SELECT nullif(o_custkey % 50, 0) AS k, o_orderkey AS a_order
+      FROM orders),
+    b AS (
+      SELECT nullif(o_custkey % 50, 0) AS k, o_orderkey AS b_order
+      FROM orders WHERE o_orderkey < 200)
+    SELECT b_order, b.k IS NULL AS key_is_null, count(*) AS n_matches
+    FROM b JOIN a ON b.k IS NOT DISTINCT FROM a.k
+    GROUP BY b_order, b.k IS NULL
+    ORDER BY b_order"""))
+
   val all: Seq[Q] = Seq(
     scanProjectFilter, joinInnerEqui, joinBroadcast, joinLeftOuter,
     joinRightOuter, joinFullOuter, joinSemi, joinAnti, joinThetaRange,
     joinAsof,
     joinInterval, joinNonEqui, joinSkewSalt, sortLimit, unionAll,
-    unionDistinct, intersectQ, exceptQ, dateSpine)
+    unionDistinct, intersectQ, exceptQ, dateSpine, joinNullSafe)
 }
