@@ -162,4 +162,44 @@ class StreamingSpec extends SparkSpec {
       .orderBy("n_events").collect().map(_.getLong(1))
     assert(counts.toSeq == Seq(2L, 3L), s"got ${counts.toSeq}")
   }
+
+  test("streaming CDC apply: foreachBatch merges each micro-batch into the snapshot") {
+    // The CDC tail-end: a changelog stream applied to a parquet
+    // snapshot generation-by-generation via Snapshot.applyChangelog —
+    // upserts and deletes land exactly once per micro-batch, and the
+    // final snapshot equals applying all batches in order.
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft_cdc_").toString
+    Seq((1L, "a", 10), (2L, "b", 20), (3L, "c", 30))
+      .toDF("k", "name", "v").write.parquet(s"$root/gen0")
+
+    val in = MemoryStream[(Long, String, Int, String)]
+    var gen = 0
+    val q = in.toDF().toDF("k", "name", "v", "op")
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        // read current generation, merge, write next — generations are
+        // immutable, so a replayed batch rewrites the SAME next
+        // generation (idempotent), never double-applies
+        val cur = spark.read.parquet(s"$root/gen$gen")
+        graft.engine.Snapshot.applyChangelog(
+            cur, batch, Seq("k"), "op")
+          .write.mode("overwrite").parquet(s"$root/gen${gen + 1}")
+        gen += 1
+      }
+      .start()
+    in.addData((2L, "b2", 21, "U"), (9L, "z", 90, "U"))
+    q.processAllAvailable()
+    in.addData((3L, "c", 30, "D"))
+    q.processAllAvailable()
+    q.stop()
+
+    assert(gen == 2)
+    val fin = spark.read.parquet(s"$root/gen2")
+      .orderBy("k").as[(Long, String, Int)].collect()
+    assert(fin.toSeq == Seq(
+      (1L, "a", 10), (2L, "b2", 21), (9L, "z", 90)))
+    graft.engine.Snapshot.delete(spark, root)
+  }
 }
