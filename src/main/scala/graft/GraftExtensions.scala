@@ -37,5 +37,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       NfcNormalize.info, NfcNormalize.builder))
     e.injectFunction((FunctionIdentifier(StripAccents.name),
       StripAccents.info, StripAccents.builder))
+    e.injectOptimizerRule(_ => graft.plans.ThresholdLevenshtein)
   }
 }
