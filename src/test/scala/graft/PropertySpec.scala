@@ -87,6 +87,51 @@ object SparkProps extends Properties("spark") {
       }
     }
 
+  property("zorder64 clusters: interleave round-trips both operands") =
+    forAll(Gen.choose(0L, 0xFFFFFFFFL), Gen.choose(0L, 0xFFFFFFFFL)) {
+      (a, b) =>
+        import graft.functions.ZOrder64
+        val z = ZOrder64.kernel(a, b)
+        // de-interleave: even bits back to a, odd bits to b
+        def unspread(v: Long): Long = {
+          var x = v & 0x5555555555555555L
+          x = (x | (x >> 1)) & 0x3333333333333333L
+          x = (x | (x >> 2)) & 0x0F0F0F0F0F0F0F0FL
+          x = (x | (x >> 4)) & 0x00FF00FF00FF00FFL
+          x = (x | (x >> 8)) & 0x0000FFFF0000FFFFL
+          (x | (x >> 16)) & 0xFFFFFFFFL
+        }
+        unspread(z) == a && unspread(z >>> 1) == b
+    }
+
+  property("strip_accents is idempotent; nfc_normalize is idempotent") =
+    forAll(Gen.listOfN(12, Gen.oneOf(
+      "Café", "Café", "naïve", "Straße", "plain", "öä", "é̂"))) {
+      parts =>
+        import graft.functions.{NfcNormalize, StripAccents}
+        import org.apache.spark.unsafe.types.UTF8String
+        val s = UTF8String.fromString(parts.mkString(" "))
+        val once = StripAccents.kernel(s)
+        val nfcOnce = NfcNormalize.kernel(s)
+        StripAccents.kernel(once) == once &&
+          NfcNormalize.kernel(nfcOnce) == nfcOnce
+    }
+
+  property("adc_score equals the manual table-lookup sum") =
+    forAll(Gen.choose(1, 6).flatMap(m =>
+      Gen.zip(Gen.listOfN(m, Gen.choose(0, 7)),
+        Gen.listOfN(m * 8, Gen.choose(-100.0, 100.0))))) {
+      case (codes, table) =>
+        val df = Seq((codes, table)).toDF("codes", "table")
+          .select(graft.functions.AdcScore(spark,
+            org.apache.spark.sql.functions.col("codes"),
+            org.apache.spark.sql.functions.col("table")).as("s"))
+        val got = df.head.getDouble(0)
+        val want = codes.zipWithIndex
+          .map { case (c, m) => table(m * 8 + c) }.sum
+        got == want
+    }
+
   property("minhash est jaccard ∈ [0,1] and est(x,x) = 1") =
     forAll(Gen.listOfN(12, Gen.oneOf("spark", "query", "engine", "data",
       "row", "scan", "join", "agg"))) { words =>
