@@ -440,6 +440,43 @@ object ScalarFns {
       'https' AS proto
     FROM documents ORDER BY doc_id"""))
 
+  /** EXT: calendar-interval arithmetic — add_months (with month-end
+    * clamping), last_day, quarter/ISO-week extraction, make_date
+    * reconstruction. Completes the date family beyond q_fn_date's
+    * trunc/diff/extract. Date outputs render as ISO strings on both
+    * sides: a DATE-typed result column would hinge the compare on
+    * pyarrow-vs-DuckDB date boxing, which is parity risk with zero
+    * semantic content. */
+  val fnInterval: Q = Q(
+    "q_fn_interval",
+    (s, d) => {
+      val dt = col("o_orderdate").cast("date")
+      Tables.orders(s, d)
+        .select(
+          col("o_orderkey"),
+          add_months(dt, 3).cast("string").as("plus_3m"),
+          add_months(dt, -18).cast("string").as("minus_18m"),
+          last_day(dt).cast("string").as("month_end"),
+          quarter(dt).cast("long").as("q"),
+          weekofyear(dt).cast("long").as("iso_week"),
+          make_date(year(dt), month(dt), lit(1)).cast("string")
+            .as("month_start"))
+        .orderBy("o_orderkey")
+    },
+    Some("""SELECT o_orderkey,
+      CAST(CAST(CAST(o_orderdate AS TIMESTAMP) + INTERVAL 3 MONTH AS DATE)
+        AS VARCHAR) AS plus_3m,
+      CAST(CAST(CAST(o_orderdate AS TIMESTAMP) - INTERVAL 18 MONTH AS DATE)
+        AS VARCHAR) AS minus_18m,
+      CAST(last_day(CAST(o_orderdate AS DATE)) AS VARCHAR) AS month_end,
+      CAST(quarter(CAST(o_orderdate AS DATE)) AS BIGINT) AS q,
+      CAST(weekofyear(CAST(o_orderdate AS DATE)) AS BIGINT) AS iso_week,
+      CAST(make_date(CAST(year(CAST(o_orderdate AS DATE)) AS INTEGER),
+        CAST(month(CAST(o_orderdate AS DATE)) AS INTEGER), 1)
+        AS VARCHAR) AS month_start
+    FROM orders ORDER BY o_orderkey"""))
+
   val all: Seq[Q] = Seq(fnString, fnDate, fnMath, fnArray, fnJson, fnNull,
-    fnTryCast, fnHash, fnRegex, fnStruct, fnBitwise, fnZorder, fnUrl)
+    fnTryCast, fnHash, fnRegex, fnStruct, fnBitwise, fnZorder, fnUrl,
+    fnInterval)
 }
