@@ -42,6 +42,55 @@ object Skew {
       .groupBy(keys.map(col): _*)
       .agg(sum(col("__partial")).cast("double").as("sum_value"))
 
+  /** Chunked running aggregation — the window-skew escape hatch
+    * (SCALE.md cliff 3): a running count/sum per key sorts each key's
+    * rows in ONE task, so a pathological key (one user with 10⁹
+    * events) serializes on a single reducer. Splitting each key's
+    * stream into ORDER-ALIGNED chunks (a monotone function of the
+    * ordering column, e.g. `ts DIV 1h`) makes it two bounded passes:
+    * an intra-chunk running aggregate — parallel across (key, chunk)
+    * — plus a per-key prefix over CHUNK TOTALS (rows = #chunks, tiny),
+    * joined back and added. Works for any associative aggregate; exact
+    * in integer/decimal domain.
+    *
+    * Result ≡ the plain running window (the declared query's DuckDB
+    * oracle IS the plain form, so the rewrite is cross-checked
+    * end-to-end, not against itself).
+    *
+    * @param chunk monotone-in-`ord` chunk id (same order unit)
+    * @param ord   total-order columns within a key (ties broken by
+    *              later columns; must be a total order for a
+    *              well-defined running value) */
+  def chunkedRunning(
+      df: DataFrame, key: String, chunk: Column, ord: Seq[String],
+      value: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = df.withColumn("__chunk", chunk)
+    val wIn = Window.partitionBy(col(key), col("__chunk"))
+      .orderBy(ord.map(col): _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val intra = base
+      .withColumn("__run_in", sum(value).over(wIn))
+      .withColumn("__cnt_in", count(lit(1)).over(wIn))
+    // chunk totals per key: rows = #chunks per key — tiny; the prefix
+    // window here sorts chunk totals, never the raw stream
+    val wPrefix = Window.partitionBy(col(key)).orderBy(col("__chunk"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val prefix = base
+      .groupBy(col(key), col("__chunk"))
+      .agg(sum(value).as("__tot"), count(lit(1)).as("__n"))
+      .select(col(key), col("__chunk"),
+        coalesce(sum(col("__tot")).over(wPrefix), lit(0L))
+          .as("__run_prefix"),
+        coalesce(sum(col("__n")).over(wPrefix), lit(0L))
+          .as("__cnt_prefix"))
+    intra.join(prefix, Seq(key, "__chunk"))
+      .withColumn("running_sum", col("__run_in") + col("__run_prefix"))
+      .withColumn("running_n", col("__cnt_in") + col("__cnt_prefix"))
+      .drop("__chunk", "__run_in", "__cnt_in",
+        "__run_prefix", "__cnt_prefix")
+  }
+
   /** Salted equi-join for a skewed fact side: fact rows get a hash salt,
     * the (small) dimension side replicates across all salts, and the
     * join key becomes (key, salt) — one hot key now lands on numSalts

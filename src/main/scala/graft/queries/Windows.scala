@@ -196,7 +196,38 @@ object Windows {
       RANGE BETWEEN 600000 PRECEDING AND CURRENT ROW)
     ORDER BY event_id"""))
 
+  /** EXT: skew-proof running aggregation — the chunked two-phase form
+    * of a per-key running count/sum (engine.Skew.chunkedRunning),
+    * closing SCALE.md cliff 3: a single pathological key no longer
+    * serializes its whole stream through one reducer; each (key,
+    * hour-chunk) sorts independently and only chunk TOTALS take a
+    * per-key prefix pass. The oracle is the PLAIN running window in
+    * DuckDB, so the rewrite is verified equivalent end-to-end, not
+    * against its own formulation. Integer domain (count + sum of
+    * event_id) keeps the check hash-exact. */
+  val windowChunkedRunning: Q = Q(
+    "q_window_chunked_running",
+    (s, d) => {
+      val ev = Tables.events(s, d)
+        .select(col("event_id"), col("user_id"), col("ts"))
+      graft.engine.Skew.chunkedRunning(
+          ev, "user_id",
+          expr("unix_seconds(ts) DIV 3600"),
+          Seq("ts", "event_id"), col("event_id"))
+        .select(col("event_id"), col("user_id"),
+          col("running_n"), col("running_sum"))
+        .orderBy("event_id")
+    },
+    Some("""SELECT event_id, user_id,
+      count(*) OVER w AS running_n,
+      CAST(sum(event_id) OVER w AS BIGINT) AS running_sum
+    FROM (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+          FROM events)
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+      ROWS UNBOUNDED PRECEDING)
+    ORDER BY event_id"""))
+
   val all: Seq[Q] = Seq(
     windowRank, windowAnalytic, windowFrame, topkPerGroup,
-    windowDistribution, windowRange)
+    windowDistribution, windowRange, windowChunkedRunning)
 }

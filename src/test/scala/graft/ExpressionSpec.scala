@@ -157,6 +157,26 @@ class SkewSpec extends SparkSpec {
     assert(salted == direct)
   }
 
+  test("chunked running agg equals the plain window on a hot-key fixture") {
+    import org.apache.spark.sql.expressions.Window
+    // one pathological key (0) with 5k rows, plus 20 normal keys
+    val df = spark.range(0, 6000).select(
+      col("id"),
+      when(col("id") < 5000, 0L).otherwise(col("id") % 20 + 1).as("k"),
+      (col("id") * 7 % 1000).as("t"))
+    val chunked = graft.engine.Skew.chunkedRunning(
+      df, "k", expr("t DIV 100"), Seq("t", "id"), col("id"))
+    val w = Window.partitionBy(col("k")).orderBy(col("t"), col("id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val plain = df
+      .withColumn("running_sum", sum(col("id")).over(w))
+      .withColumn("running_n", count(lit(1)).over(w))
+    assert(chunked.select("id", "k", "t", "running_sum", "running_n")
+      .exceptAll(plain.select("id", "k", "t", "running_sum", "running_n"))
+      .isEmpty)
+    assert(chunked.count() == plain.count())
+  }
+
   test("salted join equals direct join") {
     val li = Tables.lineitem(spark, sf)
       .withColumnRenamed("l_orderkey", "o_orderkey")
