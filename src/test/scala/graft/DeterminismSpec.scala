@@ -16,7 +16,9 @@ class DeterminismSpec extends SparkSpec {
     "q_agg_corr",       // exact co-moments + closed-form corr
     "q_text_tfidf",     // rounded-log scoring over two aggs
     "q_stream_tumbling", // windowed decimal sums
-    "q_agg_hash_group") // the flagship
+    "q_agg_hash_group", // the flagship
+    "q_sim_pq_topk",    // driver codebooks + ADC doubles + re-rank ties
+    "q_window_chunked_running") // two-phase window rewrite
 
   test("float-bearing queries are bit-identical across partition counts") {
     val conf = "spark.sql.shuffle.partitions"
