@@ -20,7 +20,7 @@ object Bench {
     * (r3 measured q_agg_hash_group at 18.5 s after q_ref_round_trip vs
     * ~1 s warm standalone). */
   private val IoLast = Set("q_ref_round_trip", "q_ref_csv_source",
-    "q_ref_orc_source")
+    "q_ref_orc_source", "q_ref_json_source")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
