@@ -211,6 +211,51 @@ object Snapshot {
     kept.unionByName(upserts)
   }
 
+  /** Z-order write for SKEWED or non-integer dimensions: each dim is
+    * first rank-normalized through its own approximate-quantile
+    * boundaries (a bounded driver-side model — `buckets`+1 doubles per
+    * dim, independent of table size — the same sample-fit-broadcast
+    * shape as the IVF/PQ codebooks), then Morton-interleaved in BUCKET
+    * space. Raw interleaving of a skewed domain wastes key bits on
+    * empty regions and piles the data into few key ranges; quantile
+    * buckets give every file ~equal ROW counts and a bounded
+    * percentile box in both dims, which is what makes the layout
+    * useful when one dim is, say, a long-tailed byte size. Bucketing
+    * uses `ml.feature.Bucketizer` (binary search over the broadcast
+    * splits). */
+  def writeZOrderedByRank(
+      df: DataFrame, dest: String, dimA: String, dimB: String,
+      numFiles: Int, buckets: Int = 4096): Long = {
+    import org.apache.spark.ml.feature.Bucketizer
+    import org.apache.spark.sql.functions.col
+    val doubled = df
+      .withColumn("__za", col(dimA).cast("double"))
+      .withColumn("__zb", col(dimB).cast("double"))
+    def splitsFor(c: String): Array[Double] = {
+      val probs = (0 to buckets).map(_.toDouble / buckets).toArray
+      val qs = doubled.stat.approxQuantile(c, probs, 0.001)
+      val distinct = qs.distinct.sorted
+      Array(Double.NegativeInfinity) ++
+        distinct.slice(1, distinct.length - 1) ++
+        Array(Double.PositiveInfinity)
+    }
+    val bucketed = new Bucketizer()
+      .setInputCols(Array("__za", "__zb"))
+      .setOutputCols(Array("__ba", "__bb"))
+      .setSplitsArray(Array(splitsFor("__za"), splitsFor("__zb")))
+      .transform(doubled)
+    val zkey = graft.functions.ZOrder64(df.sparkSession,
+      col("__ba").cast("long"), col("__bb").cast("long"))
+    val laid = bucketed.withColumn("__zkey", zkey)
+      .repartitionByRange(numFiles, col("__zkey"))
+      .sortWithinPartitions("__zkey")
+      .drop("__za", "__zb", "__ba", "__bb", "__zkey")
+    laid.write.mode("overwrite").parquet(dest)
+    val n = df.sparkSession.read.parquet(dest).count()
+    if (n == 0L) throw new EmptySnapshotException(s"snapshot at $dest has no data")
+    n
+  }
+
   /** Write `df` as parquet laid out in Z-order (Morton order) on two
     * integer dimensions, so parquet min/max statistics prune files for
     * predicates on EITHER or BOTH dimensions. A snapshot sorted on one

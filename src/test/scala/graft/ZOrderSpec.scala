@@ -90,4 +90,34 @@ class ZOrderSpec extends SparkSpec {
 
     Snapshot.delete(spark, dir)
   }
+
+  test("rank-normalized z-order balances files under heavy skew") {
+    import spark.implicits._
+    // x is quadratically skewed (long tail), y uniform — raw Morton
+    // keys would concentrate most rows into a few key ranges
+    val n = 4096L
+    val skewed = spark.range(0, n).select(
+      (col("id") * col("id")).as("x"),
+      (col("id") % 64).as("y"))
+    val dir = Files.createTempDirectory("zorder_rank").toString
+    assert(Snapshot.writeZOrderedByRank(
+      skewed, s"$dir/z", "x", "y", numFiles = 16, buckets = 256) == n)
+
+    val files = new java.io.File(s"$dir/z").listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.toString).toSeq
+    assert(files.size > 1)
+    val counts = files.map(f => spark.read.parquet(f).count())
+    // quantile bucketing → every file carries ~n/16 rows even though
+    // the raw x domain is wildly uneven
+    assert(counts.max <= 2 * n / 16,
+      s"unbalanced files under skew: ${counts.sorted.mkString(",")}")
+    // and the y dimension is still clustered (bounded span per file)
+    val ySpans = files.map { f =>
+      val r = spark.read.parquet(f).agg(min("y"), max("y")).head()
+      r.getLong(1) - r.getLong(0)
+    }
+    assert(ySpans.count(_ <= 32) >= files.size / 2,
+      s"y spans not clustered: ${ySpans.sorted.mkString(",")}")
+    Snapshot.delete(spark, dir)
+  }
 }
