@@ -202,7 +202,7 @@ object DedupOps {
     *
     * Hashing shrinks the arrays the joins carry; a cross-gram collision
     * within one pair (~1e-13) is the accepted error. */
-  private[graft] def ngramPairs(
+  private[graft] def ngramRawPairs(
       s: SparkSession, grams: DataFrame,
       blockCap: Int, dfCap: Int,
       residCap: Int = NgramResidCap): DataFrame = {
@@ -283,10 +283,16 @@ object DedupOps {
       .join(big.select(col("source"), col("doc_id").as("b_id"),
         col("bg").as("b_bg")), Seq("source", "b_id"))
 
-    ngramScore(s, pairwise.select("source", "a_id", "b_id", "a_bg", "b_bg")
+    pairwise.select("source", "a_id", "b_id", "a_bg", "b_bg")
       .unionByName(exploded.select("source", "a_id", "b_id", "a_bg", "b_bg"))
-      .unionByName(residPairs.select("source", "a_id", "b_id", "a_bg", "b_bg")))
+      .unionByName(residPairs.select("source", "a_id", "b_id", "a_bg", "b_bg"))
   }
+
+  private[graft] def ngramPairs(
+      s: SparkSession, grams: DataFrame,
+      blockCap: Int, dfCap: Int,
+      residCap: Int = NgramResidCap): DataFrame =
+    ngramScore(s, ngramRawPairs(s, grams, blockCap, dfCap, residCap))
 
   val dedupNgramJaccard: Q = Q(
     "q_dedup_ngram_jaccard",
@@ -422,7 +428,51 @@ object DedupOps {
     WHERE levenshtein(a.c_name, b.c_name) <= 1
     ORDER BY id_a, id_b"""))
 
+  /** EXT: n-gram CONTAINMENT (Broder '97's asymmetric companion to
+    * Jaccard) — |A∩B| / min(|A|,|B|): a short document quoted whole
+    * inside a much larger one scores near 1.0 here while its Jaccard
+    * is tiny (≈ |A|/|B|), so a Jaccard-only dedup ships the training
+    * set both the quote and the container. Same blocked/df-capped
+    * candidate machinery as q_dedup_ngram_jaccard (ngramRawPairs) with
+    * the containment scorer — the candidate-generation approximations
+    * documented there apply equally. */
+  val dedupContainment: Q = Q(
+    "q_dedup_containment",
+    (s, d) =>
+      ngramRawPairs(s, ngramGrams(s, d), NgramBlockCap, NgramDfCap)
+        .select(col("source"), col("a_id"), col("b_id"),
+          graft.functions.SortedIntersectCount(s, col("a_bg"), col("b_bg"))
+            .as("n_common"),
+          size(col("a_bg")).cast("long").as("na"),
+          size(col("b_bg")).cast("long").as("nb"))
+        .withColumn("containment",
+          col("n_common").cast("double") / least(col("na"), col("nb")))
+        .where(col("containment") >= 0.2)
+        .select("source", "a_id", "b_id", "n_common", "containment")
+        .orderBy("source", "a_id", "b_id"),
+    Some("""WITH d AS (
+      SELECT doc_id, source,
+        list_distinct(list_transform(
+          generate_series(1, len(list_filter(string_split(lower(text), ' '),
+            t -> t != '')) - 1),
+          i -> list_filter(string_split(lower(text), ' '), t -> t != '')[i]
+            || ' ' ||
+            list_filter(string_split(lower(text), ' '), t -> t != '')[i+1]))
+          AS bg
+      FROM documents),
+    pairs AS (
+      SELECT a.source AS source, a.doc_id AS a_id, b.doc_id AS b_id,
+        CAST(len(list_intersect(a.bg, b.bg)) AS BIGINT) AS n_common,
+        CAST(len(a.bg) AS BIGINT) AS na, CAST(len(b.bg) AS BIGINT) AS nb
+      FROM d a JOIN d b
+        ON a.source = b.source AND a.doc_id < b.doc_id)
+    SELECT source, a_id, b_id, n_common,
+      CAST(n_common AS DOUBLE) / least(na, nb) AS containment
+    FROM pairs
+    WHERE CAST(n_common AS DOUBLE) / least(na, nb) >= 0.2
+    ORDER BY source, a_id, b_id"""))
+
   val all: Seq[Q] = Seq(
     dedupMinhashSig, dedupMinhashPairs, dedupSimhash, dedupNgramJaccard,
-    simLshTopk, dedupFuzzyName)
+    simLshTopk, dedupFuzzyName, dedupContainment)
 }
