@@ -209,6 +209,34 @@ class DedupSpec extends SparkSpec {
     pairs.unpersist(); grams.unpersist()
   }
 
+  test("containment catches a quote inside a container that jaccard misses") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_contain").toString
+    val quote = "alpha beta gamma delta"
+    val filler = (1 to 60).map(i => s"w$i").mkString(" ")
+    Seq((1L, quote, "en", "srcA", quote.length.toLong),
+      (2L, s"$quote $filler", "en", "srcA", 400L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val grams = queries.DedupOps.ngramGrams(spark, tmp)
+    val scored = queries.DedupOps
+      .ngramRawPairs(spark, grams, 512, 8)
+      .select(
+        graft.functions.SortedIntersectCount(
+          spark, col("a_bg"), col("b_bg")).as("n_common"),
+        size(col("a_bg")).cast("double").as("na"),
+        size(col("b_bg")).cast("double").as("nb"))
+      .select(
+        (col("n_common") / least(col("na"), col("nb"))).as("containment"),
+        (col("n_common") / (col("na") + col("nb") - col("n_common")))
+          .as("jaccard"))
+      .head()
+    // all 3 of the quote's bigrams appear in the container → perfect
+    // containment, while jaccard is diluted by the container's length
+    assert(scored.getDouble(0) == 1.0,
+      s"containment ${scored.getDouble(0)}")
+    assert(scored.getDouble(1) < 0.1, s"jaccard ${scored.getDouble(1)}")
+  }
+
   test("native simhash64 equals the composed explode/groupBy form bit for bit") {
     val docs = nearDupDocs
     val composed = {
