@@ -439,8 +439,68 @@ object Aggregates {
       max(o_totalprice) AS hi
     FROM orders GROUP BY 1 ORDER BY bucket"""))
 
+  /** EXT: exact per-group MODE with a total tie-break — "the dominant
+    * event type per user". Built-in `mode()` picks an arbitrary value
+    * on ties (nondeterministic under partitioning), so the engine form
+    * is count + argmax-by-(count desc, value asc): deterministic,
+    * cross-engine, and the same two-shuffle shape (keyed agg over
+    * (group, value), then a window over the REDUCED counts — never the
+    * raw rows). */
+  val aggMode: Q = Q(
+    "q_agg_mode",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("n").desc, col("event_type").asc)
+      Tables.events(s, d)
+        .groupBy(col("user_id"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("rn", row_number().over(w))
+        .where(col("rn") === 1)
+        .select(col("user_id"), col("event_type").as("mode_type"),
+          col("n").as("n_mode"))
+        .orderBy("user_id")
+    },
+    Some("""WITH c AS (
+      SELECT user_id, event_type, count(*) AS n
+      FROM events GROUP BY user_id, event_type)
+    SELECT user_id, event_type AS mode_type, n AS n_mode
+    FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+        ORDER BY n DESC, event_type ASC) AS rn FROM c)
+    WHERE rn = 1 ORDER BY user_id"""))
+
+  /** EXT: fixed-size per-group sampling — "up to 3 example docs per
+    * (lang, source)", the curation/debugging counterpart of fractional
+    * sampling (q_sample_stratified takes a RATE; this takes a COUNT).
+    * Pseudorandom rank comes from the same cross-engine LCG as
+    * q_sample_weighted (`(doc_id·48271) mod 2³¹−1`), so the "random"
+    * pick is bit-reproducible across engines, retries, and partitions
+    * — a nondeterministic sample in a training pipeline is a
+    * provenance hole. Window sorts per (lang, source) group, k=3 kept. */
+  val samplePerGroup: Q = Q(
+    "q_sample_per_group",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val u = pmod(col("doc_id") * lit(48271L), lit(2147483647L))
+      val w = Window.partitionBy(col("lang"), col("source"))
+        .orderBy(col("u").asc, col("doc_id").asc)
+      Tables.documents(s, d)
+        .withColumn("u", u)
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .where(col("rn") <= 3)
+        .select(col("lang"), col("source"), col("rn"), col("doc_id"))
+        .orderBy("lang", "source", "rn")
+    },
+    Some("""SELECT lang, source, rn, doc_id
+    FROM (SELECT lang, source, doc_id,
+        row_number() OVER (PARTITION BY lang, source
+          ORDER BY (doc_id * 48271) % 2147483647 ASC, doc_id ASC) AS rn
+      FROM documents)
+    WHERE rn <= 3 ORDER BY lang, source, rn"""))
+
   val all: Seq[Q] = Seq(
     aggHashGroup, aggDistinct, aggApproxDistinct, aggHllSketch, aggRollup,
     aggCube, aggPartialFinal, aggStats, aggPivot, aggSample, aggCollect,
-    aggUnpivot, sampleWeighted, aggPercentile, aggCorr, aggHistogram)
+    aggUnpivot, sampleWeighted, aggPercentile, aggCorr, aggHistogram,
+    aggMode, samplePerGroup)
 }
