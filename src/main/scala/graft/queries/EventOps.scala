@@ -163,5 +163,45 @@ object EventOps {
         IS NULL AS is_current
     FROM hist ORDER BY user_id, seg"""))
 
-  val all: Seq[Q] = Seq(eventFunnel, eventRetention, eventScd2)
+  /** EXT: path/transition analysis — the event-type transition matrix
+    * over per-user streams (user-journey analytics beside funnel /
+    * retention / SCD2): one lag window per user gives consecutive
+    * (from, to) steps, one keyed agg counts them, and the share is
+    * derived per origin state. Same one-key scale shape as the rest of
+    * the family: windows and aggs on user_id / event_type — never an
+    * events×events join. Share is an exact integer ratio cast once, so
+    * parity is bit-exact. */
+  val eventTransitions: Q = Q(
+    "q_event_transitions",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      val wFrom = Window.partitionBy(col("from_type"))
+      Tables.events(s, d)
+        .select(col("user_id"), col("event_type"), col("ts"),
+          col("event_id"))
+        .withColumn("from_type", lag(col("event_type"), 1).over(w))
+        .where(col("from_type").isNotNull)
+        .groupBy(col("from_type"), col("event_type").as("to_type"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("share",
+          col("n").cast("double") / sum(col("n")).over(wFrom))
+        .orderBy("from_type", "to_type")
+    },
+    Some("""WITH steps AS (
+      SELECT lag(event_type) OVER (PARTITION BY user_id
+          ORDER BY CAST(ts AS TIMESTAMP), event_id) AS from_type,
+        event_type AS to_type
+      FROM events),
+    c AS (
+      SELECT from_type, to_type, count(*) AS n
+      FROM steps WHERE from_type IS NOT NULL
+      GROUP BY from_type, to_type)
+    SELECT from_type, to_type, n,
+      CAST(n AS DOUBLE) / sum(n) OVER (PARTITION BY from_type) AS share
+    FROM c ORDER BY from_type, to_type"""))
+
+  val all: Seq[Q] = Seq(eventFunnel, eventRetention, eventScd2,
+    eventTransitions)
 }
