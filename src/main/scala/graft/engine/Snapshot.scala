@@ -38,6 +38,20 @@ object Snapshot {
   def snapshotName(dbName: String, at: Instant): String =
     s"${dbName}_${stamp.format(at)}"
 
+  /** The timestamp suffix `snapshotName` appends: `_YYYY_MM_DD_HHMMSS`. */
+  private val stampSuffix = "_\\d{4}_\\d{2}_\\d{2}_\\d{6}"
+
+  /** Does `name` follow the `snapshotName` layout — and, when `dbName`
+    * is given, name a generation of exactly that database? The full
+    * match (not a bare prefix test) is what keeps sibling databases
+    * apart: for dbName="db", a generation "db_1_2024_…" must NOT pass,
+    * even though it startsWith "db_". */
+  private[engine] def isGeneration(name: String, dbName: Option[String]): Boolean =
+    dbName match {
+      case Some(db) => name.matches(java.util.regex.Pattern.quote(db) + stampSuffix)
+      case None     => name.matches(".+" + stampSuffix)
+    }
+
   /** Extract+sink with the non-empty guard. Returns rows written.
     * `partitionBy` shards the snapshot by the given columns — at 100 TB
     * a date/tenant partition key makes later scans prunable and keeps
@@ -100,9 +114,17 @@ object Snapshot {
     * snapshots forever; at 100 TB/day unbounded retention is a cost
     * cliff, so expiry is a first-class maintenance op beside compact().
     *
+    * Only names matching the `snapshotName` layout are candidates — a
+    * stray `_tmp`/staging dir under the root is neither counted toward
+    * `keep` nor deleted (a delete op that can eat directories it never
+    * wrote is how a lake loses data). Pass `dbName` to scope retention
+    * to one database when several share the root (the layout
+    * `readAsOf`'s dbName parameter implies).
+    *
     * @return names of the generations deleted (oldest first) */
   def expireGenerations(
-      spark: SparkSession, root: String, keep: Int): Seq[String] = {
+      spark: SparkSession, root: String, keep: Int,
+      dbName: Option[String] = None): Seq[String] = {
     require(keep >= 1, "retention must keep at least one generation")
     val rootPath = new org.apache.hadoop.fs.Path(root)
     val fs = rootPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -110,6 +132,7 @@ object Snapshot {
     val gens = fs.listStatus(rootPath)
       .filter(_.isDirectory)
       .map(_.getPath)
+      .filter(p => isGeneration(p.getName, dbName))
       .sortBy(_.getName)
     val expired = gens.dropRight(keep)
     expired.foreach(p => fs.delete(p, true))
@@ -131,7 +154,10 @@ object Snapshot {
     val gens = fs.listStatus(rootPath)
       .filter(_.isDirectory)
       .map(_.getPath.getName)
-      .filter(n => n.startsWith(s"${dbName}_") && n <= cutoff)
+      // Full-pattern match, not a bare prefix test: for dbName="db" a
+      // sibling database's "db_1_2024_…" startsWith "db_" and sorts
+      // below the cutoff, but is NOT a generation of "db".
+      .filter(n => isGeneration(n, Some(dbName)) && n <= cutoff)
       .sorted
     if (gens.isEmpty) throw new EmptySnapshotException(
       s"no generation of $dbName at or before $asOf under $root")

@@ -83,13 +83,20 @@ object StripAccents {
   val name = "strip_accents"
   private val Marks = "\\p{Mn}+".r
   def kernel(s: UTF8String): UTF8String = {
-    val str = s.toString
-    // ASCII (== already-NFD with no marks) short-circuit
-    if (Normalizer.isNormalized(str, Normalizer.Form.NFD)
-      && !str.exists(c => Character.getType(c) == Character.NON_SPACING_MARK))
-      return s
+    // Short-circuit ONLY for pure ASCII (one byte scan, no allocation):
+    // ASCII is trivially NFD-with-no-marks AND trivially NFC, so both
+    // paths agree it is a fixed point. Any wider fast path (e.g.
+    // "isNormalized(NFD) && no BMP Mn chars") diverges from the slow
+    // path on decomposed Hangul jamo, astral-plane Mn marks (whose
+    // chars report type SURROGATE, not NON_SPACING_MARK), and Mc
+    // sequences — inputs the slow path would strip or NFC-compose.
+    val n = s.numBytes
+    var i = 0
+    var ascii = true
+    while (ascii && i < n) { if (s.getByte(i) < 0) ascii = false; i += 1 }
+    if (ascii) return s
     val stripped = Marks.replaceAllIn(
-      Normalizer.normalize(str, Normalizer.Form.NFD), "")
+      Normalizer.normalize(s.toString, Normalizer.Form.NFD), "")
     UTF8String.fromString(
       Normalizer.normalize(stripped, Normalizer.Form.NFC))
   }

@@ -435,7 +435,11 @@ object DedupOps {
     * set both the quote and the container. Same blocked/df-capped
     * candidate machinery as q_dedup_ngram_jaccard (ngramRawPairs) with
     * the containment scorer — the candidate-generation approximations
-    * documented there apply equally. */
+    * documented there apply equally. The full-enumeration DuckDB
+    * oracle matches the capped engine only while no qualifying pair
+    * relies on pruned grams; DedupSpec ("containment fixture
+    * property") asserts exactly that on the fixture, so a fixture
+    * change breaks the spec loudly rather than the oracle hash. */
   val dedupContainment: Q = Q(
     "q_dedup_containment",
     (s, d) =>

@@ -120,8 +120,13 @@ object EventOps {
         .orderBy(col("ts"), col("event_id"))
       val wRun = wOrd.rowsBetween(Window.unboundedPreceding,
         Window.currentRow)
+      // seg tie-break: two segments of one user can share valid_from
+      // (equal-ts events split into segments by the event_id
+      // tie-break), so ordering by valid_from alone leaves the lead()
+      // assignment nondeterministic — seg alone is already a total
+      // order (it numbers segments in (ts, event_id) order).
       val wSeg = Window.partitionBy(col("user_id"))
-        .orderBy(col("valid_from"))
+        .orderBy(col("seg"))
       Tables.events(s, d)
         .select(col("user_id"), col("event_type"), col("ts"),
           col("event_id"))
@@ -156,10 +161,10 @@ object EventOps {
         min(ts) AS valid_from, count(*) AS n_events
       FROM segged GROUP BY user_id, seg, event_type)
     SELECT user_id, seg, event_type, valid_from,
-      lead(valid_from) OVER (PARTITION BY user_id ORDER BY valid_from)
+      lead(valid_from) OVER (PARTITION BY user_id ORDER BY seg)
         AS valid_to,
       n_events,
-      lead(valid_from) OVER (PARTITION BY user_id ORDER BY valid_from)
+      lead(valid_from) OVER (PARTITION BY user_id ORDER BY seg)
         IS NULL AS is_current
     FROM hist ORDER BY user_id, seg"""))
 

@@ -237,6 +237,35 @@ class DedupSpec extends SparkSpec {
     assert(scored.getDouble(1) < 0.1, s"jaccard ${scored.getDouble(1)}")
   }
 
+  test("containment fixture property: capped candidates lose no qualifying pair") {
+    // q_dedup_containment's DuckDB oracle enumerates ALL same-source
+    // pairs while the engine generates candidates through the capped
+    // ngramRawPairs (blockCap/dfCap/residCap). Oracle parity therefore
+    // RELIES on a fixture property: no pair with containment >= 0.2
+    // depends solely on pruned (df > dfCap) grams or overflows the
+    // residual cap. This pins that property so a future fixture change
+    // fails HERE, loudly, instead of as an opaque oracle hash mismatch.
+    def scoredPairs(blockCap: Int, dfCap: Int) =
+      queries.DedupOps.ngramRawPairs(spark,
+        queries.DedupOps.ngramGrams(spark, sf), blockCap, dfCap)
+        .select(col("source"), col("a_id"), col("b_id"),
+          (graft.functions.SortedIntersectCount(
+            spark, col("a_bg"), col("b_bg")).cast("double") /
+            least(size(col("a_bg")), size(col("b_bg"))).cast("double"))
+            .as("containment"))
+        .where(col("containment") >= 0.2)
+        .select("source", "a_id", "b_id")
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+        .toSet
+    // blockCap=MaxValue routes every block through the pairwise path =
+    // full same-source enumeration, the oracle's candidate set.
+    val full = scoredPairs(Int.MaxValue, Int.MaxValue)
+    val capped = scoredPairs(512, 64) // the query's NgramBlockCap/NgramDfCap
+    assert(full.nonEmpty, "fixture must contain qualifying containment pairs")
+    assert(capped == full,
+      s"capped-only=${capped -- full} full-only=${full -- capped}")
+  }
+
   test("native simhash64 equals the composed explode/groupBy form bit for bit") {
     val docs = nearDupDocs
     val composed = {

@@ -338,10 +338,13 @@ class SnapshotSpec extends SparkSpec {
       "2024_02_29_235959", "2024_03_01_000001").map("db_" + _)
     names.foreach(n =>
       Snapshot.write(Tables.region(spark, sf), s"$root/$n"))
+    // A stray staging dir must be neither counted toward `keep` nor
+    // deleted — it sorts first, the exact victim of an unfiltered drop.
+    new java.io.File(root, "_tmp_staging").mkdir()
     val expired = Snapshot.expireGenerations(spark, root, keep = 2)
     assert(expired == names.take(2), "oldest two (lexicographic = chrono)")
     val left = new java.io.File(root).listFiles().map(_.getName).sorted
-    assert(left.toSeq == names.drop(2))
+    assert(left.toSeq == "_tmp_staging" +: names.drop(2))
     // survivors still readable; keep must be >= 1; missing root is a no-op
     assert(spark.read.parquet(s"$root/${names.last}").count() == 5)
     intercept[IllegalArgumentException] {
@@ -361,6 +364,13 @@ class SnapshotSpec extends SparkSpec {
         Tables.nation(spark, sf).where(col("n_nationkey") < 10 + i),
         s"$root/${Snapshot.snapshotName("db", t)}")
     }
+    // A sibling database whose name EXTENDS "db" ("db_1_…" startsWith
+    // "db_" and sorts below any "db_2024…" cutoff) must never be read
+    // as a generation of "db". Write it with a different row count so
+    // a wrong pick is visible.
+    Snapshot.write(
+      Tables.nation(spark, sf).where(col("n_nationkey") < 3),
+      s"$root/${Snapshot.snapshotName("db_1", at.head)}")
     def rowsAsOf(s: String) = Snapshot.readAsOf(
       spark, root, "db", java.time.Instant.parse(s)).count()
     assert(rowsAsOf("2024-02-20T00:00:00Z") == 11) // gen 2

@@ -206,6 +206,18 @@ class BucketingSpec extends SparkSpec {
     val ascii = UTF8String.fromString("plain ascii")
     assert(NfcNormalize.kernel(ascii) eq ascii)
     assert(StripAccents.kernel(ascii) eq ascii)
+    // Non-ASCII NFD input with no BMP Mn marks must NOT short-circuit:
+    // decomposed Hangul jamo (U+1100 U+1161 = 가) is NFD-normalized yet
+    // the contract says re-compose to NFC — the divergence the old
+    // "isNormalized(NFD) && no Mn" fast path had.
+    assert(StripAccents.kernel(UTF8String.fromString("가")).toString
+      == "가")
+    // Astral-plane combining mark (U+1D165 MUSICAL SYMBOL COMBINING
+    // STEM is Mc; use U+1D167 COMBINING TREMOLO, type Mn): its chars
+    // report type SURROGATE per-char, but the mark must still strip.
+    val astral = new String(Character.toChars(0x41)) +
+      new String(Character.toChars(0x1D167))
+    assert(StripAccents.kernel(UTF8String.fromString(astral)).toString == "A")
     // SQL registration path
     graft.functions.NfcNormalize.register(spark)
     graft.functions.StripAccents.register(spark)
