@@ -42,7 +42,17 @@ object Bench {
     // timed on their first execution.
     try {
       spark.range(1L << 20).selectExpr("sum(id)").collect()
-      spark.read.parquet(s"$sfDir/region.parquet").count()
+      // Read every fixture table once, all columns (noop sink): the
+      // first query to scan a table otherwise pays its cold page-cache
+      // read + parquet reader init — r4 measured q_agg_hash_group
+      // (alphabetically the first wide lineitem scan) at 12.2 s vs
+      // ~1.1 s steady-state in BenchOne. Timed numbers are therefore
+      // WARM-CACHE steady-state engine compute — the methodology is
+      // deliberate and applies uniformly to all queries.
+      Seq("region", "nation", "customer", "supplier", "part", "orders",
+        "lineitem", "events", "documents", "embeddings").foreach { t =>
+        materialize(spark.read.parquet(s"$sfDir/$t.parquet"))
+      }
       // The window is PARTITION BY'd like every declared query: an
       // unpartitioned one works here (tiny input) but would spam the
       // "No Partition Defined" warning readers must stay alert to.

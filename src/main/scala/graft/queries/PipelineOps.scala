@@ -420,6 +420,53 @@ object PipelineOps {
       CAST(max(len(text)) AS BIGINT) AS text_len_max
     FROM documents"""))
 
+  /** EXT: domain-mixing weights — per-source token counts and the
+    * up/down-sampling weight that would equalize each source's token
+    * share (the "data mixing" step every pretraining pipeline runs
+    * after dedup: weight = target_share / actual_share, here with a
+    * uniform target over the observed sources). The per-source
+    * aggregate shrinks the corpus to |sources| rows before the scalar
+    * totals are cross-joined back (broadcast — no second corpus scan,
+    * no unpartitioned window). Integer sums throughout; `share` and
+    * `weight` are single double divisions of exact longs (float-parity
+    * rule), with the n_sources·n_tokens product kept in the long
+    * domain. */
+  val textMixWeights: Q = Q(
+    "q_text_mix_weights",
+    (s, d) => {
+      val perSrc = Tables.documents(s, d)
+        .select(col("source"),
+          size(filter(split(lower(col("text")), " "), t => t =!= ""))
+            .cast("long").as("n_tok"))
+        .groupBy(col("source"))
+        .agg(sum(col("n_tok")).as("n_tokens"))
+      val totals = perSrc.agg(
+        sum(col("n_tokens")).as("total_tokens"),
+        count(lit(1)).as("n_sources"))
+      perSrc.crossJoin(broadcast(totals))
+        .select(col("source"), col("n_tokens"),
+          (col("n_tokens").cast("double")
+            / col("total_tokens").cast("double")).as("share"),
+          (col("total_tokens").cast("double")
+            / (col("n_sources") * col("n_tokens")).cast("double"))
+            .as("weight"))
+        .orderBy("source")
+    },
+    Some("""WITH per_src AS (
+      SELECT source,
+        CAST(sum(len(list_filter(string_split(lower(text), ' '),
+          t -> t != ''))) AS BIGINT) AS n_tokens
+      FROM documents GROUP BY source),
+    tot AS (
+      SELECT CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+        count(*) AS n_sources
+      FROM per_src)
+    SELECT source, n_tokens,
+      CAST(n_tokens AS DOUBLE) / CAST(total_tokens AS DOUBLE) AS share,
+      CAST(total_tokens AS DOUBLE) / CAST(n_sources * n_tokens AS DOUBLE)
+        AS weight
+    FROM per_src, tot ORDER BY source"""))
+
   val all: Seq[Q] = Seq(dedupComponents, textPack, textQualityFilter,
-    textChunk, textDecontaminate, profileTable)
+    textChunk, textDecontaminate, profileTable, textMixWeights)
 }

@@ -293,6 +293,111 @@ object TextOps {
       FROM (SELECT list_filter($sqlTokens, x -> x != '') AS t FROM documents))
     GROUP BY bigram ORDER BY n DESC, bigram ASC LIMIT 100"""))
 
+  /** EXT: repetition-based quality signals (the Gopher repetition
+    * rules, Rae et al. 2021 §A1.1): per-document duplicate-word
+    * fraction and most-common-word share, macro-aggregated per source.
+    * Repetitious text (boilerplate, SEO spam, generation loops) is the
+    * highest-yield removal class after exact dedup, and it's invisible
+    * to length/stopword heuristics (q_text_quality) — a looping doc
+    * has perfectly normal word lengths.
+    *
+    * Scale shape: one explode + two keyed aggregations, all
+    * expression-level. Source-level ratios are computed from INTEGER
+    * sums with one final double division each (Det.scala float-parity
+    * rule: never average per-row doubles across partitions). */
+  val textRepetition: Q = Q(
+    "q_text_repetition",
+    (s, d) => {
+      val tok = Tables.documents(s, d)
+        .select(col("doc_id"), col("source"),
+          explode(tokens).as("token"))
+        .where(col("token") =!= "")
+      val perTok = tok
+        .groupBy(col("source"), col("doc_id"), col("token"))
+        .agg(count(lit(1)).as("n"))
+      val perDoc = perTok
+        .groupBy(col("source"), col("doc_id"))
+        .agg(sum(col("n")).as("n_tok"),
+          count(lit(1)).as("n_distinct"),
+          max(col("n")).as("top_n"))
+      perDoc
+        .groupBy(col("source"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("n_tok")).as("n_tokens"),
+          (lit(1.0) - sum(col("n_distinct")).cast("double")
+            / sum(col("n_tok")).cast("double")).as("dup_word_frac"),
+          (sum(col("top_n")).cast("double")
+            / sum(col("n_tok")).cast("double")).as("top_token_share"))
+        .orderBy("source")
+    },
+    Some(s"""WITH tok AS (
+      SELECT doc_id, source, unnest($sqlTokens) AS token FROM documents),
+    per_tok AS (
+      SELECT source, doc_id, token, count(*) AS n
+      FROM tok WHERE token != '' GROUP BY source, doc_id, token),
+    per_doc AS (
+      SELECT source, doc_id, sum(n) AS n_tok, count(*) AS n_distinct,
+        max(n) AS top_n
+      FROM per_tok GROUP BY source, doc_id)
+    SELECT source, count(*) AS n_docs,
+      CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+      1.0 - CAST(sum(n_distinct) AS DOUBLE) / CAST(sum(n_tok) AS DOUBLE)
+        AS dup_word_frac,
+      CAST(sum(top_n) AS DOUBLE) / CAST(sum(n_tok) AS DOUBLE)
+        AS top_token_share
+    FROM per_doc GROUP BY source ORDER BY source"""))
+
+  /** EXT: cross-source vocabulary overlap — pairwise token-set Jaccard
+    * between sources, the corpus-composition diagnostic run before
+    * choosing mixing weights (two crawls of the same sites will dedup
+    * poorly and double-weight their content). NOT an all-pairs
+    * document join: vocab is first collapsed to (source, token)
+    * distinct rows, and the self-join keys on token — each token fans
+    * out to at most C(|sources|, 2) pairs, so the shuffle is bounded
+    * by vocab × sources², independent of document count. */
+  val textSourceOverlap: Q = Q(
+    "q_text_source_overlap",
+    (s, d) => {
+      val vocab = Tables.documents(s, d)
+        .select(col("source"), explode(tokens).as("token"))
+        .where(col("token") =!= "")
+        .distinct()
+      val sizes = vocab.groupBy(col("source"))
+        .agg(count(lit(1)).as("v"))
+      val pairs = vocab.as("a")
+        .join(vocab.as("b"), "token")
+        .where(col("a.source") < col("b.source"))
+        .groupBy(col("a.source").as("src_a"), col("b.source").as("src_b"))
+        .agg(count(lit(1)).as("n_common"))
+      pairs
+        .join(broadcast(sizes.select(col("source").as("src_a"), col("v").as("va"))), "src_a")
+        .join(broadcast(sizes.select(col("source").as("src_b"), col("v").as("vb"))), "src_b")
+        .select(col("src_a"), col("src_b"), col("n_common"),
+          col("va"), col("vb"),
+          (col("n_common").cast("double")
+            / (col("va") + col("vb") - col("n_common")).cast("double"))
+            .as("jaccard"))
+        .orderBy("src_a", "src_b")
+    },
+    Some(s"""WITH vocab AS (
+      SELECT DISTINCT source, token FROM (
+        SELECT source, unnest($sqlTokens) AS token FROM documents)
+      WHERE token != ''),
+    sizes AS (SELECT source, count(*) AS v FROM vocab GROUP BY source),
+    pairs AS (
+      SELECT a.source AS src_a, b.source AS src_b, count(*) AS n_common
+      FROM vocab a JOIN vocab b
+        ON a.token = b.token AND a.source < b.source
+      GROUP BY a.source, b.source)
+    SELECT src_a, src_b, n_common, sa.v AS va, sb.v AS vb,
+      CAST(n_common AS DOUBLE) / CAST(sa.v + sb.v - n_common AS DOUBLE)
+        AS jaccard
+    FROM pairs
+      JOIN sizes sa ON pairs.src_a = sa.source
+      JOIN sizes sb ON pairs.src_b = sb.source
+    ORDER BY src_a, src_b"""))
+
   /** EXT: identifier redaction — the PII-masking shape (emails, phone
     * numbers, account ids) as a pure regexp_replace pass, shown on the
     * customer table's embedded numeric ids. Narrow, codegen'd, no
@@ -362,5 +467,5 @@ object TextOps {
   val all: Seq[Q] = Seq(
     dedupExact, textTokens, textStats, textTfidf, textLangid, textQuality,
     textFingerprint, textTokencount, textNgramFreq, textRedact,
-    textNormalize)
+    textNormalize, textRepetition, textSourceOverlap)
 }
