@@ -168,6 +168,113 @@ object EventOps {
         IS NULL AS is_current
     FROM hist ORDER BY user_id, seg"""))
 
+  /** EXT: OHLC bar aggregation — open/high/low/close of `value` per
+    * (event_type, day), the time-series downsampling shape (market
+    * bars, metric rollups). Open/close are picked by row_number over
+    * the total (ts, event_id) order — first/last on a float column via
+    * MIN/MAX-of-flagged-row, never an order-dependent float aggregate,
+    * so the result is bit-deterministic under any partitioning
+    * (Det.scala rule). High/low are plain MIN/MAX (exact, no
+    * accumulation). One window + one keyed agg on (event_type, day) —
+    * scales with bars × bar width, no self-join. */
+  val eventOhlc: Q = Q(
+    "q_event_ohlc",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val ev = Tables.events(s, d)
+        .select(col("event_type"), to_date(col("ts")).as("day"),
+          col("ts"), col("event_id"), col("value"))
+      val wAsc = Window.partitionBy(col("event_type"), col("day"))
+        .orderBy(col("ts").asc, col("event_id").asc)
+      val wDesc = Window.partitionBy(col("event_type"), col("day"))
+        .orderBy(col("ts").desc, col("event_id").desc)
+      ev.withColumn("rn_o", row_number().over(wAsc))
+        .withColumn("rn_c", row_number().over(wDesc))
+        .groupBy(col("event_type"), col("day"))
+        .agg(
+          max(when(col("rn_o") === 1, col("value"))).as("open"),
+          max(col("value")).as("high"),
+          min(col("value")).as("low"),
+          max(when(col("rn_c") === 1, col("value"))).as("close"),
+          count(lit(1)).as("n_events"))
+        .orderBy("event_type", "day")
+    },
+    Some("""WITH e AS (
+      SELECT event_type, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+        CAST(ts AS TIMESTAMP) AS ts, event_id, value
+      FROM events),
+    r AS (
+      SELECT *,
+        row_number() OVER (PARTITION BY event_type, day
+          ORDER BY ts, event_id) AS rn_o,
+        row_number() OVER (PARTITION BY event_type, day
+          ORDER BY ts DESC, event_id DESC) AS rn_c
+      FROM e)
+    SELECT event_type, day,
+      max(CASE WHEN rn_o = 1 THEN value END) AS open,
+      max(value) AS high, min(value) AS low,
+      max(CASE WHEN rn_c = 1 THEN value END) AS close,
+      count(*) AS n_events
+    FROM r GROUP BY event_type, day ORDER BY event_type, day"""))
+
+  /** EXT: gap-filling forward interpolation — a dense (user, day) grid
+    * where each day carries the user's last observed value (LOCF, the
+    * metric-dashboard / feature-store fill). The spine is users ×
+    * date-range (a broadcast of the two scalar bounds, never an
+    * events-sized cross join), the per-day observation is a row_number
+    * top-1 (deterministic on ties), and the fill itself is
+    * last(ignoreNulls) over the user-keyed window — values are COPIED,
+    * never accumulated, so floats stay bit-exact. Scales with
+    * users × days, keyed on user. */
+  val eventFfill: Q = Q(
+    "q_event_ffill",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val ev = Tables.events(s, d)
+        .select(col("user_id"), to_date(col("ts")).as("day"),
+          col("ts"), col("event_id"), col("value"))
+      val wLast = Window.partitionBy(col("user_id"), col("day"))
+        .orderBy(col("ts").desc, col("event_id").desc)
+      val daily = ev.withColumn("rn", row_number().over(wLast))
+        .where(col("rn") === 1)
+        .select(col("user_id"), col("day"), col("value").as("obs"))
+      val bounds = ev.agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+      val spine = ev.select(col("user_id")).distinct()
+        .crossJoin(broadcast(bounds))
+        .select(col("user_id"),
+          explode(sequence(col("d0"), col("d1"))).as("day"))
+      val wFill = Window.partitionBy(col("user_id")).orderBy(col("day"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      spine.join(daily, Seq("user_id", "day"), "left")
+        .select(col("user_id"), col("day"),
+          last(col("obs"), ignoreNulls = true).over(wFill)
+            .as("value_ffill"),
+          col("obs").isNotNull.as("is_observed"))
+        .orderBy("user_id", "day")
+    },
+    Some("""WITH e AS (
+      SELECT user_id, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+        CAST(ts AS TIMESTAMP) AS ts, event_id, value
+      FROM events),
+    daily AS (
+      SELECT user_id, day, value AS obs FROM (
+        SELECT *, row_number() OVER (PARTITION BY user_id, day
+          ORDER BY ts DESC, event_id DESC) AS rn
+        FROM e) WHERE rn = 1),
+    bounds AS (SELECT min(day) AS d0, max(day) AS d1 FROM e),
+    spine AS (
+      SELECT u.user_id,
+        CAST(unnest(generate_series(CAST(b.d0 AS TIMESTAMP),
+          CAST(b.d1 AS TIMESTAMP), INTERVAL 1 DAY)) AS DATE) AS day
+      FROM (SELECT DISTINCT user_id FROM e) u, bounds b)
+    SELECT s.user_id, s.day,
+      last_value(d.obs IGNORE NULLS) OVER (PARTITION BY s.user_id
+        ORDER BY s.day ROWS UNBOUNDED PRECEDING) AS value_ffill,
+      d.obs IS NOT NULL AS is_observed
+    FROM spine s LEFT JOIN daily d
+      ON s.user_id = d.user_id AND s.day = d.day
+    ORDER BY s.user_id, s.day"""))
+
   /** EXT: path/transition analysis — the event-type transition matrix
     * over per-user streams (user-journey analytics beside funnel /
     * retention / SCD2): one lag window per user gives consecutive
@@ -208,5 +315,5 @@ object EventOps {
     FROM c ORDER BY from_type, to_type"""))
 
   val all: Seq[Q] = Seq(eventFunnel, eventRetention, eventScd2,
-    eventTransitions)
+    eventTransitions, eventOhlc, eventFfill)
 }

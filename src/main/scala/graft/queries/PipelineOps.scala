@@ -79,6 +79,11 @@ object PipelineOps {
         .join(labels, sym("src") === labels("node"))
         .groupBy(col("dst"))
         .agg(min(col("label")).as("nbr_label"))
+      // One materialization per round, not two: the pointer-jump below
+      // self-joins `stepped`, and without a checkpoint here Spark's
+      // ReuseExchange serves both sides from the same shuffle files —
+      // `stepped` stays a bounded two-join plan over the checkpointed
+      // `sym`/`labels`, so lineage cannot grow across rounds either.
       val stepped = labels
         .join(prop, labels("node") === prop("dst"), "left")
         .select(
@@ -87,7 +92,6 @@ object PipelineOps {
             .as("label"),
           (col("nbr_label").isNotNull && col("nbr_label") < col("label"))
             .as("chg"))
-        .localCheckpoint()
       // Pointer jump: label ← label of label. Every label IS a node id
       // present in `stepped` (labels only ever take node-id values), so
       // the lookup is a plain equi join; "left" guards the root nodes
