@@ -15,8 +15,19 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
+  /** Resolved-relation cache — the catalog role a metastore plays in a
+    * real deployment: listing files and reading footers once per
+    * (session, path), not once per query. Sound because fixture inputs
+    * are immutable for a session's lifetime (specs that synthesize
+    * inputs write to fresh temp dirs); a mutable-source deployment
+    * would invalidate on write, exactly as a metastore does. Keyed on
+    * the session so a stopped session's plans are never reused. */
+  private val cache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+
   def apply(spark: SparkSession, sfDir: String, name: String): DataFrame =
-    spark.read.parquet(s"$sfDir/$name.parquet")
+    cache.computeIfAbsent((spark, s"$sfDir/$name.parquet"),
+      key => spark.read.parquet(key._2))
 
   def region(s: SparkSession, d: String): DataFrame = apply(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame = apply(s, d, "nation")
