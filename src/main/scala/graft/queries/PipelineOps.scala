@@ -471,6 +471,47 @@ object PipelineOps {
         AS weight
     FROM per_src, tot ORDER BY source"""))
 
+  /** EXT: join-key skew profile — the diagnostic run BEFORE deciding a
+    * join strategy at scale: heavy-hitter keys with their share of
+    * rows, beside the global key/row/max-bucket counts (the numbers
+    * that tell you whether AQE skew-split suffices or
+    * `Skew.saltedJoin`'s numSalts needs raising). One keyed agg
+    * shrinks the table to its key histogram; the top-10 is a bounded
+    * sort over KEY COUNTS, not rows, and the scalar stats broadcast
+    * back. Ties rank deterministically by key. */
+  val profileSkew: Q = Q(
+    "q_profile_skew",
+    (s, d) => {
+      val counts = Tables.lineitem(s, d)
+        .groupBy(col("l_orderkey"))
+        .agg(count(lit(1)).as("n"))
+      val stats = counts.agg(
+        count(lit(1)).as("n_keys"),
+        sum(col("n")).as("n_rows"),
+        max(col("n")).as("max_rows"))
+      counts
+        .orderBy(col("n").desc, col("l_orderkey").asc)
+        .limit(10)
+        .select(col("l_orderkey").as("key"), col("n"))
+        .crossJoin(broadcast(stats))
+        .select(col("key"), col("n"),
+          (col("n").cast("double") / col("n_rows").cast("double"))
+            .as("share"),
+          col("n_keys"), col("n_rows"), col("max_rows"))
+        .orderBy(col("n").desc, col("key").asc)
+    },
+    Some("""WITH c AS (
+      SELECT l_orderkey AS key, count(*) AS n
+      FROM lineitem GROUP BY l_orderkey),
+    s AS (
+      SELECT count(*) AS n_keys, CAST(sum(n) AS BIGINT) AS n_rows,
+        max(n) AS max_rows
+      FROM c)
+    SELECT key, n, CAST(n AS DOUBLE) / CAST(n_rows AS DOUBLE) AS share,
+      n_keys, n_rows, max_rows
+    FROM c, s ORDER BY n DESC, key ASC LIMIT 10"""))
+
   val all: Seq[Q] = Seq(dedupComponents, textPack, textQualityFilter,
-    textChunk, textDecontaminate, profileTable, textMixWeights)
+    textChunk, textDecontaminate, profileTable, textMixWeights,
+    profileSkew)
 }

@@ -293,6 +293,39 @@ object TextOps {
       FROM (SELECT list_filter($sqlTokens, x -> x != '') AS t FROM documents))
     GROUP BY bigram ORDER BY n DESC, bigram ASC LIMIT 100"""))
 
+  /** EXT: Count-Min-Sketch heavy hitters — the frequency-sketch
+    * companion to the HLL cardinality family (q_agg_hll_sketch): exact
+    * top-10 token counts beside their CMS estimates and the
+    * never-underestimates invariant (Cormode & Muthukrishnan 2005).
+    * The 100 TB story is the sketch's shape, proven in
+    * AggregatesSpec: states are fixed-size (depth × width counters)
+    * and merge by elementwise addition, so the build is one map-side-
+    * combined aggregate, bit-identical under any partitioning (the
+    * property tie-order-dependent SpaceSaving summaries lack), and
+    * re-aggregation (per-shard sketches → global) needs no corpus
+    * re-scan. Lookups probe a broadcast sketch on candidate rows only.
+    * No oracle: the sketch binary is Spark-specific (seeded Murmur3);
+    * the exact column doubles as the in-row ground truth. */
+  val textCmsTopk: Q = Q(
+    "q_text_cms_topk",
+    (s, d) => {
+      val tok = Tables.documents(s, d)
+        .select(explode(tokens).as("token"))
+        .where(col("token") =!= "")
+      val exact = tok.groupBy(col("token")).agg(count(lit(1)).as("n_exact"))
+      val top = exact.orderBy(col("n_exact").desc, col("token").asc)
+        .limit(10)
+      val sk = tok.agg(
+        expr("count_min_sketch(token, 0.0001d, 0.99d, 42)").as("sk"))
+      top.crossJoin(broadcast(sk))
+        .select(col("token"), col("n_exact"),
+          graft.functions.CmsEstimate(s, col("sk"), col("token"))
+            .as("n_cms"))
+        .withColumn("overestimate", col("n_cms") >= col("n_exact"))
+        .orderBy(col("n_exact").desc, col("token").asc)
+    },
+    None)
+
   /** EXT: repetition-based quality signals (the Gopher repetition
     * rules, Rae et al. 2021 §A1.1): per-document duplicate-word
     * fraction and most-common-word share, macro-aggregated per source.
@@ -467,5 +500,5 @@ object TextOps {
   val all: Seq[Q] = Seq(
     dedupExact, textTokens, textStats, textTfidf, textLangid, textQuality,
     textFingerprint, textTokencount, textNgramFreq, textRedact,
-    textNormalize, textRepetition, textSourceOverlap)
+    textNormalize, textRepetition, textSourceOverlap, textCmsTopk)
 }

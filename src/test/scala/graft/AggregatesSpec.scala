@@ -67,4 +67,34 @@ class AggregatesSpec extends SparkSpec {
       .head()
     assert(all.getLong(1) == merged)
   }
+
+  test("CMS estimates never underestimate, stay within eps*N, and are partition-invariant") {
+    import org.apache.spark.sql.functions._
+    val rows = q("q_text_cms_topk").collect()
+    assert(rows.length == 10)
+    val tok = graft.engine.Tables.documents(spark, sf)
+      .select(explode(split(lower(col("text")), " ")).as("token"))
+      .where(col("token") =!= "")
+    val n = tok.count()
+    rows.foreach { r =>
+      val (exact, cms) = (r.getLong(1), r.getLong(2))
+      assert(r.getBoolean(3) && cms >= exact,
+        s"${r.getString(0)}: cms $cms underestimates exact $exact")
+      // standard CMS bound: overcount <= eps * totalCount (eps = 1e-4)
+      assert(cms - exact <= (1e-4 * n).ceil.toLong,
+        s"${r.getString(0)}: overcount ${cms - exact} breaks eps*N=${1e-4 * n}")
+    }
+    // counter merges are elementwise sums -> the sketch (and every
+    // estimate) is bit-identical under any partitioning; this is the
+    // property that makes the build safe as a map-side-combined agg
+    def est(parts: Int) = tok.repartition(parts)
+      .agg(expr("count_min_sketch(token, 0.0001d, 0.99d, 42)").as("sk"))
+      .select(graft.functions.CmsEstimate(spark, col("sk"),
+        lit(rows.head.getString(0))).as("e"))
+      .head().getLong(0)
+    assert(est(3) == est(11),
+      "CMS estimate changed under repartitioning")
+    assert(est(3) == rows.head.getLong(2),
+      "repartitioned sketch disagrees with the declared query")
+  }
 }
