@@ -40,5 +40,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction((FunctionIdentifier(CmsEstimate.name),
       CmsEstimate.info, CmsEstimate.builder))
     e.injectOptimizerRule(_ => graft.plans.ThresholdLevenshtein)
+    e.injectPlannerStrategy(_ => graft.plans.AsofJoinStrategy)
   }
 }

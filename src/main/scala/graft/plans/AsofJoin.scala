@@ -1,0 +1,177 @@
+package graft.plans
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.SparkStrategy
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, BindReferences, Expression, GenericInternalRow, JoinedRow, SortOrder, UnsafeProjection}
+import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
+import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning}
+import org.apache.spark.sql.catalyst.util.TypeUtils
+import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan}
+
+/** Native AS-OF JOIN — a whole-operator planner extension (logical
+  * node → strategy → physical exec), the (c)-tier customization the
+  * composed form cannot reach: `q_join_asof` expresses as-of as
+  * left-outer-join-all-earlier-rows + row_number + filter, which
+  * MATERIALIZES every (left row, earlier right row) candidate pair
+  * into the window sort. For a left row whose key has R earlier right
+  * rows that is R buffered rows — at 100 TB of order history per
+  * customer, quadratic pressure the optimizer cannot undo.
+  *
+  * This operator instead sorts both sides once on (key, time) —
+  * ordinary shuffle+sort, exactly what a sort-merge join does — and
+  * streams BOTH sides with two pointers per partition: for each left
+  * row in (key, time) order, the last right row with rtime <= ltime is
+  * the match; one right row is buffered at a time, nothing is
+  * materialized. O(L + R) per partition after the sort, vs O(matching
+  * pairs) for the composed form.
+  *
+  * Semantics (pandas merge_asof / QuestDB ASOF JOIN, left outer
+  * flavor): for each left row, the right row with equal key and the
+  * LARGEST (rtime, tieBreak...) <= tuple such that rtime <= ltime;
+  * nulls when no such row. `tieBreak` columns resolve equal-rtime
+  * ambiguity deterministically (they extend the right sort key, and
+  * the merge keeps the last row in sort order).
+  */
+case class AsofJoin(
+    left: LogicalPlan, right: LogicalPlan,
+    leftKey: Expression, rightKey: Expression,
+    leftTime: Expression, rightTime: Expression,
+    rightTieBreak: Seq[Expression])
+    extends BinaryNode {
+  override def output: Seq[Attribute] =
+    left.output ++ right.output.map(_.withNullability(true))
+  override protected def withNewChildrenInternal(
+      newLeft: LogicalPlan, newRight: LogicalPlan): AsofJoin =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Plans the logical AsofJoin to its exec node; injected via
+  * `SparkSessionExtensions.injectPlannerStrategy` (GraftExtensions). */
+object AsofJoinStrategy extends SparkStrategy {
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case AsofJoin(l, r, lk, rk, lt, rt, tb) =>
+      AsofJoinExec(lk, rk, lt, rt, tb, planLater(l), planLater(r)) :: Nil
+    case _ => Nil
+  }
+}
+
+case class AsofJoinExec(
+    leftKey: Expression, rightKey: Expression,
+    leftTime: Expression, rightTime: Expression,
+    rightTieBreak: Seq[Expression],
+    left: SparkPlan, right: SparkPlan)
+    extends BinaryExecNode {
+
+  override def output: Seq[Attribute] =
+    left.output ++ right.output.map(_.withNullability(true))
+
+  /** Both children cluster on their key — the same contract as a
+    * sort-merge join, so EnsureRequirements inserts the co-partitioned
+    * exchanges. The partition count is pinned (conf value) so the two
+    * sides stay aligned for zipPartitions even under AQE's coalescing;
+    * a cluster deployment tunes that single conf, exactly as for any
+    * shuffle. */
+  override def requiredChildDistribution: Seq[Distribution] = {
+    val n = Some(conf.numShufflePartitions)
+    ClusteredDistribution(Seq(leftKey), requiredNumPartitions = n) ::
+      ClusteredDistribution(Seq(rightKey), requiredNumPartitions = n) :: Nil
+  }
+
+  /** (key, time) both sides; the right side additionally orders by the
+    * tie-break columns so "last row <= ltime" is a total order. */
+  override def requiredChildOrdering: Seq[Seq[SortOrder]] = Seq(
+    Seq(SortOrder(leftKey, Ascending), SortOrder(leftTime, Ascending)),
+    Seq(SortOrder(rightKey, Ascending), SortOrder(rightTime, Ascending)) ++
+      rightTieBreak.map(SortOrder(_, Ascending)))
+
+  override def outputPartitioning: Partitioning = left.outputPartitioning
+  override def outputOrdering: Seq[SortOrder] = Seq(
+    SortOrder(leftKey, Ascending), SortOrder(leftTime, Ascending))
+
+  override protected def doExecute(): RDD[InternalRow] = {
+    val lOut = left.output
+    val rOut = right.output
+    val lk = BindReferences.bindReference(leftKey, lOut)
+    val lt = BindReferences.bindReference(leftTime, lOut)
+    val rk = BindReferences.bindReference(rightKey, rOut)
+    val rt = BindReferences.bindReference(rightTime, rOut)
+    val keyOrd = TypeUtils.getInterpretedOrdering(leftKey.dataType)
+    val timeOrd = TypeUtils.getInterpretedOrdering(leftTime.dataType)
+    val rightWidth = rOut.size
+    // Bind the result projection against NULLABLE right attributes:
+    // unmatched left rows emit an all-null right side, and a
+    // non-nullable binding would skip the null check and read garbage.
+    val attrs = lOut ++ rOut.map(_.withNullability(true))
+    val outAttrs = output
+    left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
+      val result = UnsafeProjection.create(outAttrs, attrs)
+      val joined = new JoinedRow
+      val nullRight = new GenericInternalRow(rightWidth)
+      val rBuf = rIter.buffered
+      // `best` is the most recent right row whose (key, time) is <=
+      // the current left cursor — copied once when consumed, because
+      // the child iterator reuses its row object.
+      var best: InternalRow = null
+      var bestKey: Any = null
+      lIter.map { lRow =>
+        val lKeyV = lk.eval(lRow)
+        val lTimeV = lt.eval(lRow)
+        // SQL semantics: a null key or time matches nothing. Null right
+        // keys/times are discarded as encountered (they sort first
+        // under Ascending, so discarding keeps the pointer monotonic).
+        if (lKeyV == null || lTimeV == null) {
+          result(joined(lRow, nullRight))
+        } else {
+          var advance = true
+          while (advance && rBuf.hasNext) {
+            val rKeyV = rk.eval(rBuf.head)
+            if (rKeyV == null || rt.eval(rBuf.head) == null) { rBuf.next() }
+            else {
+              val c = keyOrd.compare(rKeyV, lKeyV)
+              if (c < 0) { rBuf.next() } // earlier key: discard
+              else if (c == 0 &&
+                  timeOrd.compare(rt.eval(rBuf.head), lTimeV) <= 0) {
+                best = rBuf.next().copy()
+                bestKey = rk.eval(best)
+              } else advance = false
+            }
+          }
+          val matched = best != null && keyOrd.compare(bestKey, lKeyV) == 0
+          result(joined(lRow, if (matched) best else nullRight))
+        }
+      }
+    }
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: SparkPlan, newRight: SparkPlan): AsofJoinExec =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Public API: `Asof.join(left, right, "user_id", "o_custkey", "ts",
+  * "o_orderdate", tieBreak = Seq("o_orderkey"))`. Columns are resolved
+  * against each side's analyzed plan, so the node is born resolved. */
+object Asof {
+  def join(
+      left: DataFrame, right: DataFrame,
+      leftKey: String, rightKey: String,
+      leftTime: String, rightTime: String,
+      tieBreak: Seq[String] = Nil): DataFrame = {
+    val lp = left.queryExecution.analyzed
+    val rp = right.queryExecution.analyzed
+    def att(p: LogicalPlan, n: String): Attribute =
+      p.output.find(_.name == n).getOrElse(throw new IllegalArgumentException(
+        s"column $n not in [${p.output.map(_.name).mkString(", ")}]"))
+    require(att(lp, leftKey).dataType == att(rp, rightKey).dataType,
+      "as-of key types must match")
+    require(att(lp, leftTime).dataType == att(rp, rightTime).dataType,
+      "as-of time types must match")
+    val plan = AsofJoin(lp, rp,
+      att(lp, leftKey), att(rp, rightKey),
+      att(lp, leftTime), att(rp, rightTime),
+      tieBreak.map(att(rp, _)))
+    org.apache.spark.sql.GraftPlanBridge.ofRows(left.sparkSession, plan)
+  }
+}

@@ -243,6 +243,48 @@ object Relational {
       o_orderdate AS asof_orderdate
     FROM j WHERE rn = 1 ORDER BY event_id"""))
 
+  /** B10 native form: the SAME as-of semantics through the custom
+    * planner operator (graft.plans.AsofJoin — logical node, strategy,
+    * streaming two-pointer exec). The composed form above buffers
+    * every (event, earlier-order) candidate into its window sort; this
+    * one sorts each side once and streams, O(L+R) per partition.
+    * Same oracle SQL as q_join_asof: DuckDB hash-checks the custom
+    * operator's output bit-for-bit against the relational definition,
+    * and PlanSpec asserts AsofJoinExec actually planned (no
+    * WindowExec). */
+  val joinAsofNative: Q = Q(
+    "q_join_asof_native",
+    (s, d) => {
+      val e = Tables.events(s, d)
+        .filter(col("event_type") === lit("purchase"))
+        .select(col("event_id"), col("user_id"), col("ts"))
+      // parquet timestamp[ms] surfaces as TIMESTAMP_NTZ while ts is
+      // LTZ; session TZ is pinned UTC, so the cast is value-identical
+      // (the composed form relies on the same implicit coercion).
+      val o = Tables.orders(s, d)
+        .select(col("o_custkey"), col("o_orderkey"),
+          col("o_orderdate").cast("timestamp").as("o_orderdate"))
+      graft.plans.Asof.join(e, o,
+          leftKey = "user_id", rightKey = "o_custkey",
+          leftTime = "ts", rightTime = "o_orderdate",
+          tieBreak = Seq("o_orderkey"))
+        .select(col("event_id"), col("user_id"),
+          col("o_orderkey").as("asof_orderkey"),
+          col("o_orderdate").as("asof_orderdate"))
+        .orderBy("event_id")
+    },
+    Some("""WITH j AS (
+      SELECT e.event_id, e.user_id, o.o_orderkey, o.o_orderdate,
+        ROW_NUMBER() OVER (PARTITION BY e.event_id
+          ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) AS rn
+      FROM (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+            FROM events WHERE event_type = 'purchase') e
+      LEFT JOIN orders o
+        ON e.user_id = o.o_custkey AND o.o_orderdate <= e.ts)
+    SELECT event_id, user_id, o_orderkey AS asof_orderkey,
+      o_orderdate AS asof_orderdate
+    FROM j WHERE rn = 1 ORDER BY event_id"""))
+
   /** B11: interval join — same-user event pairs ≤5 minutes apart.
     * Equi on user_id + time-range residual. */
   val joinInterval: Q = Q(
@@ -471,7 +513,7 @@ object Relational {
   val all: Seq[Q] = Seq(
     scanProjectFilter, joinInnerEqui, joinBroadcast, joinLeftOuter,
     joinRightOuter, joinFullOuter, joinSemi, joinAnti, joinThetaRange,
-    joinAsof,
+    joinAsof, joinAsofNative,
     joinInterval, joinNonEqui, joinSkewSalt, sortLimit, unionAll,
     unionDistinct, intersectQ, exceptQ, dateSpine, joinNullSafe)
 }

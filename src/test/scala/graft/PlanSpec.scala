@@ -23,6 +23,35 @@ class PlanSpec extends SparkSpec {
       "projection must prune to the 5 selected columns")
   }
 
+  test("native as-of join plans AsofJoinExec with no window, matches the composed form") {
+    val plan = executed("q_join_asof_native")
+    assert(plan.contains("AsofJoin"), plan.take(800))
+    assert(!plan.contains("Window"),
+      "native as-of must not materialize candidates into a window sort")
+    // the whole point: output identical to the composed join+window form
+    // (cast aligns the NTZ/LTZ flavor — values are identical under the
+    // pinned UTC session, and the DuckDB oracle hash-checks both)
+    val native = q("q_join_asof_native").collect().toSeq
+    val composed = q("q_join_asof")
+      .withColumn("asof_orderdate", col("asof_orderdate").cast("timestamp"))
+      .collect().toSeq
+    assert(native == composed,
+      s"native=${native.take(3)} composed=${composed.take(3)}")
+    // null keys match nothing and don't break the merge
+    import spark.implicits._
+    val l = Seq((Some(1L), 10L, 100L), (None, 20L, 200L))
+      .toDF("k", "t", "lv")
+    val r = Seq((Some(1L), 5L, 7L), (None, 1L, 8L))
+      .toDF("k", "t", "rv")
+      .select(col("k").as("rk"), col("t").as("rt"), col("rv"))
+    val out = graft.plans.Asof.join(l, r, "k", "rk", "t", "rt")
+      .select(col("lv"), col("rv")).orderBy("lv").collect()
+    assert(out.length == 2)
+    assert(out(0).getLong(0) == 100L && out(0).getLong(1) == 7L)
+    assert(out(1).getLong(0) == 200L && out(1).isNullAt(1),
+      "null left key must not match")
+  }
+
   test("star join broadcasts both dimensions") {
     val plan = executed("q_join_broadcast")
     assert("BroadcastHashJoin".r.findAllIn(plan).size >= 2, plan.take(800))
