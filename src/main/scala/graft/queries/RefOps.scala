@@ -392,8 +392,48 @@ object RefOps {
       FROM chg WHERE op = 'U')
     ORDER BY o_orderkey"""))
 
+  /** A6 counterpart: bad-record QUARANTINE. The reference restores with
+    * `pg_restore --exit-on-error` (backup.sh:375) — FAILFAST, the right
+    * call for a transactional restore. At 100 TB of scraped input,
+    * one malformed record aborting the job is the wrong trade, so the
+    * engine's ingest twin is PERMISSIVE parsing with a corrupt-record
+    * column: malformed rows keep flowing, tagged with their raw line
+    * for a quarantine sink, and the good rows aggregate exactly
+    * (decimal-domain sum). Corruption here is synthesized
+    * deterministically (every 13th key's numeric field becomes "N/A"),
+    * so the DuckDB oracle knows precisely which rows quarantine —
+    * the parse path is real, the fixture is the contract. */
+  val csvQuarantine: Q = Q(
+    "q_ref_csv_quarantine",
+    (s, d) => {
+      val line = concat(
+        col("c_custkey"), lit(","), col("c_name"), lit(","),
+        when(col("c_custkey") % 13 === 3, lit("N/A"))
+          .otherwise(col("c_acctbal").cast("string")))
+      Tables.customer(s, d)
+        .select(line.as("line"))
+        .select(from_csv(col("line"),
+          org.apache.spark.sql.types.StructType.fromDDL(
+            "k BIGINT, name STRING, bal DOUBLE, _bad STRING"),
+          Map("mode" -> "PERMISSIVE",
+            "columnNameOfCorruptRecord" -> "_bad")).as("r"))
+        .select(col("r.k"), col("r.bal"), col("r._bad"))
+        .agg(
+          count(lit(1)).as("n_rows"),
+          count(when(col("_bad").isNull, 1)).as("n_good"),
+          count(when(col("_bad").isNotNull, 1)).as("n_quarantined"),
+          Det.dsum(when(col("_bad").isNull, col("bal")), 2)
+            .as("good_bal_sum"))
+    },
+    Some(s"""SELECT count(*) AS n_rows,
+      count(*) FILTER (WHERE c_custkey % 13 != 3) AS n_good,
+      count(*) FILTER (WHERE c_custkey % 13 = 3) AS n_quarantined,
+      CAST(sum(CAST(c_acctbal AS DECIMAL(28,2)))
+        FILTER (WHERE c_custkey % 13 != 3) AS DOUBLE) AS good_bal_sum
+    FROM customer"""))
+
   val all: Seq[Q] = Seq(
     lineFilter, grepExists, extractId, identifier, versionDispatch,
     statusLast, nonemptyGuard, roundTrip, csvSource, orcSource,
-    jsonSource, incremental, mergeUpsert)
+    jsonSource, incremental, mergeUpsert, csvQuarantine)
 }
