@@ -38,7 +38,8 @@ case class AsofJoin(
     left: LogicalPlan, right: LogicalPlan,
     leftKey: Expression, rightKey: Expression,
     leftTime: Expression, rightTime: Expression,
-    rightTieBreak: Seq[Expression])
+    rightTieBreak: Seq[Expression],
+    tolerance: Option[Long] = None)
     extends BinaryNode {
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))
@@ -51,8 +52,9 @@ case class AsofJoin(
   * `SparkSessionExtensions.injectPlannerStrategy` (GraftExtensions). */
 object AsofJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsofJoin(l, r, lk, rk, lt, rt, tb) =>
-      AsofJoinExec(lk, rk, lt, rt, tb, planLater(l), planLater(r)) :: Nil
+    case AsofJoin(l, r, lk, rk, lt, rt, tb, tol) =>
+      AsofJoinExec(lk, rk, lt, rt, tb, tol,
+        planLater(l), planLater(r)) :: Nil
     case _ => Nil
   }
 }
@@ -61,6 +63,7 @@ case class AsofJoinExec(
     leftKey: Expression, rightKey: Expression,
     leftTime: Expression, rightTime: Expression,
     rightTieBreak: Seq[Expression],
+    tolerance: Option[Long],
     left: SparkPlan, right: SparkPlan)
     extends BinaryExecNode {
 
@@ -99,6 +102,21 @@ case class AsofJoinExec(
     val rt = BindReferences.bindReference(rightTime, rOut)
     val keyOrd = TypeUtils.getInterpretedOrdering(leftKey.dataType)
     val timeOrd = TypeUtils.getInterpretedOrdering(leftTime.dataType)
+    // Tolerance (pandas merge_asof): max allowed ltime - rtime, in the
+    // time type's underlying integral unit (µs for timestamps, days
+    // for dates). Resolved to a long extractor once per plan.
+    val timeAsLong: Any => Long = leftTime.dataType match {
+      case org.apache.spark.sql.types.TimestampType |
+          org.apache.spark.sql.types.TimestampNTZType |
+          org.apache.spark.sql.types.LongType => _.asInstanceOf[Long]
+      case org.apache.spark.sql.types.DateType |
+          org.apache.spark.sql.types.IntegerType =>
+        v => v.asInstanceOf[Int].toLong
+      case t if tolerance.isDefined =>
+        throw new IllegalArgumentException(
+          s"as-of tolerance unsupported for time type ${t.simpleString}")
+      case _ => _ => 0L
+    }
     val rightWidth = rOut.size
     // Bind the result projection against NULLABLE right attributes:
     // unmatched left rows emit an all-null right side, and a
@@ -138,7 +156,14 @@ case class AsofJoinExec(
               } else advance = false
             }
           }
-          val matched = best != null && keyOrd.compare(bestKey, lKeyV) == 0
+          // Tolerance filters the MATCH, not the buffer: `best` must
+          // stay even when too old for this left row, because a later
+          // left row first pulls newer right rows into `best` (the
+          // while-loop above) before its own tolerance check.
+          val matched = best != null &&
+            keyOrd.compare(bestKey, lKeyV) == 0 &&
+            tolerance.forall(tol =>
+              timeAsLong(lTimeV) - timeAsLong(rt.eval(best)) <= tol)
           result(joined(lRow, if (matched) best else nullRight))
         }
       }
@@ -158,7 +183,8 @@ object Asof {
       left: DataFrame, right: DataFrame,
       leftKey: String, rightKey: String,
       leftTime: String, rightTime: String,
-      tieBreak: Seq[String] = Nil): DataFrame = {
+      tieBreak: Seq[String] = Nil,
+      tolerance: Option[Long] = None): DataFrame = {
     val lp = left.queryExecution.analyzed
     val rp = right.queryExecution.analyzed
     def att(p: LogicalPlan, n: String): Attribute =
@@ -171,7 +197,7 @@ object Asof {
     val plan = AsofJoin(lp, rp,
       att(lp, leftKey), att(rp, rightKey),
       att(lp, leftTime), att(rp, rightTime),
-      tieBreak.map(att(rp, _)))
+      tieBreak.map(att(rp, _)), tolerance)
     org.apache.spark.sql.GraftPlanBridge.ofRows(left.sparkSession, plan)
   }
 }

@@ -285,6 +285,47 @@ object Relational {
       o_orderdate AS asof_orderdate
     FROM j WHERE rn = 1 ORDER BY event_id"""))
 
+  /** Native as-of with TOLERANCE (pandas merge_asof tolerance): the
+    * match must also be recent enough — stale history is worse than no
+    * match for feature joins ("the user's most recent order" loses
+    * meaning if it is years old). Same streaming exec; tolerance is an
+    * O(1) per-row filter at emit. The bound (8400 days) is calibrated
+    * to the fixture's order→event staleness range (8190–9789 days) so
+    * BOTH outcomes occur — about half the matches survive, half null
+    * out; a bound outside that range would make the oracle check
+    * vacuous. Oracle: the composed form plus the residual age bound. */
+  val joinAsofTolerance: Q = Q(
+    "q_join_asof_tolerance",
+    (s, d) => {
+      val e = Tables.events(s, d)
+        .filter(col("event_type") === lit("purchase"))
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val o = Tables.orders(s, d)
+        .select(col("o_custkey"), col("o_orderkey"),
+          col("o_orderdate").cast("timestamp").as("o_orderdate"))
+      graft.plans.Asof.join(e, o,
+          leftKey = "user_id", rightKey = "o_custkey",
+          leftTime = "ts", rightTime = "o_orderdate",
+          tieBreak = Seq("o_orderkey"),
+          tolerance = Some(8400L * 24 * 3600 * 1000000L)) // 8400 days in µs
+        .select(col("event_id"), col("user_id"),
+          col("o_orderkey").as("asof_orderkey"),
+          col("o_orderdate").as("asof_orderdate"))
+        .orderBy("event_id")
+    },
+    Some("""WITH j AS (
+      SELECT e.event_id, e.user_id, o.o_orderkey, o.o_orderdate,
+        ROW_NUMBER() OVER (PARTITION BY e.event_id
+          ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) AS rn
+      FROM (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+            FROM events WHERE event_type = 'purchase') e
+      LEFT JOIN orders o
+        ON e.user_id = o.o_custkey AND o.o_orderdate <= e.ts
+        AND o.o_orderdate >= e.ts - INTERVAL 8400 DAY)
+    SELECT event_id, user_id, o_orderkey AS asof_orderkey,
+      o_orderdate AS asof_orderdate
+    FROM j WHERE rn = 1 ORDER BY event_id"""))
+
   /** B11: interval join — same-user event pairs ≤5 minutes apart.
     * Equi on user_id + time-range residual. */
   val joinInterval: Q = Q(
@@ -513,7 +554,7 @@ object Relational {
   val all: Seq[Q] = Seq(
     scanProjectFilter, joinInnerEqui, joinBroadcast, joinLeftOuter,
     joinRightOuter, joinFullOuter, joinSemi, joinAnti, joinThetaRange,
-    joinAsof, joinAsofNative,
+    joinAsof, joinAsofNative, joinAsofTolerance,
     joinInterval, joinNonEqui, joinSkewSalt, sortLimit, unionAll,
     unionDistinct, intersectQ, exceptQ, dateSpine, joinNullSafe)
 }

@@ -50,6 +50,13 @@ class PlanSpec extends SparkSpec {
     assert(out(0).getLong(0) == 100L && out(0).getLong(1) == 7L)
     assert(out(1).getLong(0) == 200L && out(1).isNullAt(1),
       "null left key must not match")
+    // tolerance: same rows, but the (t=10, rt=5) gap of 5 exceeds tol=4
+    // -> null; tol=5 is inclusive -> match
+    def tol(t: Long) = graft.plans.Asof
+      .join(l, r, "k", "rk", "t", "rt", tolerance = Some(t))
+      .where(col("lv") === 100L).select(col("rv")).head()
+    assert(tol(4).isNullAt(0), "gap 5 must fail tolerance 4")
+    assert(tol(5).getLong(0) == 7L, "tolerance bound is inclusive")
   }
 
   test("star join broadcasts both dimensions") {
