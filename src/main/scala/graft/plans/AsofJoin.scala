@@ -93,6 +93,12 @@ case class AsofJoinExec(
   override def outputOrdering: Seq[SortOrder] = Seq(
     SortOrder(leftKey, Ascending), SortOrder(leftTime, Ascending))
 
+  override lazy val metrics = Map(
+    "numOutputRows" -> org.apache.spark.sql.execution.metric.SQLMetrics
+      .createMetric(sparkContext, "number of output rows"),
+    "numMatched" -> org.apache.spark.sql.execution.metric.SQLMetrics
+      .createMetric(sparkContext, "number of matched rows"))
+
   override protected def doExecute(): RDD[InternalRow] = {
     val lOut = left.output
     val rOut = right.output
@@ -117,6 +123,8 @@ case class AsofJoinExec(
           s"as-of tolerance unsupported for time type ${t.simpleString}")
       case _ => _ => 0L
     }
+    val numOutputRows = longMetric("numOutputRows")
+    val numMatched = longMetric("numMatched")
     val rightWidth = rOut.size
     // Bind the result projection against NULLABLE right attributes:
     // unmatched left rows emit an all-null right side, and a
@@ -140,6 +148,7 @@ case class AsofJoinExec(
         // keys/times are discarded as encountered (they sort first
         // under Ascending, so discarding keeps the pointer monotonic).
         if (lKeyV == null || lTimeV == null) {
+          numOutputRows += 1
           result(joined(lRow, nullRight))
         } else {
           var advance = true
@@ -164,6 +173,8 @@ case class AsofJoinExec(
             keyOrd.compare(bestKey, lKeyV) == 0 &&
             tolerance.forall(tol =>
               timeAsLong(lTimeV) - timeAsLong(rt.eval(best)) <= tol)
+          numOutputRows += 1
+          if (matched) numMatched += 1
           result(joined(lRow, if (matched) best else nullRight))
         }
       }
