@@ -164,6 +164,45 @@ object Snapshot {
     spark.read.parquet(s"$root/${gens.last}")
   }
 
+  /** Atomic publish: write to a staging sibling, verify content
+    * equality against the source, then ONE filesystem rename makes the
+    * generation visible — readers never observe a partial or
+    * unverified snapshot. The engine form of the reference's
+    * temp-dump → upload → cleanup flow (backup.sh:209-220,370), with
+    * verification moved BEFORE visibility instead of after.
+    *
+    * The staging name deliberately does not match the `snapshotName`
+    * layout, so retention ([[expireGenerations]]) and time travel
+    * ([[readAsOf]]) never see half-written data even mid-publish.
+    * Generations are immutable: publishing over an existing dest
+    * fails instead of silently replacing history. Staging is removed
+    * on every exit path.
+    *
+    * Rename is atomic on HDFS/local; on S3 it is a copy — there, back
+    * this with the S3A committers or a manifest-pointer swap (the same
+    * caveat every lakehouse table format documents). */
+  def publishAtomic(
+      spark: SparkSession, df: DataFrame, dest: String): RoundTrip = {
+    val destPath = new org.apache.hadoop.fs.Path(dest)
+    val fs = destPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(!fs.exists(destPath),
+      s"generation $dest already exists — snapshots are immutable")
+    val staging = new org.apache.hadoop.fs.Path(dest + ".__staging__")
+    if (fs.exists(staging)) fs.delete(staging, true)
+    try {
+      val n = write(df, staging.toString)
+      val rt = verifyContent(spark, df, staging.toString)
+        .copy(originalRows = n)
+      require(rt.verified,
+        s"staged snapshot failed verification: missing=${rt.missing} extra=${rt.extra}")
+      require(fs.rename(staging, destPath),
+        s"rename $staging -> $destPath failed")
+      rt
+    } finally {
+      if (fs.exists(staging)) fs.delete(staging, true)
+    }
+  }
+
   /** Sink cleanup — the `aws s3 rm` temp-dump delete (A5, backup.sh:370). */
   def delete(spark: SparkSession, path: String): Boolean = {
     val hPath = new org.apache.hadoop.fs.Path(path)

@@ -382,6 +382,35 @@ class SnapshotSpec extends SparkSpec {
     Snapshot.delete(spark, root)
   }
 
+  test("atomic publish: verified-then-visible, immutable dest, staging always cleaned") {
+    import org.apache.spark.sql.functions.col
+    val root = java.nio.file.Files.createTempDirectory("graft_pub_").toString
+    val dest = s"$root/${Snapshot.snapshotName("db",
+      java.time.Instant.parse("2024-05-01T00:00:00Z"))}"
+    val rt = Snapshot.publishAtomic(spark, Tables.nation(spark, sf), dest)
+    assert(rt.verified && rt.originalRows == 25)
+    assert(spark.read.parquet(dest).count() == 25)
+    // staging gone after success
+    assert(!new java.io.File(dest + ".__staging__").exists())
+    // the staging name must be invisible to retention even mid-publish
+    assert(!Snapshot.expireGenerations(spark, root, keep = 1)
+      .exists(_.contains("__staging__")))
+    // generations are immutable: re-publish fails, dest untouched
+    intercept[IllegalArgumentException] {
+      Snapshot.publishAtomic(spark, Tables.region(spark, sf), dest)
+    }
+    assert(spark.read.parquet(dest).count() == 25)
+    // a failing publish (empty source) leaves no dest and no staging
+    val dest2 = s"$root/db_2024_06_01_000000"
+    intercept[Snapshot.EmptySnapshotException] {
+      Snapshot.publishAtomic(spark,
+        Tables.nation(spark, sf).where(col("n_nationkey") < 0), dest2)
+    }
+    assert(!new java.io.File(dest2).exists())
+    assert(!new java.io.File(dest2 + ".__staging__").exists())
+    Snapshot.delete(spark, root)
+  }
+
   test("log lines carry the UTC ISO prefix and coded failures rethrow") {
     val at = java.time.Instant.parse("2024-01-05T10:47:33Z")
     assert(graft.engine.Log.line("starting backup", at)
