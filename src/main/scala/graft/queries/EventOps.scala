@@ -275,6 +275,62 @@ object EventOps {
       ON s.user_id = d.user_id AND s.day = d.day
     ORDER BY s.user_id, s.day"""))
 
+  /** EXT: gap-based sessionization with per-session stats — the batch
+    * form every product-analytics pipeline runs (q_stream_session's
+    * `session_window` twin, but with session SEQUENCE numbers and
+    * duration/bounce stats, which session_window does not expose).
+    * Same gaps-and-islands machinery as q_event_scd2, the island
+    * boundary being a >30-minute silence instead of an event-type
+    * change. All integer domain (unix-second diffs), keyed per user —
+    * scales with each user's own stream. */
+  val eventSessions: Q = Q(
+    "q_event_sessions",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val wOrd = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      val wRun = wOrd.rowsBetween(Window.unboundedPreceding,
+        Window.currentRow)
+      Tables.events(s, d)
+        .select(col("user_id"), col("ts"), col("event_id"))
+        .withColumn("gap",
+          when(lag(col("ts"), 1).over(wOrd).isNull
+            || unix_seconds(col("ts"))
+              - unix_seconds(lag(col("ts"), 1).over(wOrd)) > 1800L,
+            1L).otherwise(0L))
+        .withColumn("session_seq", sum(col("gap")).over(wRun))
+        .groupBy(col("user_id"), col("session_seq"))
+        .agg(
+          count(lit(1)).as("n_events"),
+          (unix_seconds(max(col("ts")))
+            - unix_seconds(min(col("ts")))).as("duration_sec"),
+          (count(lit(1)) === 1).as("is_bounce"))
+        .orderBy("user_id", "session_seq")
+    },
+    Some("""WITH e AS (
+      SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id FROM events),
+    flagged AS (
+      -- date_diff('second', a, b) counts second-boundary crossings =
+      -- floor(epoch(b)) - floor(epoch(a)), matching Spark's
+      -- unix_seconds subtraction (bare epoch() here is FRACTIONAL and
+      -- would disagree on sub-second gaps around the threshold)
+      SELECT *,
+        CASE WHEN lag(ts) OVER w IS NULL
+          OR date_diff('second', lag(ts) OVER w, ts) > 1800
+          THEN 1 ELSE 0 END AS gap
+      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    sessioned AS (
+      SELECT *, CAST(sum(gap) OVER (PARTITION BY user_id
+        ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT)
+        AS session_seq
+      FROM flagged)
+    SELECT user_id, session_seq, count(*) AS n_events,
+      CAST(date_diff('second', min(ts), max(ts)) AS BIGINT)
+        AS duration_sec,
+      count(*) = 1 AS is_bounce
+    FROM sessioned GROUP BY user_id, session_seq
+    ORDER BY user_id, session_seq"""))
+
   /** EXT: path/transition analysis — the event-type transition matrix
     * over per-user streams (user-journey analytics beside funnel /
     * retention / SCD2): one lag window per user gives consecutive
@@ -315,5 +371,5 @@ object EventOps {
     FROM c ORDER BY from_type, to_type"""))
 
   val all: Seq[Q] = Seq(eventFunnel, eventRetention, eventScd2,
-    eventTransitions, eventOhlc, eventFfill)
+    eventTransitions, eventOhlc, eventFfill, eventSessions)
 }

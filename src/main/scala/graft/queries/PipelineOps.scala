@@ -511,7 +511,57 @@ object PipelineOps {
       n_keys, n_rows, max_rows
     FROM c, s ORDER BY n DESC, key ASC LIMIT 10"""))
 
+  /** EXT: data-quality expectations report — the assert-style contract
+    * check (dbt tests / Great Expectations shape) run against every
+    * ingested snapshot before it is published: referential integrity,
+    * domain ranges, and key completeness, each reported as
+    * (rule, n_violations, n_checked) so a gate can fail on any
+    * n_violations > 0. Each rule is one aggregate over one scan (the
+    * FK rule a broadcast anti join); the union is of 4 single-row
+    * plans, not of data. All counts — no float surface. */
+  val profileExpectations: Q = Q(
+    "q_profile_expectations",
+    (s, d) => {
+      val orders = Tables.orders(s, d)
+      val customer = Tables.customer(s, d)
+      val lineitem = Tables.lineitem(s, d)
+      def rule(name: String, violations: DataFrame, checked: DataFrame) =
+        violations.agg(count(lit(1)).as("n_violations"))
+          .crossJoin(broadcast(
+            checked.agg(count(lit(1)).as("n_checked"))))
+          .select(lit(name).as("rule"),
+            col("n_violations"), col("n_checked"))
+      rule("fk_orders_customer",
+          orders.join(broadcast(customer),
+            orders("o_custkey") === customer("c_custkey"), "left_anti"),
+          orders)
+        .unionByName(rule("range_lineitem_quantity",
+          lineitem.where(col("l_quantity") < 1 || col("l_quantity") > 50),
+          lineitem))
+        .unionByName(rule("positive_order_totalprice",
+          orders.where(col("o_totalprice") <= 0), orders))
+        .unionByName(rule("notnull_customer_key",
+          customer.where(col("c_custkey").isNull), customer))
+        .orderBy("rule")
+    },
+    Some("""SELECT 'fk_orders_customer' AS rule,
+      (SELECT count(*) FROM orders o LEFT JOIN customer c
+        ON o.o_custkey = c.c_custkey WHERE c.c_custkey IS NULL)
+        AS n_violations,
+      (SELECT count(*) FROM orders) AS n_checked
+    UNION ALL SELECT 'range_lineitem_quantity',
+      (SELECT count(*) FROM lineitem
+        WHERE l_quantity < 1 OR l_quantity > 50),
+      (SELECT count(*) FROM lineitem)
+    UNION ALL SELECT 'positive_order_totalprice',
+      (SELECT count(*) FROM orders WHERE o_totalprice <= 0),
+      (SELECT count(*) FROM orders)
+    UNION ALL SELECT 'notnull_customer_key',
+      (SELECT count(*) FROM customer WHERE c_custkey IS NULL),
+      (SELECT count(*) FROM customer)
+    ORDER BY rule"""))
+
   val all: Seq[Q] = Seq(dedupComponents, textPack, textQualityFilter,
     textChunk, textDecontaminate, profileTable, textMixWeights,
-    profileSkew)
+    profileSkew, profileExpectations)
 }
