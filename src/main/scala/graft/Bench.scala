@@ -1,7 +1,6 @@
 package graft
 import java.util.Locale
 
-import org.apache.spark.sql.SparkSession
 import java.nio.file.{Files, Paths}
 object Bench {
 
@@ -18,21 +17,26 @@ object Bench {
     * cache and GC pressure from multi-GB writes otherwise bleeds into
     * whichever compute query follows them in hash-map iteration order
     * (r3 measured q_agg_hash_group at 18.5 s after q_ref_round_trip vs
-    * ~1 s warm standalone). */
+    * ~1 s warm standalone).
+    *
+    * r6 audit of every other filesystem-adjacent query (grepped for
+    * `.write`/`Snapshot.`/temp dirs across queries/): q_ref_incremental,
+    * q_ref_merge_upsert, q_fn_zorder and q_ref_csv_quarantine do NOT
+    * touch the filesystem — the merge applies its changelog in-plan
+    * (Snapshot.applyChangelog is a DataFrame transform), zorder is a
+    * pure expression (writeZOrdered is engine-side, not in the query),
+    * and quarantine parses synthesized in-plan lines via from_csv. The
+    * only remaining mid-schedule materializer is q_dedup_components'
+    * localCheckpoint (block-manager scratch, bounded by the edge list,
+    * inherent to the iterative algorithm). This set is therefore the
+    * complete write set. */
   private val IoLast = Set("q_ref_round_trip", "q_ref_csv_source",
     "q_ref_orc_source", "q_ref_json_source")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.extensions", "graft.GraftExtensions")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    val spark = Sessions.local(cpus, "graft-bench")
     // Untimed warm-up: JIT, codegen compiler, and parquet reader init
     // otherwise land on whichever query happens to run first (~5s
     // attributed to an arbitrary query). The SQL statement walks the
@@ -40,18 +44,30 @@ object Bench {
     // thread pool, two-phase agg, window, sort — so the first timed
     // query pays only its own work. Queries themselves are still
     // timed on their first execution.
+    //
+    // A warm-up failure is STAMPED into the published JSON
+    // ("warmup_failed"): the r5 warm-up crashed mid-way on the nanos
+    // events table and silently published numbers where every
+    // events/documents/embeddings-touching query absorbed cold-start
+    // (q_profile_table 12.36 s bench vs 0.44 s steady-state). Readers
+    // of a stamped run know the per-query map is cold-start-distorted.
+    var warmupFailed: Option[String] = None
     try {
       spark.range(1L << 20).selectExpr("sum(id)").collect()
-      // Read every fixture table once, all columns (noop sink): the
-      // first query to scan a table otherwise pays its cold page-cache
-      // read + parquet reader init — r4 measured q_agg_hash_group
-      // (alphabetically the first wide lineitem scan) at 12.2 s vs
-      // ~1.1 s steady-state in BenchOne. Timed numbers are therefore
-      // WARM-CACHE steady-state engine compute — the methodology is
-      // deliberate and applies uniformly to all queries.
-      Seq("region", "nation", "customer", "supplier", "part", "orders",
-        "lineitem", "events", "documents", "embeddings").foreach { t =>
-        materialize(spark.read.parquet(s"$sfDir/$t.parquet"))
+      // Read every fixture table once THROUGH the engine's own readers
+      // (Tables.*) — they know the events nanos path; r5's raw
+      // spark.read.parquet warm-up crashed on TIMESTAMP(NANOS) and left
+      // events/documents/embeddings cold. The first query to scan a
+      // table otherwise pays its cold page-cache read + parquet reader
+      // init — r4 measured q_agg_hash_group (alphabetically the first
+      // wide lineitem scan) at 12.2 s vs ~1.1 s steady-state in
+      // BenchOne. Timed numbers are therefore WARM-CACHE steady-state
+      // engine compute — the methodology is deliberate and applies
+      // uniformly to all queries.
+      graft.engine.Tables.names.foreach { t =>
+        materialize(
+          if (t == "events") graft.engine.Tables.events(spark, sfDir)
+          else graft.engine.Tables(spark, sfDir, t))
       }
       // The window is PARTITION BY'd like every declared query: an
       // unpartitioned one works here (tiny input) but would spam the
@@ -65,6 +81,7 @@ object Bench {
     } catch { case scala.util.control.NonFatal(e) =>
       // A failed warm-up (e.g. bad SPARK_GRAFT_SF_DIR) must be visible:
       // silently proceeding attributes cold-start cost to the first query.
+      warmupFailed = Some(String.valueOf(e.getMessage))
       System.err.println(s"[bench] warm-up failed: ${e.getMessage}")
     }
     // Fixed, reproducible order — name-sorted compute queries first,
@@ -97,9 +114,14 @@ object Bench {
     // full precision, always in the file. A failed query's time-to-failure
     // still appears in the map (and the total), but its name in "failed"
     // marks the number as a failure duration, not a result.
+    val warmupJson = warmupFailed
+      .map(m => s""","warmup_failed":true,"warmup_error":"${
+        m.replace("\\", "\\\\").replace("\"", "\\\"").replaceAll("[\\n\\r\\t]", " ")
+      }"""")
+      .getOrElse("")
     val full = s"""{"metric":"total","value":$total,"unit":"sec","queries":${
       results.map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")
-    },"failed":$failedJson,"sf":"$sfDir"}"""
+    },"failed":$failedJson$warmupJson,"sf":"$sfDir"}"""
     val out = args.headOption
       .orElse(sys.env.get("SPARK_GRAFT_BENCH_OUT"))
       .getOrElse("bench.json")
@@ -114,7 +136,7 @@ object Bench {
     val omitted = results.size - top.size
     println(s"""{"metric":"total","value":${fmt(total, 3)},"unit":"sec","queries":${
       top.map { case (k, v) => entry(k, v, 3) }.mkString("{", ",", "}")
-    },"queries_omitted":$omitted,"failed":$failedJson,"detail":"bench.json","sf":"$sfDir"}""")
+    },"queries_omitted":$omitted,"failed":$failedJson$warmupJson,"detail":"bench.json","sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -1,7 +1,5 @@
 package graft
 
-import org.apache.spark.sql.SparkSession
-
 /** Run one named query and print its first rows — the interactive
   * entry point: `runMain graft.Run <name> [sfDir] [numRows]`.
   * `runMain graft.Run list` prints every declared query name.
@@ -23,14 +21,7 @@ object Run {
       throw new IllegalArgumentException(
         s"unknown query '$name' — see `graft.Run list`"))
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.extensions", "graft.GraftExtensions")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    val spark = Sessions.local(cpus, "graft-run")
     q.fn(spark, sfDir).show(numRows, truncate = 40)
     spark.stop()
   }

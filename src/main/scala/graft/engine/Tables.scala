@@ -21,13 +21,25 @@ object Tables {
     * are immutable for a session's lifetime (specs that synthesize
     * inputs write to fresh temp dirs); a mutable-source deployment
     * would invalidate on write, exactly as a metastore does. Keyed on
-    * the session so a stopped session's plans are never reused. */
+    * the session so a stopped session's plans are never reused; entries
+    * of stopped sessions are swept on every lookup (the cache would
+    * otherwise retain dead sessions and their analyzed plans for the
+    * JVM's life — r5 advice), and [[invalidate]] is the writer hook for
+    * the in-session-overwrite case. */
   private val cache =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
 
-  def apply(spark: SparkSession, sfDir: String, name: String): DataFrame =
+  def apply(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    cache.keySet.removeIf(_._1.sparkContext.isStopped)
     cache.computeIfAbsent((spark, s"$sfDir/$name.parquet"),
       key => spark.read.parquet(key._2))
+  }
+
+  /** Drop any cached relation for `path` (every session). A writer that
+    * overwrites a previously-read path in-session must call this, or the
+    * cached plan would serve the stale file listing. */
+  def invalidate(path: String): Unit =
+    cache.keySet.removeIf(_._2 == path)
 
   def region(s: SparkSession, d: String): DataFrame = apply(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame = apply(s, d, "nation")
@@ -40,9 +52,21 @@ object Tables {
   /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark's vectorized
     * reader rejects; read it as a raw long and truncate to µs (integer
     * `div 1000` == DuckDB's `CAST(ts AS TIMESTAMP)` truncation, verified
-    * empirically). Oracle SQL must always wrap ts in CAST(ts AS TIMESTAMP). */
+    * empirically — both truncate toward zero for the fixture's
+    * post-epoch data; pre-1970 nanos would diverge, pinned in
+    * EngineSpec). Oracle SQL must always wrap ts in
+    * CAST(ts AS TIMESTAMP).
+    *
+    * The nanos flag is session-scoped and must be set at session
+    * CONSTRUCTION ([[graft.Sessions.local]]) — a reader that flips a
+    * session-global mid-query changes the behavior of every other
+    * parquet read in the session (the r5 bench warm-up crash). The
+    * read-only check below fails loudly instead of mutating. */
   def events(s: SparkSession, d: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    require(
+      s.conf.getOption("spark.sql.legacy.parquet.nanosAsLong").contains("true"),
+      "events.parquet is TIMESTAMP(NANOS): build the session with " +
+        "spark.sql.legacy.parquet.nanosAsLong=true (use graft.Sessions.local)")
     apply(s, d, "events")
       .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
         org.apache.spark.sql.functions.expr("ts div 1000")))

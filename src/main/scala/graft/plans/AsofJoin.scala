@@ -131,39 +131,80 @@ case class AsofJoinExec(
     // non-nullable binding would skip the null check and read garbage.
     val attrs = lOut ++ rOut.map(_.withNullability(true))
     val outAttrs = output
+    val keyType = leftKey.dataType
+    val timeType = leftTime.dataType
     left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
       val result = UnsafeProjection.create(outAttrs, attrs)
       val joined = new JoinedRow
       val nullRight = new GenericInternalRow(rightWidth)
-      val rBuf = rIter.buffered
+      // Codegen'd (key, time) extractors — ONE projection apply per row
+      // per side. r5 evaluated the interpreted `rk.eval`/`rt.eval` up
+      // to three times per right row (null check, compare, and a
+      // re-eval of a value already in hand); for an operator whose
+      // whole point is the 100 TB merge path, the per-row cost is the
+      // product.
+      val lProj = UnsafeProjection.create(Seq(lk, lt))
+      val rProj = UnsafeProjection.create(Seq(rk, rt))
+      // Values read out of a projection result point into its REUSED
+      // row buffer (UTF8String is a view, not a copy); a value that
+      // must outlive the next projection apply (bestKey/bestTime) is
+      // snapshotted. Boxed primitives are immune; string keys clone.
+      def snapper(t: org.apache.spark.sql.types.DataType): Any => Any =
+        t match {
+          case org.apache.spark.sql.types.StringType =>
+            v => if (v == null) null
+              else v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String]
+                .clone()
+          case _ => identity
+        }
+      val snapKey = snapper(keyType)
+      val snapTime = snapper(timeType)
+      // Right cursor: the current un-consumed right row plus its (key,
+      // time), evaluated exactly once when the row is first seen. SQL
+      // semantics: a null key or time matches nothing, so null right
+      // rows are discarded as encountered (they sort first under
+      // Ascending, so discarding keeps the pointer monotonic).
+      var rRow: InternalRow = null
+      var rKeyV: Any = null
+      var rTimeV: Any = null
+      var rValid = false
+      def advanceRight(): Unit = {
+        rValid = false
+        while (!rValid && rIter.hasNext) {
+          rRow = rIter.next()
+          val kt = rProj(rRow)
+          val k = kt.get(0, keyType)
+          if (k != null) {
+            val t = kt.get(1, timeType)
+            if (t != null) { rKeyV = k; rTimeV = t; rValid = true }
+          }
+        }
+      }
+      advanceRight()
       // `best` is the most recent right row whose (key, time) is <=
       // the current left cursor — copied once when consumed, because
       // the child iterator reuses its row object.
       var best: InternalRow = null
       var bestKey: Any = null
+      var bestTime: Any = null
       lIter.map { lRow =>
-        val lKeyV = lk.eval(lRow)
-        val lTimeV = lt.eval(lRow)
-        // SQL semantics: a null key or time matches nothing. Null right
-        // keys/times are discarded as encountered (they sort first
-        // under Ascending, so discarding keeps the pointer monotonic).
+        val lkt = lProj(lRow)
+        val lKeyV = lkt.get(0, keyType)
+        val lTimeV = if (lKeyV == null) null else lkt.get(1, timeType)
         if (lKeyV == null || lTimeV == null) {
           numOutputRows += 1
           result(joined(lRow, nullRight))
         } else {
           var advance = true
-          while (advance && rBuf.hasNext) {
-            val rKeyV = rk.eval(rBuf.head)
-            if (rKeyV == null || rt.eval(rBuf.head) == null) { rBuf.next() }
-            else {
-              val c = keyOrd.compare(rKeyV, lKeyV)
-              if (c < 0) { rBuf.next() } // earlier key: discard
-              else if (c == 0 &&
-                  timeOrd.compare(rt.eval(rBuf.head), lTimeV) <= 0) {
-                best = rBuf.next().copy()
-                bestKey = rk.eval(best)
-              } else advance = false
-            }
+          while (advance && rValid) {
+            val c = keyOrd.compare(rKeyV, lKeyV)
+            if (c < 0) advanceRight() // earlier key: discard
+            else if (c == 0 && timeOrd.compare(rTimeV, lTimeV) <= 0) {
+              best = rRow.copy()
+              bestKey = snapKey(rKeyV)
+              bestTime = snapTime(rTimeV)
+              advanceRight()
+            } else advance = false
           }
           // Tolerance filters the MATCH, not the buffer: `best` must
           // stay even when too old for this left row, because a later
@@ -172,7 +213,7 @@ case class AsofJoinExec(
           val matched = best != null &&
             keyOrd.compare(bestKey, lKeyV) == 0 &&
             tolerance.forall(tol =>
-              timeAsLong(lTimeV) - timeAsLong(rt.eval(best)) <= tol)
+              timeAsLong(lTimeV) - timeAsLong(bestTime) <= tol)
           numOutputRows += 1
           if (matched) numMatched += 1
           result(joined(lRow, if (matched) best else nullRight))
@@ -188,7 +229,15 @@ case class AsofJoinExec(
 
 /** Public API: `Asof.join(left, right, "user_id", "o_custkey", "ts",
   * "o_orderdate", tieBreak = Seq("o_orderkey"))`. Columns are resolved
-  * against each side's analyzed plan, so the node is born resolved. */
+  * against each side's analyzed plan, so the node is born resolved.
+  *
+  * Name lookup honors the session's `spark.sql.caseSensitive` setting
+  * (via the analyzer's resolver — r5 resolved with `==`, silently
+  * case-sensitive in a case-insensitive session), and a self-join
+  * (same DataFrame, or any shared lineage, on both sides) re-aliases
+  * the right plan with fresh expression IDs first — the same dedup
+  * `Dataset.join` performs — so the two sides never carry conflicting
+  * attribute IDs into the plan. */
 object Asof {
   def join(
       left: DataFrame, right: DataFrame,
@@ -197,10 +246,22 @@ object Asof {
       tieBreak: Seq[String] = Nil,
       tolerance: Option[Long] = None): DataFrame = {
     val lp = left.queryExecution.analyzed
-    val rp = right.queryExecution.analyzed
-    def att(p: LogicalPlan, n: String): Attribute =
-      p.output.find(_.name == n).getOrElse(throw new IllegalArgumentException(
-        s"column $n not in [${p.output.map(_.name).mkString(", ")}]"))
+    val rp0 = right.queryExecution.analyzed
+    val rp: LogicalPlan =
+      if (lp.outputSet.intersect(rp0.outputSet).isEmpty) rp0
+      else org.apache.spark.sql.catalyst.plans.logical.Project(
+        rp0.output.map(a =>
+          org.apache.spark.sql.catalyst.expressions.Alias(a, a.name)()),
+        rp0)
+    val resolver = left.sparkSession.sessionState.analyzer.resolver
+    def att(p: LogicalPlan, n: String): Attribute = {
+      val hits = p.output.filter(a => resolver(a.name, n))
+      if (hits.isEmpty) throw new IllegalArgumentException(
+        s"column $n not in [${p.output.map(_.name).mkString(", ")}]")
+      if (hits.size > 1) throw new IllegalArgumentException(
+        s"column $n is ambiguous: [${hits.map(_.name).mkString(", ")}]")
+      hits.head
+    }
     require(att(lp, leftKey).dataType == att(rp, rightKey).dataType,
       "as-of key types must match")
     require(att(lp, leftTime).dataType == att(rp, rightTime).dataType,

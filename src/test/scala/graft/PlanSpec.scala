@@ -59,6 +59,27 @@ class PlanSpec extends SparkSpec {
     assert(tol(5).getLong(0) == 7L, "tolerance bound is inclusive")
   }
 
+  test("as-of self-join dedups attribute ids; resolver honors case; string keys") {
+    import spark.implicits._
+    // String keys also exercise the UTF8String snapshot path: bestKey
+    // must survive the projection's buffer reuse across right rows.
+    val df = Seq(("a", 10L, 1L), ("a", 20L, 2L), ("b", 15L, 3L))
+      .toDF("k", "t", "v")
+    // Same DataFrame on both sides — r5 built a plan with conflicting
+    // expression IDs here; the API now re-aliases the right side.
+    val self = graft.plans.Asof.join(df, df, "k", "k", "t", "t")
+    val m = self.collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(5))).toSet
+    assert(m == Set(("a", 10L, 1L), ("a", 20L, 2L), ("b", 15L, 3L)),
+      s"each row must as-of-match itself, got ${m.mkString(", ")}")
+    // Name lookup goes through the analyzer's resolver: upper-cased
+    // right-side names resolve in the default case-insensitive session.
+    val r2 = df.select(col("k").as("RK"), col("t").as("RT"),
+      col("v").as("rv"))
+    assert(graft.plans.Asof.join(df, r2, "k", "rk", "t", "rt")
+      .count() == 3)
+  }
+
   test("star join broadcasts both dimensions") {
     val plan = executed("q_join_broadcast")
     assert("BroadcastHashJoin".r.findAllIn(plan).size >= 2, plan.take(800))

@@ -14,18 +14,8 @@ trait SparkSpec extends AnyFunSuite {
 }
 
 object SparkSpec {
-  lazy val session: SparkSession = {
-    val s = SparkSession.builder()
-      .master("local[4]")
-      .appName("graft-test")
-      .config("spark.sql.shuffle.partitions", "4")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      // same extension set as Verify/Bench sessions: native function
-      // registry + optimizer rule + the AsofJoin planner strategy
-      .config("spark.sql.extensions", "graft.GraftExtensions")
-      .getOrCreate()
-    s.sparkContext.setLogLevel("WARN")
-    s
-  }
+  // Sessions.local = the exact recipe Verify/Bench use (extensions, UTC,
+  // nanosAsLong at construction) — specs exercise the same session shape
+  // the driver runs.
+  lazy val session: SparkSession = Sessions.local("4", "graft-test")
 }

@@ -13,7 +13,6 @@ class StreamParitySpec extends SparkSpec {
     java.nio.file.Files.copy(
       java.nio.file.Paths.get(s"$sf/events.parquet"),
       dir.resolve("part-0.parquet"))
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val stream = spark.readStream
       .schema("event_id LONG, ts LONG, user_id LONG, event_type STRING, " +
         "value DOUBLE, props STRING")
@@ -41,7 +40,6 @@ class StreamParitySpec extends SparkSpec {
       java.nio.file.Paths.get(s"$sf/events.parquet"),
       in.resolve("part-0.parquet"))
     val out = java.nio.file.Files.createTempDirectory("graft_sink_out_")
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val q = spark.readStream
       .schema("event_id LONG, ts LONG, user_id LONG, event_type STRING, " +
         "value DOUBLE, props STRING")
