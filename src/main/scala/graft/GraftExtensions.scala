@@ -41,5 +41,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       CmsEstimate.info, CmsEstimate.builder))
     e.injectOptimizerRule(_ => graft.plans.ThresholdLevenshtein)
     e.injectPlannerStrategy(_ => graft.plans.AsofJoinStrategy)
+    // SQL surface of the native as-of join: TVF emits the unresolved
+    // node, the resolution rule completes it once the catalog has
+    // resolved the relation children.
+    e.injectTableFunction((FunctionIdentifier(graft.plans.AsofTableFunction.name),
+      graft.plans.AsofTableFunction.info, graft.plans.AsofTableFunction.builder))
+    e.injectResolutionRule(_ => graft.plans.ResolveAsofJoin)
   }
 }

@@ -178,30 +178,57 @@ object Snapshot {
     * fails instead of silently replacing history. Staging is removed
     * on every exit path.
     *
+    * CONCURRENT publishers of the same generation: each stages under a
+    * unique name (no staging collision), and the commit is a
+    * create-if-absent rename — `FileContext.rename(Rename.NONE)`,
+    * which fails when dest exists. The plain `FileSystem.rename` the
+    * r5 version used is NOT that: onto an existing dest DIRECTORY it
+    * moves the staging dir INSIDE it, silently corrupting both
+    * publishers' output. Exactly one racer wins; the loser gets
+    * SnapshotExistsException with the winner's generation intact
+    * (SnapshotSpec pins the race).
+    *
     * Rename is atomic on HDFS/local; on S3 it is a copy — there, back
     * this with the S3A committers or a manifest-pointer swap (the same
     * caveat every lakehouse table format documents). */
   def publishAtomic(
       spark: SparkSession, df: DataFrame, dest: String): RoundTrip = {
     val destPath = new org.apache.hadoop.fs.Path(dest)
-    val fs = destPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    require(!fs.exists(destPath),
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = destPath.getFileSystem(conf)
+    if (fs.exists(destPath)) throw new SnapshotExistsException(
       s"generation $dest already exists — snapshots are immutable")
-    val staging = new org.apache.hadoop.fs.Path(dest + ".__staging__")
-    if (fs.exists(staging)) fs.delete(staging, true)
+    val staging = new org.apache.hadoop.fs.Path(
+      dest + ".__staging__" + java.util.UUID.randomUUID().toString.take(8))
     try {
       val n = write(df, staging.toString)
       val rt = verifyContent(spark, df, staging.toString)
         .copy(originalRows = n)
       require(rt.verified,
         s"staged snapshot failed verification: missing=${rt.missing} extra=${rt.extra}")
-      require(fs.rename(staging, destPath),
-        s"rename $staging -> $destPath failed")
+      // Bind the context to the RESOLVED filesystem's URI: a local
+      // dest path has no scheme, and toUri would leave the context on
+      // whatever the default FS is rather than the one `fs` resolved.
+      val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+        fs.getUri, conf)
+      try fc.rename(staging, destPath,
+        org.apache.hadoop.fs.Options.Rename.NONE)
+      catch {
+        case e: org.apache.hadoop.fs.FileAlreadyExistsException =>
+          throw new SnapshotExistsException(
+            s"generation $dest already exists — lost the publish race; " +
+              "snapshots are immutable", e)
+      }
       rt
     } finally {
       if (fs.exists(staging)) fs.delete(staging, true)
     }
   }
+
+  /** A publisher lost to an existing generation — either a pre-flight
+    * check or the create-if-absent commit rename. */
+  final class SnapshotExistsException(msg: String, cause: Throwable = null)
+      extends IllegalStateException(msg, cause)
 
   /** Sink cleanup — the `aws s3 rm` temp-dump delete (A5, backup.sh:370). */
   def delete(spark: SparkSession, path: String): Boolean = {

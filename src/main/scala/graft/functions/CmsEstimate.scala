@@ -43,13 +43,19 @@ case class CmsEstimate(left: Expression, right: Expression)
   override def prettyName: String = CmsEstimate.name
 
   // Per-task decode cache: the sketch operand is one broadcast value
-  // repeated across rows, so reference equality hits after row 1.
+  // repeated across rows. Reference equality is the cheap first probe,
+  // but it can MISS every row — UnsafeRow.getBinary allocates a fresh
+  // array per access (e.g. when the sketch column flows through a
+  // broadcast join rather than a literal), which in r5 meant a full
+  // (depth × width)-long deserialization per row. Content equality is
+  // the fallback: one memcmp of the ~KB sketch bytes vs a rebuild.
   @transient private var cachedBytes: Array[Byte] = _
   @transient private var cachedSketch: CountMinSketch = _
 
   override def nullSafeEval(sk: Any, item: Any): Any = {
     val bytes = sk.asInstanceOf[Array[Byte]]
-    if (!(bytes eq cachedBytes)) {
+    if (!(bytes eq cachedBytes) &&
+        !java.util.Arrays.equals(bytes, cachedBytes)) {
       cachedSketch = CountMinSketch.readFrom(bytes)
       cachedBytes = bytes
     }

@@ -239,21 +239,21 @@ case class AsofJoinExec(
   * `Dataset.join` performs — so the two sides never carry conflicting
   * attribute IDs into the plan. */
 object Asof {
-  def join(
-      left: DataFrame, right: DataFrame,
+  /** Shared resolution core for the DataFrame API and the SQL
+    * resolution rule: dedup right-side attribute IDs, resolve the six
+    * column names with the given resolver, type-check, build the node. */
+  private[plans] def resolveNode(
+      lp: LogicalPlan, rp0: LogicalPlan,
+      resolver: (String, String) => Boolean,
       leftKey: String, rightKey: String,
       leftTime: String, rightTime: String,
-      tieBreak: Seq[String] = Nil,
-      tolerance: Option[Long] = None): DataFrame = {
-    val lp = left.queryExecution.analyzed
-    val rp0 = right.queryExecution.analyzed
+      tieBreak: Seq[String], tolerance: Option[Long]): AsofJoin = {
     val rp: LogicalPlan =
       if (lp.outputSet.intersect(rp0.outputSet).isEmpty) rp0
       else org.apache.spark.sql.catalyst.plans.logical.Project(
         rp0.output.map(a =>
           org.apache.spark.sql.catalyst.expressions.Alias(a, a.name)()),
         rp0)
-    val resolver = left.sparkSession.sessionState.analyzer.resolver
     def att(p: LogicalPlan, n: String): Attribute = {
       val hits = p.output.filter(a => resolver(a.name, n))
       if (hits.isEmpty) throw new IllegalArgumentException(
@@ -266,10 +266,113 @@ object Asof {
       "as-of key types must match")
     require(att(lp, leftTime).dataType == att(rp, rightTime).dataType,
       "as-of time types must match")
-    val plan = AsofJoin(lp, rp,
+    AsofJoin(lp, rp,
       att(lp, leftKey), att(rp, rightKey),
       att(lp, leftTime), att(rp, rightTime),
       tieBreak.map(att(rp, _)), tolerance)
+  }
+
+  def join(
+      left: DataFrame, right: DataFrame,
+      leftKey: String, rightKey: String,
+      leftTime: String, rightTime: String,
+      tieBreak: Seq[String] = Nil,
+      tolerance: Option[Long] = None): DataFrame = {
+    val plan = resolveNode(
+      left.queryExecution.analyzed, right.queryExecution.analyzed,
+      left.sparkSession.sessionState.analyzer.resolver,
+      leftKey, rightKey, leftTime, rightTime, tieBreak, tolerance)
     org.apache.spark.sql.GraftPlanBridge.ofRows(left.sparkSession, plan)
   }
+}
+
+/** SQL surface of the native as-of join — a table-valued function, so
+  * a pure-SQL user reaches AsofJoinExec without the DataFrame API:
+  *
+  * {{{
+  * SELECT * FROM asof_join('purchases', 'orders',
+  *   'user_id', 'o_custkey', 'ts', 'o_orderdate',
+  *   'o_orderkey')              -- optional comma-sep tie-break cols
+  * }}}
+  *
+  * (8th optional arg: tolerance as a LONG in the time type's integral
+  * unit — µs for timestamps, days for dates.) Table args are view /
+  * table names resolved through the session catalog, exactly like a
+  * FROM-clause reference; the TVF route composes into any enclosing
+  * query and needs no bespoke parser. The builder runs at parse-level
+  * analysis where the catalog isn't in hand, so it emits
+  * [[UnresolvedAsofJoin]] over [[UnresolvedRelation]] children and
+  * [[ResolveAsofJoin]] finishes the job once the analyzer has resolved
+  * them — the standard two-phase shape of analyzer extensions. */
+case class UnresolvedAsofJoin(
+    left: LogicalPlan, right: LogicalPlan,
+    leftKey: String, rightKey: String,
+    leftTime: String, rightTime: String,
+    tieBreak: Seq[String], tolerance: Option[Long])
+    extends BinaryNode {
+  override lazy val resolved: Boolean = false
+  override def output: Seq[Attribute] = Nil
+  override protected def withNewChildrenInternal(
+      newLeft: LogicalPlan, newRight: LogicalPlan): UnresolvedAsofJoin =
+    copy(left = newLeft, right = newRight)
+}
+
+object AsofTableFunction {
+  import org.apache.spark.sql.catalyst.analysis.UnresolvedRelation
+  import org.apache.spark.sql.catalyst.expressions.{ExpressionInfo, Literal}
+  import org.apache.spark.sql.types.{IntegerType, LongType, StringType}
+
+  val name = "asof_join"
+  val info = new ExpressionInfo(classOf[AsofJoin].getName, name)
+
+  private def usage = s"$name(leftTable, rightTable, leftKey, rightKey, " +
+    "leftTime, rightTime [, tieBreakCols [, toleranceLong]]) — " +
+    "string literals; tieBreakCols comma-separated; tolerance a long " +
+    "in the time type's integral unit"
+
+  private def str(e: Expression, what: String): String = e match {
+    case Literal(s: org.apache.spark.unsafe.types.UTF8String, StringType) =>
+      s.toString
+    case other => throw new IllegalArgumentException(
+      s"$name: $what must be a string literal, got $other; $usage")
+  }
+
+  val builder: Seq[Expression] => LogicalPlan = { args =>
+    if (args.size < 6 || args.size > 8)
+      throw new IllegalArgumentException(
+        s"$name expects 6-8 arguments, got ${args.size}; $usage")
+    val tie =
+      if (args.size >= 7)
+        str(args(6), "tieBreakCols").split(",").map(_.trim)
+          .filter(_.nonEmpty).toSeq
+      else Nil
+    val tol =
+      if (args.size == 8) args(7) match {
+        case Literal(v: Long, LongType) => Some(v)
+        case Literal(v: Int, IntegerType) => Some(v.toLong)
+        case other => throw new IllegalArgumentException(
+          s"$name: tolerance must be an integral literal, got $other")
+      } else None
+    UnresolvedAsofJoin(
+      UnresolvedRelation(Seq(str(args(0), "leftTable"))),
+      UnresolvedRelation(Seq(str(args(1), "rightTable"))),
+      str(args(2), "leftKey"), str(args(3), "rightKey"),
+      str(args(4), "leftTime"), str(args(5), "rightTime"),
+      tie, tol)
+  }
+}
+
+/** Analyzer rule completing [[AsofTableFunction]]: once both relation
+  * children are resolved, resolve the column names with the session's
+  * resolver and emit the planner-ready [[AsofJoin]]. Injected via
+  * `injectResolutionRule` (GraftExtensions). */
+object ResolveAsofJoin
+    extends org.apache.spark.sql.catalyst.rules.Rule[LogicalPlan] {
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    plan.resolveOperatorsUp {
+      case u: UnresolvedAsofJoin if u.childrenResolved =>
+        Asof.resolveNode(u.left, u.right, conf.resolver,
+          u.leftKey, u.rightKey, u.leftTime, u.rightTime,
+          u.tieBreak, u.tolerance)
+    }
 }

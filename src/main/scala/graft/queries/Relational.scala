@@ -188,13 +188,32 @@ object Relational {
   val joinThetaRange: Q = Q(
     "q_join_theta_range",
     (s, d) => {
+      // BANDED range join — the generic scale shape for |a-b| < w:
+      // band = floor(price / w); a qualifying pair's bands differ by at
+      // most 1, so exploding ONE side to {band-1, band, band+1} and
+      // equi-joining on (brand, band) finds every pair while the join
+      // key stays fine-grained. Exactly one of the three exploded
+      // values equals the other side's band, so no dedup is needed; the
+      // exact |diff| < w predicate remains as the residual. The naive
+      // form (equi on brand + residual) evaluates |brand block|² pairs —
+      // brand cardinality is FIXED (25), so blocks grow linearly with
+      // the table and the join quadratically: measured 42 s at sf1 vs
+      // 0.8 s at sf0.1. Banded: candidates follow pair density, and the
+      // r6 sf1 point lands ~10× sf0.1 — linear. Oracle unchanged: the
+      // rewrite is pure plan, same result set.
       val p1 = Tables.part(s, d).select(
         col("p_partkey").as("a_key"), col("p_brand").as("a_brand"),
         col("p_retailprice").as("a_price"))
+        .withColumn("band", explode(array(
+          floor(col("a_price")).cast("long") - 1,
+          floor(col("a_price")).cast("long"),
+          floor(col("a_price")).cast("long") + 1)))
       val p2 = Tables.part(s, d).select(
         col("p_partkey").as("b_key"), col("p_brand").as("b_brand"),
         col("p_retailprice").as("b_price"))
-      p1.join(p2, col("a_brand") === col("b_brand")
+        .withColumn("band", floor(col("b_price")).cast("long"))
+      p1.join(p2, p1("band") === p2("band")
+          && col("a_brand") === col("b_brand")
           && col("a_key") < col("b_key")
           && abs(col("a_price") - col("b_price")) < lit(1.0))
         .groupBy(col("a_brand").as("brand"))
@@ -322,6 +341,43 @@ object Relational {
       LEFT JOIN orders o
         ON e.user_id = o.o_custkey AND o.o_orderdate <= e.ts
         AND o.o_orderdate >= e.ts - INTERVAL 8400 DAY)
+    SELECT event_id, user_id, o_orderkey AS asof_orderkey,
+      o_orderdate AS asof_orderdate
+    FROM j WHERE rn = 1 ORDER BY event_id"""))
+
+  /** B10 SQL form: the native as-of join reached from PURE SQL via the
+    * `asof_join` table-valued function (graft.plans.AsofTableFunction +
+    * ResolveAsofJoin, injected by GraftExtensions) — r5's gap was that
+    * only DataFrame users could reach AsofJoinExec while SQL text
+    * planned the window shape. Same semantics, same oracle as
+    * q_join_asof: DuckDB hash-checks the SQL-path operator bit-for-bit,
+    * and PlanSpec asserts the TVF plans AsofJoinExec with no window. */
+  val joinAsofSql: Q = Q(
+    "q_join_asof_sql",
+    (s, d) => {
+      Tables.events(s, d)
+        .filter(col("event_type") === lit("purchase"))
+        .select(col("event_id"), col("user_id"), col("ts"))
+        .createOrReplaceTempView("asof_sql_events")
+      Tables.orders(s, d)
+        .select(col("o_custkey"), col("o_orderkey"),
+          col("o_orderdate").cast("timestamp").as("o_orderdate"))
+        .createOrReplaceTempView("asof_sql_orders")
+      s.sql("""
+        SELECT event_id, user_id, o_orderkey AS asof_orderkey,
+               o_orderdate AS asof_orderdate
+        FROM asof_join('asof_sql_events', 'asof_sql_orders',
+          'user_id', 'o_custkey', 'ts', 'o_orderdate', 'o_orderkey')
+        ORDER BY event_id""")
+    },
+    Some("""WITH j AS (
+      SELECT e.event_id, e.user_id, o.o_orderkey, o.o_orderdate,
+        ROW_NUMBER() OVER (PARTITION BY e.event_id
+          ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) AS rn
+      FROM (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+            FROM events WHERE event_type = 'purchase') e
+      LEFT JOIN orders o
+        ON e.user_id = o.o_custkey AND o.o_orderdate <= e.ts)
     SELECT event_id, user_id, o_orderkey AS asof_orderkey,
       o_orderdate AS asof_orderdate
     FROM j WHERE rn = 1 ORDER BY event_id"""))
@@ -554,7 +610,7 @@ object Relational {
   val all: Seq[Q] = Seq(
     scanProjectFilter, joinInnerEqui, joinBroadcast, joinLeftOuter,
     joinRightOuter, joinFullOuter, joinSemi, joinAnti, joinThetaRange,
-    joinAsof, joinAsofNative, joinAsofTolerance,
+    joinAsof, joinAsofNative, joinAsofTolerance, joinAsofSql,
     joinInterval, joinNonEqui, joinSkewSalt, sortLimit, unionAll,
     unionDistinct, intersectQ, exceptQ, dateSpine, joinNullSafe)
 }

@@ -390,13 +390,15 @@ class SnapshotSpec extends SparkSpec {
     val rt = Snapshot.publishAtomic(spark, Tables.nation(spark, sf), dest)
     assert(rt.verified && rt.originalRows == 25)
     assert(spark.read.parquet(dest).count() == 25)
-    // staging gone after success
-    assert(!new java.io.File(dest + ".__staging__").exists())
+    // staging gone after success (unique-suffixed names: glob check)
+    def stagingDirs() = new java.io.File(root).listFiles()
+      .filter(_.getName.contains("__staging__"))
+    assert(stagingDirs().isEmpty)
     // the staging name must be invisible to retention even mid-publish
     assert(!Snapshot.expireGenerations(spark, root, keep = 1)
       .exists(_.contains("__staging__")))
     // generations are immutable: re-publish fails, dest untouched
-    intercept[IllegalArgumentException] {
+    intercept[Snapshot.SnapshotExistsException] {
       Snapshot.publishAtomic(spark, Tables.region(spark, sf), dest)
     }
     assert(spark.read.parquet(dest).count() == 25)
@@ -407,8 +409,56 @@ class SnapshotSpec extends SparkSpec {
         Tables.nation(spark, sf).where(col("n_nationkey") < 0), dest2)
     }
     assert(!new java.io.File(dest2).exists())
-    assert(!new java.io.File(dest2 + ".__staging__").exists())
+    assert(stagingDirs().isEmpty)
     Snapshot.delete(spark, root)
+  }
+
+  test("atomic publish: two racing publishers — one wins, loser fails loudly") {
+    val root = java.nio.file.Files.createTempDirectory("graft_race_").toString
+    val dest = s"$root/db_2024_07_01_000000"
+    // Two concurrent publishers, same generation, different content
+    // (25-row nation vs 5-row region) so the winner is identifiable.
+    // Unique staging names mean they cannot collide pre-commit; the
+    // create-if-absent commit rename admits exactly one.
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val attempts = Seq(
+      Future(scala.util.Try {
+        Snapshot.publishAtomic(spark, Tables.nation(spark, sf), dest); 25L
+      }),
+      Future(scala.util.Try {
+        Snapshot.publishAtomic(spark, Tables.region(spark, sf), dest); 5L
+      }))
+    val outcomes = Await.result(Future.sequence(attempts), 5.minutes)
+    val wins = outcomes.collect { case scala.util.Success(n) => n }
+    val losses = outcomes.collect { case scala.util.Failure(e) => e }
+    assert(wins.size == 1, s"exactly one publisher must win, got $outcomes")
+    assert(losses.forall(_.isInstanceOf[Snapshot.SnapshotExistsException]),
+      s"loser must fail with SnapshotExistsException, got $losses")
+    // winner's generation is intact and matches the winner's content
+    assert(spark.read.parquet(dest).count() == wins.head)
+    // both stagings cleaned on every exit path
+    assert(new java.io.File(root).listFiles()
+      .filter(_.getName.contains("__staging__")).isEmpty)
+    Snapshot.delete(spark, root)
+  }
+
+  test("events.ts µs truncation: fixture post-epoch; div-vs-floor divergence pinned") {
+    import org.apache.spark.sql.functions.{col, min}
+    // Tables.events truncates nanos→µs with `ts div 1000` (toward
+    // zero); DuckDB's nanos→µs cast floors. They agree iff ts >= 0, so
+    // the oracle coupling silently depends on the fixture staying
+    // post-epoch — assert that here so a future fixture with pre-1970
+    // rows fails THIS test instead of becoming an oracle mystery.
+    val minRaw = spark.read.parquet(s"$sf/events.parquet")
+      .select(min(col("ts"))).head.getLong(0)
+    assert(minRaw > 0L,
+      "fixture gained pre-epoch events: div-1000 (toward zero) and " +
+        "DuckDB's floor cast diverge for negative nanos — switch " +
+        "Tables.events to floorDiv AND re-verify the oracle")
+    // the divergence itself, pinned as documentation:
+    assert(-1500L / 1000L == -1L && Math.floorDiv(-1500L, 1000L) == -2L)
   }
 
   test("log lines carry the UTC ISO prefix and coded failures rethrow") {

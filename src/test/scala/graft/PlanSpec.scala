@@ -59,6 +59,16 @@ class PlanSpec extends SparkSpec {
     assert(tol(5).getLong(0) == 7L, "tolerance bound is inclusive")
   }
 
+  test("SQL-path asof_join TVF plans AsofJoinExec, matches the native form") {
+    val plan = executed("q_join_asof_sql")
+    assert(plan.contains("AsofJoin"), plan.take(800))
+    assert(!plan.contains("Window"),
+      "the TVF route must reach the native exec, not the window shape")
+    val sqlForm = q("q_join_asof_sql").collect().toSeq
+    val native = q("q_join_asof_native").collect().toSeq
+    assert(sqlForm == native)
+  }
+
   test("as-of self-join dedups attribute ids; resolver honors case; string keys") {
     import spark.implicits._
     // String keys also exercise the UTF8String snapshot path: bestKey

@@ -44,8 +44,23 @@ def norm(v):
 
 def main(sf_dir, out_dir):
     con = duckdb.connect()
+    import os as _os
     for t in TABLES:
-        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+        # driver fixtures are single files; GenData fixtures are
+        # directories of parts — glob those for DuckDB
+        p = f"{sf_dir}/{t}.parquet"
+        gen = _os.path.isdir(p)
+        if gen:
+            p = f"{p}/*.parquet"
+        if gen and t == "events":
+            # GenData stores ts as raw epoch-nanos LONG (Spark cannot
+            # write TIMESTAMP(NANOS)); surface it as the µs timestamp
+            # the oracle SQL expects — `ts // 1000` is the same
+            # truncation Tables.events applies engine-side.
+            con.sql(f"CREATE VIEW {t} AS SELECT * REPLACE "
+                    f"(make_timestamp(ts // 1000) AS ts) FROM '{p}'")
+        else:
+            con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
     with open(f"{out_dir}/oracle_sql.json") as f:
         oracle = json.load(f)
     import os
