@@ -497,8 +497,52 @@ object TextOps {
       CAST(len(nfc_normalize(s)) AS BIGINT) AS nfc_len
     FROM sr ORDER BY doc_id"""))
 
+  /** EXT: unigram-LM quality score (perplexity proxy) — the
+    * CCNet/Gopher-style signal: score each document by the mean
+    * negative log-probability of its tokens under the corpus's OWN
+    * unigram distribution. Boilerplate (all high-probability tokens)
+    * scores low, rare-token noise scores high; both tails are filter
+    * candidates. One explode pass feeds both the vocabulary counts and
+    * the per-doc re-join; the vocabulary is broadcast — it grows
+    * sublinearly in the corpus (Heaps' law), so at 100 TB it is an
+    * O(vocab) model shipped to executors while the corpus side streams
+    * (same posture as decontamination's broadcast eval-grams). Mean is
+    * decimal-domain (Det.davg) so the per-doc sum of ln() doubles is
+    * order-independent; ln itself is per-row on identical doubles in
+    * both engines (the proven q_text_tfidf pattern). */
+  val textUnigramLogprob: Q = Q(
+    "q_text_unigram_logprob",
+    (s, d) => {
+      val tok = Tables.documents(s, d)
+        .select(col("doc_id"), explode(tokens).as("token"))
+        .where(col("token") =!= "")
+      val cnt = tok.groupBy(col("token")).agg(count(lit(1)).as("cnt"))
+      val tot = tok.agg(count(lit(1)).as("tot"))
+      tok.join(broadcast(cnt), "token")
+        .crossJoin(broadcast(tot))
+        .groupBy(col("doc_id"))
+        .agg(
+          count(lit(1)).as("n_tokens"),
+          round(Det.davg(
+            -log(col("cnt").cast("double") / col("tot").cast("double")), 6),
+            6).as("avg_neg_logprob"))
+        .orderBy("doc_id")
+    },
+    Some(s"""WITH tok AS (
+      SELECT doc_id, unnest($sqlTokens) AS token FROM documents),
+    tok2 AS (SELECT * FROM tok WHERE token != ''),
+    cnt AS (SELECT token, count(*) AS cnt FROM tok2 GROUP BY token),
+    tot AS (SELECT count(*) AS tot FROM tok2)
+    SELECT doc_id, count(*) AS n_tokens,
+      round(${Det.sqlAvg(
+        "-ln(CAST(cnt AS DOUBLE) / CAST(tot AS DOUBLE))", 6)}, 6)
+        AS avg_neg_logprob
+    FROM tok2 JOIN cnt USING (token) CROSS JOIN tot
+    GROUP BY doc_id ORDER BY doc_id"""))
+
   val all: Seq[Q] = Seq(
     dedupExact, textTokens, textStats, textTfidf, textLangid, textQuality,
     textFingerprint, textTokencount, textNgramFreq, textRedact,
-    textNormalize, textRepetition, textSourceOverlap, textCmsTopk)
+    textNormalize, textRepetition, textSourceOverlap, textCmsTopk,
+    textUnigramLogprob)
 }
