@@ -476,7 +476,58 @@ object DedupOps {
     WHERE CAST(n_common AS DOUBLE) / least(na, nb) >= 0.2
     ORDER BY source, a_id, b_id"""))
 
+  /** EXT: URL-canonicalization dedup — the crawl-frontier staple: the
+    * same page arrives as `HTTPS://Host:443/path/?utm_source=…` and
+    * `https://host/path?lang=…`, and a byte-equality dedup misses every
+    * variant. Raw URLs are constructed deterministically from document
+    * metadata with the classic variant axes (host case, explicit
+    * default port, tracking params, trailing slash, param order), then
+    * canonicalized with REAL parsing — `parse_url` HOST/PATH/QUERY,
+    * lower-cased host (ports are dropped by HOST extraction),
+    * tracking-param filter (`utm_*`, `ref=`), alphabetical param
+    * re-order, trailing-slash strip — and grouped. The oracle
+    * reconstructs the canonical form directly from the same metadata
+    * (the q_fn_url pattern: parser checked against an independent
+    * formulation, not itself). Narrow per-row pass + ONE shuffle on the
+    * canonical key: at 100 TB this is exact-dedup cost, no pair space. */
+  val dedupUrl: Q = Q(
+    "q_dedup_url",
+    (s, d) => {
+      val k = col("doc_id")
+      val host = when(k % 2 === 0,
+        concat(upper(col("source")), lit(".Example.COM")))
+        .otherwise(concat(col("source"), lit(".example.com")))
+      val port = when(k % 5 === 0, ":443").otherwise("")
+      val path = concat(lit("/docs/"), (k % 997).cast("string"),
+        when(k % 7 === 0, "/").otherwise(""))
+      val qs = when(k % 3 === 0,
+        concat(lit("utm_source=feed&lang="), col("lang")))
+        .when(k % 3 === 1, concat(lit("lang="), col("lang")))
+        .otherwise(concat(lit("lang="), col("lang"), lit("&ref=rss")))
+      val url = concat(lit("https://"), host, port, path, lit("?"), qs)
+      val keptParams = array_sort(filter(
+        split(coalesce(parse_url(col("url"), lit("QUERY")), lit("")), "&"),
+        p => !p.startsWith("utm_") && !p.startsWith("ref=") && p =!= ""))
+      val canon = concat(
+        lit("https://"), lower(parse_url(col("url"), lit("HOST"))),
+        regexp_replace(parse_url(col("url"), lit("PATH")), "/+$", ""),
+        when(size(keptParams) > 0,
+          concat(lit("?"), array_join(keptParams, "&"))).otherwise(""))
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"), col("source"), url.as("url"))
+        .withColumn("canonical_url", canon)
+        .groupBy(col("canonical_url"))
+        .agg(min(col("doc_id")).as("keep_id"),
+          count(lit(1)).as("n_variants"))
+        .orderBy("canonical_url")
+    },
+    Some("""SELECT 'https://' || source || '.example.com/docs/' ||
+        (doc_id % 997) || '?lang=' || lang AS canonical_url,
+      min(doc_id) AS keep_id, count(*) AS n_variants
+    FROM documents
+    GROUP BY 1 ORDER BY canonical_url"""))
+
   val all: Seq[Q] = Seq(
     dedupMinhashSig, dedupMinhashPairs, dedupSimhash, dedupNgramJaccard,
-    simLshTopk, dedupFuzzyName, dedupContainment)
+    simLshTopk, dedupFuzzyName, dedupContainment, dedupUrl)
 }

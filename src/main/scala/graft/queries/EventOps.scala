@@ -370,6 +370,63 @@ object EventOps {
       CAST(n AS DOUBLE) / sum(n) OVER (PARTITION BY from_type) AS share
     FROM c ORDER BY from_type, to_type"""))
 
+  /** EXT: per-user z-score anomaly counts — monitoring's workhorse
+    * (which users' purchase amounts have outliers vs their own
+    * history?). Two-pass: exact decimal moments per user (value has 2
+    * true decimals so Σv is exact at scale 2 and Σv² at scale 4 —
+    * order-independent in both engines, the Det discipline), then the
+    * events re-join their user's (n, Σv, Σv²) and |v − mean| > 2σ is a
+    * per-row IEEE expression on identical doubles. Both shuffles key on
+    * user_id, so the join is co-partitioned with the aggregation — one
+    * exchange each side, no window over the table. Sample variance;
+    * users with < 5 purchases are excluded (z-scores on tiny n are
+    * noise). */
+  val eventAnomaly: Q = Q(
+    "q_event_anomaly",
+    (s, d) => {
+      val ev = Tables.events(s, d)
+        .where(col("event_type") === "purchase")
+        .select(col("user_id"), col("value"))
+      val st = ev.groupBy(col("user_id")).agg(
+        count(lit(1)).as("n"),
+        Det.dsum(col("value"), 2).as("s1"),
+        Det.dsum(col("value") * col("value"), 4).as("s2"))
+        .where(col("n") >= 5)
+      val mean = col("s1") / col("n")
+      val varS = (col("s2") - col("s1") * col("s1") / col("n")) /
+        (col("n") - 1)
+      ev.join(st, "user_id")
+        .select(col("user_id"), col("n"), col("value"),
+          mean.as("mean"), varS.as("var_s"))
+        .groupBy(col("user_id"))
+        .agg(
+          first(col("n")).as("n_purchases"),
+          count(when(col("var_s") > 0 &&
+            abs(col("value") - col("mean")) / sqrt(col("var_s")) > 2.0,
+            1)).as("n_outliers"),
+          // NOT rounded: s1/n is the same IEEE double in both engines
+          // (exact decimal sum / integer count), but rounding it can
+          // land on an exact .xxxx5 (s1=563.81, n=8 → 70.47625) where
+          // Spark's HALF_UP and DuckDB's double-round disagree — the
+          // raw double is the deterministic form.
+          first(col("mean")).as("mean_value"))
+        .orderBy("user_id")
+    },
+    Some(s"""WITH ev AS (
+      SELECT user_id, value FROM events WHERE event_type = 'purchase'),
+    st AS (
+      SELECT user_id, count(*) AS n,
+        ${Det.sqlSum("value", 2)} AS s1,
+        ${Det.sqlSum("value*value", 4)} AS s2
+      FROM ev GROUP BY user_id HAVING count(*) >= 5)
+    SELECT e.user_id, any_value(n) AS n_purchases,
+      count(*) FILTER (WHERE (s2 - s1*s1/n)/(n-1) > 0 AND
+        abs(value - s1/n) / sqrt((s2 - s1*s1/n)/(n-1)) > 2.0)
+        AS n_outliers,
+      any_value(s1/n) AS mean_value
+    FROM ev e JOIN st USING (user_id)
+    GROUP BY e.user_id ORDER BY user_id"""))
+
   val all: Seq[Q] = Seq(eventFunnel, eventRetention, eventScd2,
-    eventTransitions, eventOhlc, eventFfill, eventSessions)
+    eventTransitions, eventOhlc, eventFfill, eventSessions, eventAnomaly)
 }
