@@ -498,9 +498,46 @@ object Aggregates {
       FROM documents)
     WHERE rn <= 3 ORDER BY lang, source, rn"""))
 
+  /** EXT: deterministic train/val/test split — the assignment every
+    * training pipeline makes exactly once and must never change across
+    * reruns, engines, or partitionings. Bucket = multiplicative hash of
+    * the stable doc key (Knuth constant, high bits via div 2^16) mod
+    * 100 → 90/5/5; pure integer arithmetic, identical in Spark and
+    * DuckDB, no RNG state anywhere. Per-split counts + token totals
+    * verify the assignment; the same bucket expression tags rows for an
+    * actual split write (partitionBy("split")). At 100 TB this is a
+    * narrow per-row expression + one 3-group aggregate — no shuffle of
+    * the corpus, no sampling state to coordinate. */
+  val sampleSplit: Q = Q(
+    "q_sample_split",
+    (s, d) => {
+      val bucket = pmod(expr("(doc_id * 2654435761L) div 65536L"),
+        lit(100L))
+      val split = when(bucket < 90, "train")
+        .when(bucket < 95, "val").otherwise("test")
+      Tables.documents(s, d)
+        .withColumn("split", split)
+        .groupBy(col("split"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(size(split_part_tokens).cast("long")).as("n_tokens"),
+          countDistinct(col("lang")).as("n_langs"))
+        .orderBy("split")
+    },
+    Some("""SELECT
+      CASE WHEN ((doc_id * 2654435761) // 65536) % 100 < 90 THEN 'train'
+           WHEN ((doc_id * 2654435761) // 65536) % 100 < 95 THEN 'val'
+           ELSE 'test' END AS split,
+      count(*) AS n_docs,
+      CAST(sum(len(string_split(lower(text), ' '))) AS BIGINT) AS n_tokens,
+      count(DISTINCT lang) AS n_langs
+    FROM documents GROUP BY 1 ORDER BY split"""))
+
+  private def split_part_tokens = split(lower(col("text")), " ")
+
   val all: Seq[Q] = Seq(
     aggHashGroup, aggDistinct, aggApproxDistinct, aggHllSketch, aggRollup,
     aggCube, aggPartialFinal, aggStats, aggPivot, aggSample, aggCollect,
     aggUnpivot, sampleWeighted, aggPercentile, aggCorr, aggHistogram,
-    aggMode, samplePerGroup)
+    aggMode, samplePerGroup, sampleSplit)
 }

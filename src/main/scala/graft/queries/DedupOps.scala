@@ -348,7 +348,16 @@ object DedupOps {
           .select(col(s"${prefix}_id"), col(s"${prefix}_v"),
             col("band.band_idx").as("band_idx"),
             col("band.band_val").as("band_val"))
-      val probes = banded(e.filter(col("vec_id") % 100 === 0), "probe")
+      // BOUNDED probe set — a top-k serving benchmark's probe count is
+      // a property of the workload, not the corpus. The r5 form
+      // (`vec_id % 100 == 0` alone) was a FRACTION of the corpus, so
+      // probes × bucket-size grew quadratically with the data (r6
+      // sf1→sf5 measured 16× for 5×); the id ceiling caps it at ≤200
+      // probes at any scale, making the query linear in the corpus
+      // (each probe touches its 4 buckets, buckets ∝ n/16).
+      val probes = banded(
+        e.filter(col("vec_id") % 100 === 0 && col("vec_id") < 20000),
+        "probe")
       val corpus = banded(e, "cand")
       val w = Window.partitionBy(col("probe_id"))
         .orderBy(col("cos").desc, col("cand_id").asc)
@@ -386,7 +395,7 @@ object DedupOps {
         ${Vectors.sqlCosine("p.embedding", "c.embedding")} AS cos
       FROM sig p JOIN sig c
         ON c.vec_id != p.vec_id AND ($collide)
-      WHERE p.vec_id % 100 = 0),
+      WHERE p.vec_id % 100 = 0 AND p.vec_id < 20000),
     ranked AS (
       SELECT probe_id, cand_id, cos,
         CAST(row_number() OVER (PARTITION BY probe_id

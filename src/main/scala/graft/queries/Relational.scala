@@ -494,10 +494,22 @@ object Relational {
   val joinNonEqui: Q = Q(
     "q_join_nonequi_bnl",
     (s, d) => {
-      val p1 = Tables.part(s, d).filter(col("p_size") === 1)
+      // This query deliberately demonstrates the no-equi-key join
+      // (BroadcastNestedLoopJoin) — which is O(|left|·|right|) by
+      // nature, so its INPUTS must be bounded in absolute terms, not
+      // proportional ones (cliff 7 rule, SCALE.md): `p_size == 1` alone
+      // is 2% of a growing table and went quadratic at the r6 sf5 run
+      // (16 s). The id ceiling (= the whole table at the driver
+      // fixtures, so oracle output is unchanged) pins the demo's cost
+      // at any scale; a real no-key join over two growing tables has no
+      // sub-quadratic plan and belongs behind a banded rewrite instead
+      // (see q_join_theta_range).
+      val p1 = Tables.part(s, d)
+        .filter(col("p_size") === 1 && col("p_partkey") < 20000)
         .select(col("p_partkey").as("a_key"), col("p_brand").as("a_brand"),
           col("p_retailprice").as("a_price"))
-      val p2 = Tables.part(s, d).filter(col("p_size") === 1)
+      val p2 = Tables.part(s, d)
+        .filter(col("p_size") === 1 && col("p_partkey") < 20000)
         .select(col("p_partkey").as("b_key"), col("p_brand").as("b_brand"),
           col("p_retailprice").as("b_price"))
       p1.join(p2, col("a_key") < col("b_key")
@@ -513,6 +525,7 @@ object Relational {
       ON p1.p_partkey < p2.p_partkey AND p1.p_brand != p2.p_brand
       AND abs(p1.p_retailprice - p2.p_retailprice) < 5.0
     WHERE p1.p_size = 1 AND p2.p_size = 1
+      AND p1.p_partkey < 20000 AND p2.p_partkey < 20000
     ORDER BY a_key, b_key"""))
 
   /** Generator/range source: a day spine over Q1-2001 left-joined to
