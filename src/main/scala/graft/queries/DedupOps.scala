@@ -148,21 +148,26 @@ object DedupOps {
     * explode+equi-join computes |A∩B| without ever building the cross
     * product of documents. */
   /** Docs per source block above which the ngram dedup abandons the
-    * |block|² pairwise shape for the gram-exploded candidate join
-    * (SCALE.md cliff #2). Fixture blocks (25–250 docs) stay pairwise. */
+    * |block|² pairwise shape for the prefix-filtered candidate join
+    * (SCALE.md cliff #2). Fixture blocks (25–250 docs) stay pairwise.
+    * Both shapes are EXACT, so this cap picks a physical plan, never
+    * the answer — unlike the r5 df-capped path, whose pruning lost
+    * pairs at sf1 (measured: 82k of 1.1M qualifying pairs survived). */
   private val NgramBlockCap = 512
 
-  /** Within-block document frequency above which a gram is too
-    * ubiquitous to generate candidates in the exploded path (its join
-    * fan-out is df² while certifying almost no Jaccard mass). Exact
-    * n_common is always recomputed from the full arrays, so pruning can
-    * only lose pairs whose EVERY shared gram is ubiquitous. */
-  private val NgramDfCap = 64
+  /** Near-dup Jaccard threshold — the published LLM-corpus standard
+    * (0.8 n-gram Jaccard: Rae et al. 2021 "Gopher" appendix A.1.2;
+    * SlimPajama; Lee et al. 2022). The r5 value (0.05) made the query
+    * a pair DUMP, not a dedup: output grew ~quadratically with the
+    * corpus (1.1M pairs at sf1) and no exact candidate generator can
+    * beat output size. At 0.8 the output is ∝ true near-dups (linear
+    * in the corpus) and the prefix filter prunes hard. */
+  private[graft] val NgramJaccardT = 0.8
 
-  /** Residual docs per block that get the full |block| pairing in the
-    * residual-recovery path; overflow docs star-pair against the block
-    * representative only (see the residual-path comment in ngramPairs). */
-  private val NgramResidCap = 64
+  /** Containment threshold (Broder's "roughly contained": |A∩B|/min —
+    * the quote-detection direction jaccard dilutes). 0.8 for the same
+    * output-linearity reason as [[NgramJaccardT]]. */
+  private[graft] val NgramContainT = 0.8
 
   /** (doc_id, source, bg): each doc's distinct token bigrams, 64-bit
     * hashed and sorted (the merge-count input shape), via the native
@@ -177,7 +182,8 @@ object DedupOps {
   /** Exact score + threshold over candidate pairs carrying both gram
     * arrays: native merge-count over the sorted hashed grams — no
     * per-pair hash set (functions.SortedIntersectCount). */
-  private def ngramScore(s: SparkSession, pairs: DataFrame): DataFrame =
+  private def ngramScore(
+      s: SparkSession, pairs: DataFrame, t: Double): DataFrame =
     pairs
       .select(col("source"), col("a_id"), col("b_id"),
         graft.functions.SortedIntersectCount(s, col("a_bg"), col("b_bg"))
@@ -186,26 +192,46 @@ object DedupOps {
         size(col("b_bg")).cast("long").as("nb"))
       .withColumn("jaccard", col("n_common").cast("double")
         / (col("na") + col("nb") - col("n_common")))
-      .where(col("jaccard") >= 0.05)
+      .where(col("jaccard") >= t)
       .select("source", "a_id", "b_id", "n_common", "jaccard")
 
   /** Both candidate-generation shapes, split per source block by
-    * `blockCap` (SCALE.md cliff #2):
+    * `blockCap` (SCALE.md cliff #2) — BOTH EXACT for any score with
+    * `n_common >= t·min(na, nb)` (containment by definition; jaccard
+    * because J ≥ t forces min ≥ t·max, hence n_common ≥ t·max):
     *
     *  - bounded blocks: |block|² pairwise join — beats the exploded
     *    join at fixture block sizes (stopword-heavy grams make the
     *    per-gram join output quadratic) — measured 2× faster at sf0.1;
-    *  - oversized blocks: gram-exploded equi join generates candidates
-    *    only from grams shared by ≥2 and ≤`dfCap` docs in the block,
-    *    then rejoins the full arrays for the exact merge-count — pair
-    *    cost follows gram co-occurrence instead of |block|².
+    *  - oversized blocks: PREFIX-FILTERED candidate join (Bayardo,
+    *    Ma & Srikant 2007, "Scaling Up All Pairs Similarity Search").
+    *    Rank each doc's df>1 grams rarest-first (within-source df,
+    *    gram hash as tiebreak). A qualifying pair must share a gram
+    *    among each side's first `n_shared − ceil(t·n) + 1` ranked
+    *    grams: if it didn't, every shared gram would sit in the
+    *    ceil(t·n)−1 ranked tail, so n_common ≤ ceil(t·n)−1 < t·n ≤
+    *    n_common — contradiction. (Ranking only df>1 grams is sound:
+    *    df=1 grams are shared with nobody, so dropping them from the
+    *    ranking only moves shared grams EARLIER; a doc whose prefix
+    *    length comes out ≤ 0 cannot be the smaller side of any
+    *    qualifying pair.) Joining prefix grams against full postings
+    *    therefore yields an exact candidate superset; the exact
+    *    merge-count re-score keeps only true pairs.
+    *
+    * This replaces r5's df-capped generator whose documented
+    * approximation (pairs whose every shared gram is ubiquitous)
+    * silently lost 93% of qualifying pairs at sf1. Candidate cost now
+    * follows RARE-gram co-occurrence: a gram with df d and p prefix
+    * holders fans out p·d, and ubiquitous grams have p ≈ 0 because
+    * they rank last. Worst case (a block of identical docs) is
+    * output-sized — inherent to exact pair ENUMERATION; cluster-level
+    * dedup at 100 TB belongs to minhash/components, not this query.
     *
     * Hashing shrinks the arrays the joins carry; a cross-gram collision
     * within one pair (~1e-13) is the accepted error. */
   private[graft] def ngramRawPairs(
       s: SparkSession, grams: DataFrame,
-      blockCap: Int, dfCap: Int,
-      residCap: Int = NgramResidCap): DataFrame = {
+      blockCap: Int, t: Double): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val sized = grams.withColumn("block_n",
       count(lit(1)).over(Window.partitionBy(col("source"))))
@@ -219,65 +245,25 @@ object DedupOps {
       .where(col("a_id") < col("b_id"))
 
     val g = big.select(col("source"), col("doc_id"),
-      explode(col("bg")).as("g"))
+      size(col("bg")).as("n"), explode(col("bg")).as("g"))
     val gramDf = g.groupBy(col("source"), col("g"))
       .agg(count(lit(1)).as("df"))
-    val usable = gramDf.where(col("df") > 1 && col("df") <= dfCap)
-      .select("source", "g")
-    val gp = g.join(usable, Seq("source", "g"))
-    val cand = gp.select(col("source"), col("g"), col("doc_id").as("a_id"))
-      .join(gp.select(col("source"), col("g"), col("doc_id").as("b_id")),
-        Seq("source", "g"))
-      .where(col("a_id") < col("b_id"))
-      .select("source", "a_id", "b_id").distinct()
-    val exploded = cand
-      .join(big.select(col("source"), col("doc_id").as("a_id"),
-        col("bg").as("a_bg")), Seq("source", "a_id"))
-      .join(big.select(col("source"), col("doc_id").as("b_id"),
-        col("bg").as("b_bg")), Seq("source", "b_id"))
-
-    // Residual path: a doc whose EVERY gram is either unique (df=1) or
-    // block-ubiquitous (df>dfCap) generates no candidates above, yet its
-    // true pairs exist — e.g. a boilerplate-only doc duplicated across a
-    // big block. Any gram such a doc shares with anyone is pruned, so
-    // its pairs can NEVER come from the candidate join (the two paths
-    // are disjoint — no double counting). Recover them by pairing each
-    // such doc against its whole block and re-scoring. In the worst case
-    // (a block that is MOSTLY boilerplate-only docs) |residual| →
-    // |block| and this degrades to the |block|² fan-out the dfCap
-    // pruning exists to avoid, so the residual set is capped per block:
-    // the first `residCap` docs (by doc_id — deterministic) get the full
-    // block pairing; every overflow doc star-pairs against the block's
-    // min doc_id only, keeping its link into the duplicate component
-    // (the BucketCap pattern from dedupMinhashPairs) at linear cost.
-    // Total residual cost: residCap·|block| + |overflow|.
-    // The remaining (documented) approximation: two docs that BOTH have
-    // usable grams but whose every SHARED gram is ubiquitous still slip
-    // through — recovering those is the df² fan-out this path exists to
-    // avoid.
-    // (df=1 grams are shared with nobody, so an all-unique-gram doc has
-    // no pairs at all and is correctly excluded from the residual.)
-    val usableDocs = gp.select(col("source"), col("doc_id")).distinct()
-    val resid = g
-      .join(gramDf.where(col("df") > dfCap).select("source", "g"),
-        Seq("source", "g"))
-      .select(col("source"), col("doc_id")).distinct()
-      .join(usableDocs, Seq("source", "doc_id"), "left_anti")
+    val shared = g.join(gramDf.where(col("df") > 1), Seq("source", "g"))
+    val perDoc = Window.partitionBy(col("source"), col("doc_id"))
+    val ranked = shared
       .withColumn("rn", row_number()
-        .over(Window.partitionBy(col("source")).orderBy(col("doc_id"))))
-    val blockRep = big.groupBy(col("source"))
-      .agg(min(col("doc_id")).as("o_id"))
-    val residPairs = resid.where(col("rn") <= residCap)
-      .select(col("source"), col("doc_id").as("r_id"))
-      .join(big.select(col("source"), col("doc_id").as("o_id")),
-        Seq("source"))
-      .unionByName(resid.where(col("rn") > residCap)
-        .select(col("source"), col("doc_id").as("r_id"))
-        .join(blockRep, Seq("source")))
-      .where(col("r_id") =!= col("o_id"))
-      .select(col("source"), least(col("r_id"), col("o_id")).as("a_id"),
-        greatest(col("r_id"), col("o_id")).as("b_id"))
-      .distinct() // a residual-residual pair arrives once per side
+        .over(perDoc.orderBy(col("df"), col("g"))))
+      .withColumn("n_shared", count(lit(1)).over(perDoc))
+    val prefix = ranked.where(col("rn") <=
+      col("n_shared") - ceil(lit(t) * col("n")) + lit(1))
+    val cand = prefix.select(col("source"), col("g"), col("doc_id").as("p_id"))
+      .join(shared.select(col("source"), col("g"), col("doc_id").as("o_id")),
+        Seq("source", "g"))
+      .where(col("p_id") =!= col("o_id"))
+      .select(col("source"), least(col("p_id"), col("o_id")).as("a_id"),
+        greatest(col("p_id"), col("o_id")).as("b_id"))
+      .distinct()
+    val exploded = cand
       .join(big.select(col("source"), col("doc_id").as("a_id"),
         col("bg").as("a_bg")), Seq("source", "a_id"))
       .join(big.select(col("source"), col("doc_id").as("b_id"),
@@ -285,19 +271,17 @@ object DedupOps {
 
     pairwise.select("source", "a_id", "b_id", "a_bg", "b_bg")
       .unionByName(exploded.select("source", "a_id", "b_id", "a_bg", "b_bg"))
-      .unionByName(residPairs.select("source", "a_id", "b_id", "a_bg", "b_bg"))
   }
 
   private[graft] def ngramPairs(
       s: SparkSession, grams: DataFrame,
-      blockCap: Int, dfCap: Int,
-      residCap: Int = NgramResidCap): DataFrame =
-    ngramScore(s, ngramRawPairs(s, grams, blockCap, dfCap, residCap))
+      blockCap: Int, t: Double = NgramJaccardT): DataFrame =
+    ngramScore(s, ngramRawPairs(s, grams, blockCap, t), t)
 
   val dedupNgramJaccard: Q = Q(
     "q_dedup_ngram_jaccard",
     (s, d) =>
-      ngramPairs(s, ngramGrams(s, d), NgramBlockCap, NgramDfCap)
+      ngramPairs(s, ngramGrams(s, d), NgramBlockCap, NgramJaccardT)
         .orderBy("source", "a_id", "b_id"),
     Some("""WITH d AS (
       SELECT doc_id, source,
@@ -318,7 +302,7 @@ object DedupOps {
     SELECT source, a_id, b_id, n_common,
       CAST(n_common AS DOUBLE) / (na + nb - n_common) AS jaccard
     FROM pairs
-    WHERE CAST(n_common AS DOUBLE) / (na + nb - n_common) >= 0.05
+    WHERE CAST(n_common AS DOUBLE) / (na + nb - n_common) >= 0.8
     ORDER BY source, a_id, b_id"""))
 
   /** Mandated EXT: LSH-bucketed approximate nearest neighbors — random
@@ -441,18 +425,18 @@ object DedupOps {
     * Jaccard) — |A∩B| / min(|A|,|B|): a short document quoted whole
     * inside a much larger one scores near 1.0 here while its Jaccard
     * is tiny (≈ |A|/|B|), so a Jaccard-only dedup ships the training
-    * set both the quote and the container. Same blocked/df-capped
+    * set both the quote and the container. Same blocked/prefix-filtered
     * candidate machinery as q_dedup_ngram_jaccard (ngramRawPairs) with
-    * the containment scorer — the candidate-generation approximations
-    * documented there apply equally. The full-enumeration DuckDB
-    * oracle matches the capped engine only while no qualifying pair
-    * relies on pruned grams; DedupSpec ("containment fixture
-    * property") asserts exactly that on the fixture, so a fixture
-    * change breaks the spec loudly rather than the oracle hash. */
+    * the containment scorer; the prefix bound holds directly here
+    * (n_common ≥ t·min by definition, so the SMALLER side must carry a
+    * shared gram in its prefix — ngramRawPairs joins prefix×full both
+    * ways, covering whichever side is smaller). Exact at every scale —
+    * the DuckDB full-enumeration oracle is matched by construction, not
+    * by a fixture property as in r5. */
   val dedupContainment: Q = Q(
     "q_dedup_containment",
     (s, d) =>
-      ngramRawPairs(s, ngramGrams(s, d), NgramBlockCap, NgramDfCap)
+      ngramRawPairs(s, ngramGrams(s, d), NgramBlockCap, NgramContainT)
         .select(col("source"), col("a_id"), col("b_id"),
           graft.functions.SortedIntersectCount(s, col("a_bg"), col("b_bg"))
             .as("n_common"),
@@ -460,7 +444,7 @@ object DedupOps {
           size(col("b_bg")).cast("long").as("nb"))
         .withColumn("containment",
           col("n_common").cast("double") / least(col("na"), col("nb")))
-        .where(col("containment") >= 0.2)
+        .where(col("containment") >= NgramContainT)
         .select("source", "a_id", "b_id", "n_common", "containment")
         .orderBy("source", "a_id", "b_id"),
     Some("""WITH d AS (
@@ -482,7 +466,7 @@ object DedupOps {
     SELECT source, a_id, b_id, n_common,
       CAST(n_common AS DOUBLE) / least(na, nb) AS containment
     FROM pairs
-    WHERE CAST(n_common AS DOUBLE) / least(na, nb) >= 0.2
+    WHERE CAST(n_common AS DOUBLE) / least(na, nb) >= 0.8
     ORDER BY source, a_id, b_id"""))
 
   /** EXT: URL-canonicalization dedup — the crawl-frontier staple: the

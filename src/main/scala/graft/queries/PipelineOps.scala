@@ -129,9 +129,12 @@ object PipelineOps {
   val dedupComponents: Q = Q(
     "q_dedup_components",
     (s, d) => {
+      // t = EdgeThreshold end-to-end: the prefix filter generates an
+      // exact candidate superset for THIS threshold (see ngramRawPairs)
+      // and ngramScore applies the same cut, so the edge set is the
+      // full-enumeration truth at any scale.
       val edges = DedupOps.ngramPairs(s, DedupOps.ngramGrams(s, d),
-          blockCap = 512, dfCap = 64)
-        .where(col("jaccard") >= EdgeThreshold)
+          blockCap = 512, t = EdgeThreshold)
         .select(col("a_id").as("src"), col("b_id").as("dst"))
       val comp = connectedComponents(s, edges)
       val docs = Tables.documents(s, d).select(col("doc_id"))

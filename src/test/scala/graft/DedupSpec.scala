@@ -139,31 +139,33 @@ class DedupSpec extends SparkSpec {
     pairs.unpersist()
   }
 
-  test("ngram fallback: gram-exploded path equals the pairwise path") {
+  test("ngram fallback: prefix-filtered path equals the pairwise path") {
     val grams = queries.DedupOps.ngramGrams(spark, sf).cache()
     def rows(df: org.apache.spark.sql.DataFrame) =
       df.collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
         r.getLong(3), r.getDouble(4))).toSet
     val pairwise =
-      rows(queries.DedupOps.ngramPairs(spark, grams, Int.MaxValue, 64))
-    val exploded = rows(queries.DedupOps.ngramPairs(spark, grams, 0, 64))
+      rows(queries.DedupOps.ngramPairs(spark, grams, Int.MaxValue))
+    val prefixed = rows(queries.DedupOps.ngramPairs(spark, grams, 0))
     assert(pairwise.nonEmpty)
-    assert(exploded == pairwise,
-      s"exploded-only=${exploded -- pairwise} pairwise-only=${pairwise -- exploded}")
+    assert(prefixed == pairwise,
+      s"prefix-only=${prefixed -- pairwise} pairwise-only=${pairwise -- prefixed}")
     grams.unpersist()
   }
 
-  test("ngram fallback residual: boilerplate-only docs keep their exact pairs") {
-    // With a tiny dfCap every boilerplate bigram is "ubiquitous" and
-    // pruned from candidate generation, so docs made ONLY of boilerplate
-    // (d1, d2) would silently lose all their pairs — including the
-    // jaccard-1.0 duplicate pair (1,2) — without the residual path.
-    // Ground truth is the pairwise shape on the same grams.
+  test("ngram prefix filter recovers boilerplate-only duplicates exactly") {
+    // The r5 df-capped generator pruned ubiquitous grams, so docs made
+    // ONLY of boilerplate (d1, d2) lost all their pairs — including the
+    // jaccard-1.0 duplicate — unless a lossy residual hack re-paired
+    // them. The prefix filter has no such blind spot: ubiquitous grams
+    // rank last but a doc whose every gram is ubiquitous still carries
+    // them in its (rarest-first) prefix. Ground truth is the pairwise
+    // shape on the same grams.
     val tmp = java.nio.file.Files.createTempDirectory("graft_resid").toString
     val boiler = "aaa bbb ccc ddd"
     val docs =
       Seq((1L, boiler), (2L, boiler), // boilerplate-only duplicates
-        (3L, s"$boiler xxx yyy zzz"), // share a rare (usable) phrase
+        (3L, s"$boiler xxx yyy zzz"), // rare-phrase duplicates
         (4L, s"$boiler xxx yyy zzz")) ++
         (5L to 8L).map(i => (i, s"$boiler p$i q$i r$i")) // unique fillers
     docs.map { case (i, t) => (i, t, "en", "srcA", t.length.toLong) }
@@ -173,39 +175,36 @@ class DedupSpec extends SparkSpec {
     def rows(df: org.apache.spark.sql.DataFrame) =
       df.collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
         r.getLong(3), r.getDouble(4))).toSet
-    val exact = rows(queries.DedupOps.ngramPairs(spark, grams, Int.MaxValue, 2))
-    val exploded = rows(queries.DedupOps.ngramPairs(spark, grams, 0, 2))
+    val exact = rows(queries.DedupOps.ngramPairs(spark, grams, Int.MaxValue))
+    val prefixed = rows(queries.DedupOps.ngramPairs(spark, grams, 0))
     assert(exact.exists { case (_, a, b, _, j) => a == 1L && b == 2L && j == 1.0 },
       "fixture must contain the boilerplate duplicate pair")
-    assert(exploded == exact,
-      s"exploded-only=${exploded -- exact} exact-only=${exact -- exploded}")
+    assert(prefixed == exact,
+      s"prefix-only=${prefixed -- exact} exact-only=${exact -- prefixed}")
     grams.unpersist()
   }
 
-  test("ngram residual cap keeps a mostly-boilerplate block linear and connected") {
-    // 120 identical boilerplate-only docs: with a tiny dfCap every gram
-    // is ubiquitous, so ALL of them land in the residual set. Uncapped,
-    // the residual path would pair each against the whole block —
-    // O(block²), the exact fan-out the dfCap pruning exists to avoid.
-    // With residCap=8 the first 8 docs (by doc_id) get the full block
-    // pairing and the 112 overflow docs star-pair against the block min
-    // only; every doc must still reach the duplicate component.
+  test("ngram prefix path enumerates an identical-doc block completely") {
+    // 120 identical docs: every pair qualifies (jaccard 1.0), so the
+    // TRUE answer is all C(120,2) = 7140 pairs — exact enumeration is
+    // inherently output-sized and no candidate generator can beat it.
+    // (That cost is the reason cluster-level dedup at 100 TB belongs to
+    // minhash banding + connected components; THIS query is the exact
+    // verifier of the family.) The prefix path must return the complete
+    // quadratic truth, not a capped subset as r5's residual path did.
     val tmp = java.nio.file.Files.createTempDirectory("graft_residcap").toString
     val boiler = "aaa bbb ccc ddd"
     (1L to 120L).map(i => (i, boiler, "en", "srcA", boiler.length.toLong))
       .toDF("doc_id", "text", "lang", "source", "n_chars")
       .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
     val grams = queries.DedupOps.ngramGrams(spark, tmp).cache()
-    val pairs = queries.DedupOps.ngramPairs(spark, grams, 0, 2, residCap = 8)
-      .cache()
-    val n = pairs.count()
-    // head: C(8,2) among capped docs + 8·112 head-vs-rest; overflow:
-    // 112 star pairs (dedup'd against head coverage of doc 1).
-    val bound = 8 * 119 + 112
-    assert(n <= bound, s"pair count $n exceeds capped bound $bound")
+    val pairs = queries.DedupOps.ngramPairs(spark, grams, 0).cache()
+    assert(pairs.count() == 120L * 119 / 2,
+      "identical-doc block must enumerate completely")
+    assert(pairs.where(col("jaccard") =!= 1.0).isEmpty)
     val ids = pairs.select("a_id").as[Long].collect().toSet ++
       pairs.select("b_id").as[Long].collect().toSet
-    assert(ids == (1L to 120L).toSet, "an overflow doc lost its link")
+    assert(ids == (1L to 120L).toSet)
     pairs.unpersist(); grams.unpersist()
   }
 
@@ -219,7 +218,7 @@ class DedupSpec extends SparkSpec {
       .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
     val grams = queries.DedupOps.ngramGrams(spark, tmp)
     val scored = queries.DedupOps
-      .ngramRawPairs(spark, grams, 512, 8)
+      .ngramRawPairs(spark, grams, 512, queries.DedupOps.NgramContainT)
       .select(
         graft.functions.SortedIntersectCount(
           spark, col("a_bg"), col("b_bg")).as("n_common"),
@@ -237,33 +236,45 @@ class DedupSpec extends SparkSpec {
     assert(scored.getDouble(1) < 0.1, s"jaccard ${scored.getDouble(1)}")
   }
 
-  test("containment fixture property: capped candidates lose no qualifying pair") {
-    // q_dedup_containment's DuckDB oracle enumerates ALL same-source
-    // pairs while the engine generates candidates through the capped
-    // ngramRawPairs (blockCap/dfCap/residCap). Oracle parity therefore
-    // RELIES on a fixture property: no pair with containment >= 0.2
-    // depends solely on pruned (df > dfCap) grams or overflows the
-    // residual cap. This pins that property so a future fixture change
-    // fails HERE, loudly, instead of as an opaque oracle hash mismatch.
-    def scoredPairs(blockCap: Int, dfCap: Int) =
-      queries.DedupOps.ngramRawPairs(spark,
-        queries.DedupOps.ngramGrams(spark, sf), blockCap, dfCap)
+  test("containment prefix path is exact when every shared gram is ubiquitous") {
+    // The blind spot that killed the r5 df-capped generator at sf1: a
+    // pair whose EVERY shared gram is block-ubiquitous generated no
+    // candidate. Here a 4-token quote is contained whole in 30 long
+    // containers (quote grams have df=31 — maximally ubiquitous), so
+    // all 30 (quote, container) pairs have containment 1.0 and depend
+    // ONLY on ubiquitous grams. Container-container pairs share just
+    // those 3 grams against ~40 of their own → below threshold. The
+    // prefix path must find exactly the 30 true pairs; ground truth is
+    // the pairwise shape on the same grams.
+    val tmp = java.nio.file.Files.createTempDirectory("graft_ubiq").toString
+    val quote = "alpha beta gamma delta"
+    val docs = (1L, quote) +: (2L to 31L).map { i =>
+      val filler = (1 to 40).map(j => s"w${i}_$j").mkString(" ")
+      (i, s"$quote $filler")
+    }
+    docs.map { case (i, t) => (i, t, "en", "srcA", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val grams = queries.DedupOps.ngramGrams(spark, tmp).cache()
+    def contained(blockCap: Int) =
+      queries.DedupOps.ngramRawPairs(spark, grams, blockCap,
+        queries.DedupOps.NgramContainT)
         .select(col("source"), col("a_id"), col("b_id"),
           (graft.functions.SortedIntersectCount(
             spark, col("a_bg"), col("b_bg")).cast("double") /
             least(size(col("a_bg")), size(col("b_bg"))).cast("double"))
             .as("containment"))
-        .where(col("containment") >= 0.2)
+        .where(col("containment") >= queries.DedupOps.NgramContainT)
         .select("source", "a_id", "b_id")
         .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
         .toSet
-    // blockCap=MaxValue routes every block through the pairwise path =
-    // full same-source enumeration, the oracle's candidate set.
-    val full = scoredPairs(Int.MaxValue, Int.MaxValue)
-    val capped = scoredPairs(512, 64) // the query's NgramBlockCap/NgramDfCap
-    assert(full.nonEmpty, "fixture must contain qualifying containment pairs")
-    assert(capped == full,
-      s"capped-only=${capped -- full} full-only=${full -- capped}")
+    val full = contained(Int.MaxValue)
+    val prefixed = contained(0)
+    assert(full == (2L to 31L).map(i => ("srcA", 1L, i)).toSet,
+      s"ground truth must be the 30 quote-container pairs, got $full")
+    assert(prefixed == full,
+      s"prefix-only=${prefixed -- full} full-only=${full -- prefixed}")
+    grams.unpersist()
   }
 
   test("native simhash64 equals the composed explode/groupBy form bit for bit") {

@@ -42,7 +42,20 @@ def norm(v):
     return repr(v)
 
 
-def main(sf_dir, out_dir, exclude=()):
+def floats_close(a, b, rtol):
+    """Opt-in scale-run tolerance: at sf1+ a parallel double SUM's
+    addition order differs from DuckDB's serial order by design, so the
+    last ULP can differ (observed: q_agg_hash_group 83484246324.72614
+    vs ...72615 at sf1). The driver's sf0.01 gate stays hash-exact;
+    this applies only when --rtol is passed explicitly."""
+    if not (isinstance(a, float) and isinstance(b, float)):
+        return False
+    if math.isnan(a) or math.isnan(b):
+        return False
+    return abs(a - b) <= rtol * max(abs(a), abs(b))
+
+
+def main(sf_dir, out_dir, exclude=(), rtol=0.0):
     con = duckdb.connect()
     import os as _os
     for t in TABLES:
@@ -110,10 +123,15 @@ def main(sf_dir, out_dir, exclude=()):
         got = got.reset_index(drop=True)
         want = want.reset_index(drop=True)
         mismatch = None
+        tol_hits = 0
         for i in range(len(got)):
             for c in got.columns:
-                a, b = norm(got[c].iloc[i]), norm(want[c].iloc[i])
+                ga, wa = got[c].iloc[i], want[c].iloc[i]
+                a, b = norm(ga), norm(wa)
                 if a != b:
+                    if rtol and floats_close(ga, wa, rtol):
+                        tol_hits += 1
+                        continue
                     mismatch = (i, c, a, b)
                     break
             if mismatch:
@@ -123,16 +141,23 @@ def main(sf_dir, out_dir, exclude=()):
             print(f"FAIL {name}: row {i} col {c}: spark={a} duckdb={b}")
             bad += 1
         else:
-            print(f"ok   {name} ({len(got)} rows)")
+            note = f" [{tol_hits} float cells within rtol]" if tol_hits else ""
+            print(f"ok   {name} ({len(got)} rows){note}")
             ok += 1
     print(f"\n{ok} ok, {bad} failed, {skipped} skipped (filtered)")
     return 1 if bad else 0
 
 
 if __name__ == "__main__":
-    # Optional 3rd arg: comma-separated query names to exclude — for
-    # scale-point runs where a specific ORACLE (not the engine) is
-    # intractable in DuckDB, e.g. q_dedup_components' recursive CTE at
-    # sf1. Excluded queries are reported as skipped, never as ok.
-    excl = sys.argv[3].split(",") if len(sys.argv) > 3 else ()
-    sys.exit(main(sys.argv[1], sys.argv[2], set(excl)))
+    # Optional 3rd positional arg: comma-separated query names to
+    # exclude — for scale-point runs where a specific ORACLE (not the
+    # engine) is intractable in DuckDB, e.g. q_dedup_components'
+    # recursive CTE at sf1. Excluded queries are reported as skipped,
+    # never as ok. Optional --rtol=1e-12 flag: tolerate
+    # summation-order float divergence (scale runs only; the default
+    # remains hash-exact like the driver).
+    args = [a for a in sys.argv[1:] if not a.startswith("--rtol=")]
+    rtols = [a for a in sys.argv[1:] if a.startswith("--rtol=")]
+    rtol = float(rtols[-1].split("=", 1)[1]) if rtols else 0.0
+    excl = args[2].split(",") if len(args) > 2 else ()
+    sys.exit(main(args[0], args[1], set(excl), rtol))
