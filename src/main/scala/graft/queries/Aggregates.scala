@@ -32,13 +32,15 @@ object Aggregates {
           Det.dsum(col("l_quantity"), 2).as("sum_qty"),
           Det.dsum(col("l_extendedprice"), 2).as("sum_base_price"),
           // Rescale to the TRUE product scale (≤6 decimals: 2+2+2) before
-          // the double cast — an exact rescale, immune to DuckDB's
-          // truncate-vs-round-half-up downscale difference — and one that
-          // keeps the unscaled value « 2^53, where DuckDB's
-          // decimal→double cast is still correctly rounded.
-          sum(price * disc1).cast(DecimalType(24, 6)).cast("double")
+          // the double conversion — an exact rescale, immune to DuckDB's
+          // truncate-vs-round-half-up downscale difference. The unscaled
+          // value passes 2^53 at sf1 (~8.3e16), where DuckDB's direct
+          // decimal→double cast stops being correctly rounded (r6 sf1
+          // run caught the last-ULP divergence), so convert via
+          // bigToDouble's exact int/frac split.
+          Det.bigToDouble(sum(price * disc1).cast(DecimalType(24, 6)))
             .as("sum_disc_price"),
-          sum(price * disc1 * tax1).cast(DecimalType(24, 6)).cast("double")
+          Det.bigToDouble(sum(price * disc1 * tax1).cast(DecimalType(24, 6)))
             .as("sum_charge"),
           Det.davg(col("l_quantity"), 2).as("avg_qty"),
           Det.davg(col("l_extendedprice"), 2).as("avg_price"),
@@ -49,8 +51,8 @@ object Aggregates {
     Some(s"""SELECT l_returnflag, l_linestatus,
       ${Det.sqlSum("l_quantity", 2)} AS sum_qty,
       ${Det.sqlSum("l_extendedprice", 2)} AS sum_base_price,
-      CAST(CAST(sum(${Det.sqlDec("l_extendedprice", 2)} * (${Det.sqlDec("1", 4, 8)} - ${Det.sqlDec("l_discount", 4, 8)})) AS DECIMAL(24,6)) AS DOUBLE) AS sum_disc_price,
-      CAST(CAST(sum(${Det.sqlDec("l_extendedprice", 2)} * (${Det.sqlDec("1", 4, 8)} - ${Det.sqlDec("l_discount", 4, 8)}) * (${Det.sqlDec("1", 4, 8)} + ${Det.sqlDec("l_tax", 4, 8)})) AS DECIMAL(24,6)) AS DOUBLE) AS sum_charge,
+      ${Det.sqlBigToDouble(s"CAST(sum(${Det.sqlDec("l_extendedprice", 2)} * (${Det.sqlDec("1", 4, 8)} - ${Det.sqlDec("l_discount", 4, 8)})) AS DECIMAL(24,6))")} AS sum_disc_price,
+      ${Det.sqlBigToDouble(s"CAST(sum(${Det.sqlDec("l_extendedprice", 2)} * (${Det.sqlDec("1", 4, 8)} - ${Det.sqlDec("l_discount", 4, 8)}) * (${Det.sqlDec("1", 4, 8)} + ${Det.sqlDec("l_tax", 4, 8)})) AS DECIMAL(24,6))")} AS sum_charge,
       ${Det.sqlAvg("l_quantity", 2)} AS avg_qty,
       ${Det.sqlAvg("l_extendedprice", 2)} AS avg_price,
       ${Det.sqlAvg("l_discount", 4)} AS avg_disc,

@@ -56,8 +56,19 @@ object Det {
   def bigToDouble(c: Column): Column =
     floor(c).cast("double") + (c - floor(c)).cast("double")
 
-  /** SQL fragment mirroring [[bigToDouble]]; `expr` must be a decimal. */
+  /** SQL fragment mirroring [[bigToDouble]] — DuckDB DIALECT; `expr`
+    * must be a decimal. DuckDB's decimal downscale cast truncates
+    * toward zero (== floor for positives). Spark's rounds half-up, so
+    * this text is NOT portable: Spark SQL must use
+    * [[sqlBigToDoubleSpark]] instead. */
   def sqlBigToDouble(expr: String): String =
     s"(CAST(CAST(($expr) AS DECIMAL(38,0)) AS DOUBLE) + " +
       s"CAST(($expr) - CAST(($expr) AS DECIMAL(38,0)) AS DOUBLE))"
+
+  /** [[sqlBigToDouble]] in SPARK SQL dialect: FLOOR on a decimal stays
+    * in the exact decimal domain (DecimalType(p-s+1, 0)), mirroring the
+    * Column-API floor in [[bigToDouble]]. For positive sums this equals
+    * DuckDB's truncating-cast form value-for-value. */
+  def sqlBigToDoubleSpark(expr: String): String =
+    s"(CAST(FLOOR($expr) AS DOUBLE) + CAST(($expr) - FLOOR($expr) AS DOUBLE))"
 }

@@ -575,15 +575,18 @@ object Relational {
         .groupBy(col("o_orderpriority"))
         .agg(
           count(lit(1)).as("n_items"),
-          sum(Det.dec(col("l_extendedprice"), 2, 12)
+          // bigToDouble: 5 priority groups over the whole fact table
+          // pass 2^53 unscaled at sf1 (r6 sf1 run caught the last-ULP
+          // divergence of the direct decimal→double cast).
+          Det.bigToDouble(sum(Det.dec(col("l_extendedprice"), 2, 12)
             * (lit(1).cast("decimal(8,4)") - Det.dec(col("l_discount"), 4, 8)))
-            .cast("decimal(24,6)").cast("double").as("revenue"))
+            .cast("decimal(24,6)")).as("revenue"))
         .orderBy("o_orderpriority")
     },
-    Some("""SELECT o_orderpriority, count(*) AS n_items,
-      CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+    Some(s"""SELECT o_orderpriority, count(*) AS n_items,
+      ${Det.sqlBigToDouble("""CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
         * (CAST(1 AS DECIMAL(8,4)) - CAST(l_discount AS DECIMAL(8,4))))
-        AS DECIMAL(24,6)) AS DOUBLE) AS revenue
+        AS DECIMAL(24,6))""")} AS revenue
     FROM lineitem JOIN orders ON l_orderkey = o_orderkey
     GROUP BY o_orderpriority ORDER BY o_orderpriority"""))
 

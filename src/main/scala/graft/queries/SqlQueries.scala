@@ -30,14 +30,22 @@ object SqlQueries {
     """sum(CAST(l_extendedprice AS DECIMAL(12,2))
       | * (CAST(1 AS DECIMAL(8,4)) - CAST(l_discount AS DECIMAL(8,4))))"""
       .stripMargin
-  private val revenueOut = s"CAST(CAST($revenue AS DECIMAL(24,6)) AS DOUBLE)"
+  // Big-sum double conversion per engine dialect: the q_sql_local_volume
+  // nation groups approach 2^53 unscaled within one order of magnitude
+  // of sf1, where a direct decimal→double cast stops being correctly
+  // rounded in DuckDB (see Det.bigToDouble). Spark text and oracle text
+  // differ ONLY in this conversion idiom — same exact decimal sum.
+  private val revenueOutSpark =
+    Det.sqlBigToDoubleSpark(s"CAST($revenue AS DECIMAL(24,6))")
+  private val revenueOutDuck =
+    Det.sqlBigToDouble(s"CAST($revenue AS DECIMAL(24,6))")
 
   /** TPC-H Q3 shape: shipping-priority revenue of building-segment
     * orders not yet shipped at the cutoff. */
   val sqlQ3: Q = Q(
     "q_sql_shipping_priority",
     (s, d) => withViews(s, d)(s"""
-      SELECT o_orderkey, $revenueOut AS revenue, o_orderdate, o_orderpriority
+      SELECT o_orderkey, $revenueOutSpark AS revenue, o_orderdate, o_orderpriority
       FROM customer JOIN orders ON c_custkey = o_custkey
         JOIN lineitem ON l_orderkey = o_orderkey
       WHERE c_mktsegment = 'BUILDING'
@@ -45,7 +53,7 @@ object SqlQueries {
         AND l_shipdate > TIMESTAMP '2000-03-15'
       GROUP BY o_orderkey, o_orderdate, o_orderpriority
       ORDER BY revenue DESC, o_orderkey LIMIT 10"""),
-    Some(s"""SELECT o_orderkey, $revenueOut AS revenue, o_orderdate,
+    Some(s"""SELECT o_orderkey, $revenueOutDuck AS revenue, o_orderdate,
       o_orderpriority
     FROM customer JOIN orders ON c_custkey = o_custkey
       JOIN lineitem ON l_orderkey = o_orderkey
@@ -61,7 +69,7 @@ object SqlQueries {
   val sqlQ5: Q = Q(
     "q_sql_local_volume",
     (s, d) => withViews(s, d)(s"""
-      SELECT n_name, $revenueOut AS revenue, count(*) AS n_items
+      SELECT n_name, $revenueOutSpark AS revenue, count(*) AS n_items
       FROM customer
         JOIN orders ON c_custkey = o_custkey
         JOIN lineitem ON l_orderkey = o_orderkey
@@ -71,7 +79,7 @@ object SqlQueries {
         AND o_orderdate >= TIMESTAMP '1996-01-01'
         AND o_orderdate < TIMESTAMP '1998-01-01'
       GROUP BY n_name ORDER BY n_name"""),
-    Some(s"""SELECT n_name, $revenueOut AS revenue, count(*) AS n_items
+    Some(s"""SELECT n_name, $revenueOutDuck AS revenue, count(*) AS n_items
     FROM customer
       JOIN orders ON c_custkey = o_custkey
       JOIN lineitem ON l_orderkey = o_orderkey
@@ -86,7 +94,7 @@ object SqlQueries {
   val sqlQ10: Q = Q(
     "q_sql_returned_revenue",
     (s, d) => withViews(s, d)(s"""
-      SELECT c_custkey, c_name, $revenueOut AS revenue, c_mktsegment, n_name
+      SELECT c_custkey, c_name, $revenueOutSpark AS revenue, c_mktsegment, n_name
       FROM customer
         JOIN orders ON c_custkey = o_custkey
         JOIN lineitem ON l_orderkey = o_orderkey
@@ -94,7 +102,7 @@ object SqlQueries {
       WHERE l_returnflag = 'R'
       GROUP BY c_custkey, c_name, c_mktsegment, n_name
       ORDER BY revenue DESC, c_custkey LIMIT 20"""),
-    Some(s"""SELECT c_custkey, c_name, $revenueOut AS revenue,
+    Some(s"""SELECT c_custkey, c_name, $revenueOutDuck AS revenue,
       c_mktsegment, n_name
     FROM customer
       JOIN orders ON c_custkey = o_custkey
