@@ -189,6 +189,69 @@ object Similarity {
     WHERE n_chars >= 200 AND label < 5
     ORDER BY doc_id"""))
 
+  /** EXT: symmetric int8 quantization of the embedding column — the
+    * serving-side compression standard (absmax scaling, as in
+    * llama.cpp Q8 / vector-DB int8 indexes): scale = 127/max|x|,
+    * q_i = round(x_i·scale), 4× smaller vectors whose dot products
+    * approximate the float ones. Declared output is the per-vector
+    * audit a pipeline stores next to the quantized index: quantized
+    * extrema/checksum (exact ints) + reconstruction MSE. Purely
+    * narrow per-row array expressions — zero shuffles, scan-speed at
+    * 100 TB.
+    *
+    * Parity: every per-element value is deterministic (float→double
+    * widening exact, one multiply, round-half-away integral, one
+    * divide), and the fold orders are fixed left-to-right in both
+    * engines (q_fn_array's seed idiom: 0.0+x == x; max(0,|x|) == |x|).
+    * MSE rounded to 9 decimals for the final-sum libm discipline. */
+  val embedQuantize: Q = Q(
+    "q_embed_quantize",
+    (s, d) => {
+      val xd = transform(col("embedding"), v => v.cast("double"))
+      val absmax = aggregate(xd, lit(0.0), (a, v) => greatest(a, abs(v)))
+      val e = Tables.embeddings(s, d)
+        .select(col("vec_id"), col("embedding"),
+          (lit(127.0) / absmax).as("scale"))
+      val q = transform(transform(col("embedding"), v => v.cast("double")),
+        v => round(v * col("scale")).cast("long"))
+      val errs = transform(transform(col("embedding"), v => v.cast("double")),
+        v => pow(v - round(v * col("scale")) / col("scale"), 2))
+      e.select(col("vec_id"),
+          q.as("q"), aggregate(errs, lit(0.0), (a, v) => a + v).as("se"))
+        .select(col("vec_id"),
+          array_min(col("q")).as("q_min"),
+          array_max(col("q")).as("q_max"),
+          aggregate(col("q"), lit(0L), (a, v) => a + v).as("q_sum"),
+          round(col("se") / size(col("q")), 9).as("mse"))
+        .orderBy("vec_id")
+    },
+    Some("""WITH s AS (
+      SELECT vec_id, embedding AS e,
+        127.0e0 / list_reduce(
+          list_prepend(CAST(0.0 AS DOUBLE),
+            list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))),
+          (a, b) -> greatest(a, b)) AS scale
+      FROM embeddings),
+    q AS (
+      SELECT vec_id, scale,
+        list_transform(e, x ->
+          CAST(round(CAST(x AS DOUBLE) * scale) AS BIGINT)) AS qs,
+        list_reduce(
+          list_prepend(CAST(0.0 AS DOUBLE),
+            list_transform(e, x ->
+              pow(CAST(x AS DOUBLE)
+                - round(CAST(x AS DOUBLE) * scale) / scale, 2))),
+          (a, b) -> a + b) AS se
+      FROM s)
+    SELECT vec_id,
+      list_min(qs) AS q_min,
+      list_max(qs) AS q_max,
+      list_reduce(list_prepend(CAST(0 AS BIGINT), qs), (a, b) -> a + b)
+        AS q_sum,
+      round(se / len(qs), 9) AS mse
+    FROM q ORDER BY vec_id"""))
+
   val all: Seq[Q] =
-    Seq(simTopkCosine, dedupEmbedding, simCosineSql, multimodalJoin)
+    Seq(simTopkCosine, dedupEmbedding, simCosineSql, multimodalJoin,
+      embedQuantize)
 }

@@ -540,9 +540,85 @@ object TextOps {
     FROM tok2 JOIN cnt USING (token) CROSS JOIN tot
     GROUP BY doc_id ORDER BY doc_id"""))
 
+  /** EXT: BM25 relevance scoring (Robertson & Zaragoza 2009; the
+    * Lucene-standard idf form ln(1 + (N−df+0.5)/(df+0.5)), k1=1.2,
+    * b=0.75) of every document against a fixed query-term set — the
+    * retrieval primitive behind corpus search and RAG candidate
+    * generation. Scale shape: one tokenize/explode pass filtered to the
+    * query terms (so the per-token shuffle carries only matching
+    * tokens, not the corpus), a per-term df aggregate (≤ |terms| rows,
+    * broadcast), corpus stats (1 row, broadcast), then a per-doc
+    * conditional-aggregation pivot so the final score adds the
+    * per-term contributions in FIXED column order — double addition is
+    * not associative, and letting sum() fold them in shuffle order
+    * would diverge from the oracle in the last ulp. ln rounded at the
+    * end to 6 decimals (libm ulp discipline, as q_text_tfidf). */
+  val textBm25: Q = Q(
+    "q_text_bm25",
+    (s, d) => {
+      val terms = Seq("spark", "vector", "query")
+      val docs = Tables.documents(s, d)
+      val dl = docs.select(col("doc_id"),
+        size(filter(tokens, t => t =!= "")).cast("double").as("dl"))
+      val stats = dl.agg(
+        count(lit(1)).cast("double").as("n_docs"),
+        (sum(col("dl").cast("long")).cast("double")
+          / count(lit(1))).as("avgdl"))
+      val tf = docs
+        .select(col("doc_id"), explode(tokens).as("t"))
+        .where(col("t").isin(terms: _*))
+        .groupBy(col("doc_id"), col("t"))
+        .agg(count(lit(1)).cast("double").as("tf"))
+      val df = tf.groupBy(col("t")).agg(count(lit(1)).cast("double").as("df"))
+      val sc = tf
+        .join(broadcast(df), "t")
+        .join(dl, "doc_id")
+        .crossJoin(broadcast(stats))
+        .select(col("doc_id"), col("t"),
+          (log(lit(1.0) + (col("n_docs") - col("df") + lit(0.5))
+              / (col("df") + lit(0.5)))
+            * col("tf") * lit(2.2)
+            / (col("tf")
+              + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / col("avgdl"))))
+            .as("sc"))
+      val perTerm = terms.map(t =>
+        coalesce(max(when(col("t") === t, col("sc"))), lit(0.0)))
+      sc.groupBy(col("doc_id"))
+        .agg(round(perTerm.reduce(_ + _), 6).as("bm25"))
+        .orderBy(col("bm25").desc, col("doc_id"))
+        .limit(100)
+    },
+    Some(s"""WITH dl AS (
+      SELECT doc_id,
+        CAST(len(list_filter($sqlTokens, t -> t != '')) AS DOUBLE) AS dl
+      FROM documents),
+    stats AS (
+      SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+        CAST(sum(CAST(dl AS BIGINT)) AS DOUBLE) / count(*) AS avgdl
+      FROM dl),
+    tf AS (
+      SELECT doc_id, t, CAST(count(*) AS DOUBLE) AS tf
+      FROM (SELECT doc_id, unnest($sqlTokens) AS t FROM documents)
+      WHERE t IN ('spark', 'vector', 'query')
+      GROUP BY doc_id, t),
+    df AS (SELECT t, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY t),
+    sc AS (
+      SELECT doc_id, t,
+        ln(1.0e0 + (n_docs - df + 0.5e0) / (df + 0.5e0))
+          * tf * 2.2e0
+          / (tf + 1.2e0 * (0.25e0 + 0.75e0 * dl / avgdl)) AS sc
+      FROM tf JOIN df USING (t) JOIN dl USING (doc_id) CROSS JOIN stats)
+    SELECT doc_id,
+      round(coalesce(max(CASE WHEN t = 'spark' THEN sc END), 0.0e0)
+        + coalesce(max(CASE WHEN t = 'vector' THEN sc END), 0.0e0)
+        + coalesce(max(CASE WHEN t = 'query' THEN sc END), 0.0e0), 6)
+        AS bm25
+    FROM sc GROUP BY doc_id
+    ORDER BY bm25 DESC, doc_id LIMIT 100"""))
+
   val all: Seq[Q] = Seq(
     dedupExact, textTokens, textStats, textTfidf, textLangid, textQuality,
     textFingerprint, textTokencount, textNgramFreq, textRedact,
     textNormalize, textRepetition, textSourceOverlap, textCmsTopk,
-    textUnigramLogprob)
+    textUnigramLogprob, textBm25)
 }
