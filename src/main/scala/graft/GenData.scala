@@ -115,12 +115,15 @@ object GenData {
       pick(col("o_orderkey"), 15, Priorities).as("o_orderpriority"))
 
   /** 1..7 lines per order (mean ~4, matching sf0.1's 4.08); shipdate =
-    * orderdate + 1..120 days; TPC-H-ish returnflag/linestatus split on
-    * the 1998-09-02 cutoff so flag/status correlate with date exactly
-    * like the driver fixture's aggregate profile. */
+    * orderdate + 1..120 days; returnflag/linestatus hash-uniform and
+    * INDEPENDENT of shipdate — the driver fixture populates all six
+    * flag×status combos (~1/6 each) with identical date ranges (sf0.01
+    * profile: 9.9-10.0k rows per combo, same min/max shipdate), unlike
+    * TPC-H's cutoff-correlated split. r6 caught the earlier
+    * cutoff-correlated form: q_agg_hash_group returned 2 groups at the
+    * GenData scale points vs 6 at every driver point. */
   def lineitem(s: SparkSession, orders: DataFrame,
       nPart: Long, nSupp: Long): DataFrame = {
-    val cutoff = lit(904694400L) // 1998-09-02T00:00:00Z epoch s
     val o = orders.select(col("o_orderkey").as("l_orderkey"),
       col("o_orderdate"))
     val id = xxhash64(col("l_orderkey"), col("l_linenumber"), lit(Seed))
@@ -142,10 +145,11 @@ object GenData {
           2).as("l_extendedprice"),
         (pmod(xxhash64(id, lit(21)), lit(11)) / lit(100.0)).as("l_discount"),
         (pmod(xxhash64(id, lit(22)), lit(9)) / lit(100.0)).as("l_tax"),
-        when(col("ship_s") <= cutoff,
-          when(pmod(xxhash64(id, lit(23)), lit(2)) === 0, "R")
-            .otherwise("A")).otherwise("N").as("l_returnflag"),
-        when(col("ship_s") <= cutoff, "F").otherwise("O").as("l_linestatus"),
+        element_at(array(lit("A"), lit("N"), lit("R")),
+          (pmod(xxhash64(id, lit(23)), lit(3)) + 1).cast("int"))
+          .as("l_returnflag"),
+        when(pmod(xxhash64(id, lit(31)), lit(2)) === 0, "F").otherwise("O")
+          .as("l_linestatus"),
         timestamp_seconds(col("ship_s")).as("l_shipdate"))
   }
 

@@ -41,18 +41,30 @@ class GenDataSpec extends SparkSpec {
     assert(nDup > 0, "exact-duplicate groups must exist for the dedup family")
   }
 
-  test("lineitem flag/status correlate with the 1998-09-02 cutoff") {
+  test("lineitem populates all six flag-status combos, date-independent") {
+    // Driver profile (sf0.01): every A/N/R × F/O combo present with
+    // near-equal counts AND identical shipdate ranges — flag/status are
+    // hash-uniform, NOT TPC-H cutoff-correlated (r6 caught the earlier
+    // correlated form: the flagship query returned 2 groups instead of
+    // 6 at GenData scale points).
     val li = GenData.lineitem(spark, GenData.orders(spark, 2000, 500),
-      1000, 100)
+      1000, 100).cache()
+    val combos = li.groupBy(col("l_returnflag"), col("l_linestatus"))
+      .count().collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(combos.keySet ==
+      (for (f <- Set("A", "N", "R"); st <- Set("F", "O")) yield (f, st)),
+      s"all six combos must be present, got ${combos.keySet}")
+    assert(combos.values.max < 2L * combos.values.min,
+      s"combo counts must be near-uniform, got $combos")
+    // flag/status independent of the flagship query's date filter:
+    // both sides of the 1998-09-02 cutoff contain every combo
     val cutoff = lit("1998-09-02").cast("timestamp")
-    assert(li.where(col("l_shipdate") > cutoff &&
-      (col("l_returnflag") =!= "N" || col("l_linestatus") =!= "O")).isEmpty)
-    assert(li.where(col("l_shipdate") <= cutoff &&
-      col("l_linestatus") =!= "F").isEmpty)
-    // both sides of the cutoff are populated (the aggregate profile the
-    // flagship query groups on)
-    assert(li.where(col("l_linestatus") === "O").count() > 0)
-    assert(li.where(col("l_linestatus") === "F").count() > 0)
+    assert(li.where(col("l_shipdate") <= cutoff)
+      .select("l_returnflag", "l_linestatus").distinct().count() == 6)
+    assert(li.where(col("l_shipdate") > cutoff)
+      .select("l_returnflag", "l_linestatus").distinct().count() == 6)
+    li.unpersist()
   }
 
   test("generation is deterministic and partitioning-invariant") {
