@@ -427,6 +427,69 @@ object EventOps {
     FROM ev e JOIN st USING (user_id)
     GROUP BY e.user_id ORDER BY user_id"""))
 
+  /** EXT: last-touch attribution — marketing analytics' workhorse:
+    * each purchase is credited to the user's most recent preceding
+    * view within a 7-day lookback. Declared as the scalable window
+    * shape (the same merge the native as-of join performs, expressed
+    * over a union'd per-user stream): one shuffle on user_id, one
+    * ordered pass; the last-view carry is two last(... ignoreNulls)
+    * columns over (ts, event_id) order — both resolve from the SAME
+    * row because they share the ordering. A purchase with no view, or
+    * whose last view is older than 7 days, is unattributed (NULLs).
+    * Tie rule: a view at the purchase's exact timestamp counts only if
+    * its event_id is smaller (the (ts, event_id) total order). */
+  val eventAttribution: Q = Q(
+    "q_event_attribution",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val LookbackUs = 7L * 86400L * 1000000L
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val ev = Tables.events(s, d)
+        .where(col("event_type").isin("view", "purchase"))
+        .select(col("event_id"), col("user_id"), col("ts"),
+          col("event_type"))
+      ev
+        .withColumn("view_id", last(
+          when(col("event_type") === "view", col("event_id")), true).over(w))
+        .withColumn("view_ts", last(
+          when(col("event_type") === "view", col("ts")), true).over(w))
+        .where(col("event_type") === "purchase")
+        .withColumn("gap_us",
+          unix_micros(col("ts")) - unix_micros(col("view_ts")))
+        .select(col("event_id"), col("user_id"), col("ts"),
+          when(col("gap_us") <= LookbackUs, col("view_id"))
+            .as("attr_view_id"),
+          when(col("gap_us") <= LookbackUs, col("gap_us")).as("gap_us"),
+          (when(col("gap_us") <= LookbackUs, col("view_id"))
+            .isNotNull).as("is_attributed"))
+        .orderBy("event_id")
+    },
+    Some("""WITH ev AS (
+      SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, event_type
+      FROM events WHERE event_type IN ('view', 'purchase')),
+    carried AS (
+      SELECT *,
+        last_value(CASE WHEN event_type = 'view' THEN event_id END
+          IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY ts, event_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS view_id,
+        last_value(CASE WHEN event_type = 'view' THEN ts END
+          IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY ts, event_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS view_ts
+      FROM ev),
+    p AS (
+      SELECT event_id, user_id, ts,
+        epoch_us(ts) - epoch_us(view_ts) AS gap_us, view_id
+      FROM carried WHERE event_type = 'purchase')
+    SELECT event_id, user_id, ts,
+      CASE WHEN gap_us <= 604800000000 THEN view_id END AS attr_view_id,
+      CASE WHEN gap_us <= 604800000000 THEN gap_us END AS gap_us,
+      CASE WHEN gap_us <= 604800000000 THEN view_id END IS NOT NULL
+        AS is_attributed
+    FROM p ORDER BY event_id"""))
+
   val all: Seq[Q] = Seq(eventFunnel, eventRetention, eventScd2,
-    eventTransitions, eventOhlc, eventFfill, eventSessions, eventAnomaly)
+    eventTransitions, eventOhlc, eventFfill, eventSessions, eventAnomaly,
+    eventAttribution)
 }

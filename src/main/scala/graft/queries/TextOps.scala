@@ -616,9 +616,40 @@ object TextOps {
     FROM sc GROUP BY doc_id
     ORDER BY bm25 DESC, doc_id LIMIT 100"""))
 
+  /** EXT: incremental dedup — the production shape exact dedup
+    * actually runs in: a NEW batch (today's crawl, here the doc_id%10
+    * slice) checked against the EXISTING corpus (everything else), not
+    * all-vs-all. Novel docs pass; batch docs whose normalized text is
+    * already in the corpus carry the corpus's canonical id. Same
+    * normalization as q_dedup_exact. Scale: ONE hash shuffle of each
+    * side on the normalized key (the corpus side pre-reduced to one
+    * row per distinct text by the min-aggregate), no pair space —
+    * exact-dedup cost however large the corpus. */
+  val dedupIncremental: Q = Q(
+    "q_dedup_incremental",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), lower(trim(col("text"))).as("norm_text"))
+      val corpus = docs.where(col("doc_id") % 10 =!= 0)
+        .groupBy(col("norm_text"))
+        .agg(min(col("doc_id")).as("dup_of"))
+      docs.where(col("doc_id") % 10 === 0)
+        .join(corpus, Seq("norm_text"), "left")
+        .select(col("doc_id"), col("dup_of"),
+          col("dup_of").isNull.as("is_novel"))
+        .orderBy("doc_id")
+    },
+    Some("""WITH corpus AS (
+      SELECT lower(trim(text)) AS norm_text, min(doc_id) AS dup_of
+      FROM documents WHERE doc_id % 10 != 0 GROUP BY 1)
+    SELECT d.doc_id, c.dup_of, c.dup_of IS NULL AS is_novel
+    FROM documents d LEFT JOIN corpus c ON lower(trim(d.text)) = c.norm_text
+    WHERE d.doc_id % 10 = 0
+    ORDER BY d.doc_id"""))
+
   val all: Seq[Q] = Seq(
     dedupExact, textTokens, textStats, textTfidf, textLangid, textQuality,
     textFingerprint, textTokencount, textNgramFreq, textRedact,
     textNormalize, textRepetition, textSourceOverlap, textCmsTopk,
-    textUnigramLogprob, textBm25)
+    textUnigramLogprob, textBm25, dedupIncremental)
 }
