@@ -564,9 +564,13 @@ object TextOps {
         count(lit(1)).cast("double").as("n_docs"),
         (sum(col("dl").cast("long")).cast("double")
           / count(lit(1))).as("avgdl"))
+      // Filter INSIDE the array before exploding: the Generate emits
+      // only query-term hits (~terms/doc), not every token (~50/doc) —
+      // the per-token shuffle never sees non-matching tokens.
       val tf = docs
-        .select(col("doc_id"), explode(tokens).as("t"))
-        .where(col("t").isin(terms: _*))
+        .select(col("doc_id"),
+          explode(filter(tokens,
+            t => terms.map(q => t === q).reduce(_ || _))).as("t"))
         .groupBy(col("doc_id"), col("t"))
         .agg(count(lit(1)).cast("double").as("tf"))
       val df = tf.groupBy(col("t")).agg(count(lit(1)).cast("double").as("df"))
