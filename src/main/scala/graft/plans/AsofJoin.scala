@@ -33,13 +33,30 @@ import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan}
   * nulls when no such row. `tieBreak` columns resolve equal-rtime
   * ambiguity deterministically (they extend the right sort key, and
   * the merge keeps the last row in sort order).
+  *
+  * `direction` completes the pandas merge_asof surface:
+  *  - `backward` (default): last right row with rtime <= ltime — keeps
+  *    the largest (rtime, tieBreak) among equals;
+  *  - `forward`: FIRST right row with rtime >= ltime — keeps the
+  *    smallest (rtime, tieBreak) among equals; same single monotone
+  *    cursor, nothing buffered at all;
+  *  - `nearest`: whichever of the backward candidate (rtime <= ltime)
+  *    and the strictly-later forward candidate (rtime > ltime) has the
+  *    smaller |gap|; equal gaps choose backward (the pandas rule).
+  *    Exact-time rows belong to the backward side, so an exact match
+  *    always wins at gap 0. Requires an integral-comparable time type
+  *    (timestamp/date/long/int) for the gap arithmetic.
+  * Tolerance bounds the chosen direction's gap (|gap| for nearest) and
+  * filters each CANDIDATE before nearest chooses, mirroring pandas: a
+  * too-old backward match does not shadow an in-tolerance forward one.
   */
 case class AsofJoin(
     left: LogicalPlan, right: LogicalPlan,
     leftKey: Expression, rightKey: Expression,
     leftTime: Expression, rightTime: Expression,
     rightTieBreak: Seq[Expression],
-    tolerance: Option[Long] = None)
+    tolerance: Option[Long] = None,
+    direction: String = Asof.Backward)
     extends BinaryNode {
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))
@@ -52,8 +69,8 @@ case class AsofJoin(
   * `SparkSessionExtensions.injectPlannerStrategy` (GraftExtensions). */
 object AsofJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsofJoin(l, r, lk, rk, lt, rt, tb, tol) =>
-      AsofJoinExec(lk, rk, lt, rt, tb, tol,
+    case AsofJoin(l, r, lk, rk, lt, rt, tb, tol, dir) =>
+      AsofJoinExec(lk, rk, lt, rt, tb, tol, dir,
         planLater(l), planLater(r)) :: Nil
     case _ => Nil
   }
@@ -64,6 +81,7 @@ case class AsofJoinExec(
     leftTime: Expression, rightTime: Expression,
     rightTieBreak: Seq[Expression],
     tolerance: Option[Long],
+    direction: String,
     left: SparkPlan, right: SparkPlan)
     extends BinaryExecNode {
 
@@ -118,9 +136,10 @@ case class AsofJoinExec(
       case org.apache.spark.sql.types.DateType |
           org.apache.spark.sql.types.IntegerType =>
         v => v.asInstanceOf[Int].toLong
-      case t if tolerance.isDefined =>
+      case t if tolerance.isDefined || direction == Asof.Nearest =>
         throw new IllegalArgumentException(
-          s"as-of tolerance unsupported for time type ${t.simpleString}")
+          s"as-of ${if (tolerance.isDefined) "tolerance" else "nearest"} " +
+            s"unsupported for time type ${t.simpleString}")
       case _ => _ => 0L
     }
     val numOutputRows = longMetric("numOutputRows")
@@ -187,6 +206,8 @@ case class AsofJoinExec(
       var best: InternalRow = null
       var bestKey: Any = null
       var bestTime: Any = null
+      val forwardOnly = direction == Asof.Forward
+      val nearest = direction == Asof.Nearest
       lIter.map { lRow =>
         val lkt = lProj(lRow)
         val lKeyV = lkt.get(0, keyType)
@@ -195,14 +216,25 @@ case class AsofJoinExec(
           numOutputRows += 1
           result(joined(lRow, nullRight))
         } else {
+          // Advance the shared cursor. Backward/nearest consume rows
+          // with rtime <= ltime into `best`; forward merely discards
+          // rows strictly before ltime (nothing buffered) so the
+          // cursor halts at the first row with rtime >= ltime. In all
+          // modes the cursor afterwards sits at the first row beyond
+          // the consumed/discarded region — for nearest that is
+          // exactly the strictly-later forward candidate.
           var advance = true
           while (advance && rValid) {
             val c = keyOrd.compare(rKeyV, lKeyV)
             if (c < 0) advanceRight() // earlier key: discard
-            else if (c == 0 && timeOrd.compare(rTimeV, lTimeV) <= 0) {
-              best = rRow.copy()
-              bestKey = snapKey(rKeyV)
-              bestTime = snapTime(rTimeV)
+            else if (c == 0 &&
+                (if (forwardOnly) timeOrd.compare(rTimeV, lTimeV) < 0
+                 else timeOrd.compare(rTimeV, lTimeV) <= 0)) {
+              if (!forwardOnly) {
+                best = rRow.copy()
+                bestKey = snapKey(rKeyV)
+                bestTime = snapTime(rTimeV)
+              }
               advanceRight()
             } else advance = false
           }
@@ -210,13 +242,29 @@ case class AsofJoinExec(
           // stay even when too old for this left row, because a later
           // left row first pulls newer right rows into `best` (the
           // while-loop above) before its own tolerance check.
-          val matched = best != null &&
+          val backOk = !forwardOnly && best != null &&
             keyOrd.compare(bestKey, lKeyV) == 0 &&
             tolerance.forall(tol =>
               timeAsLong(lTimeV) - timeAsLong(bestTime) <= tol)
+          val fwdOk = (forwardOnly || nearest) && rValid &&
+            keyOrd.compare(rKeyV, lKeyV) == 0 &&
+            tolerance.forall(tol =>
+              timeAsLong(rTimeV) - timeAsLong(lTimeV) <= tol)
+          val chosen: InternalRow =
+            if (nearest) {
+              if (backOk && fwdOk) {
+                // equal gaps choose backward (the pandas rule); exact
+                // matches sit in `best` with gap 0 and always win
+                if (timeAsLong(lTimeV) - timeAsLong(bestTime) <=
+                    timeAsLong(rTimeV) - timeAsLong(lTimeV)) best else rRow
+              } else if (backOk) best
+              else if (fwdOk) rRow
+              else null
+            } else if (forwardOnly) { if (fwdOk) rRow else null }
+            else { if (backOk) best else null }
           numOutputRows += 1
-          if (matched) numMatched += 1
-          result(joined(lRow, if (matched) best else nullRight))
+          if (chosen != null) numMatched += 1
+          result(joined(lRow, if (chosen != null) chosen else nullRight))
         }
       }
     }
@@ -239,6 +287,11 @@ case class AsofJoinExec(
   * `Dataset.join` performs — so the two sides never carry conflicting
   * attribute IDs into the plan. */
 object Asof {
+  val Backward = "backward"
+  val Forward = "forward"
+  val Nearest = "nearest"
+  private val Directions = Set(Backward, Forward, Nearest)
+
   /** Shared resolution core for the DataFrame API and the SQL
     * resolution rule: dedup right-side attribute IDs, resolve the six
     * column names with the given resolver, type-check, build the node. */
@@ -247,7 +300,10 @@ object Asof {
       resolver: (String, String) => Boolean,
       leftKey: String, rightKey: String,
       leftTime: String, rightTime: String,
-      tieBreak: Seq[String], tolerance: Option[Long]): AsofJoin = {
+      tieBreak: Seq[String], tolerance: Option[Long],
+      direction: String = Backward): AsofJoin = {
+    require(Directions.contains(direction),
+      s"as-of direction must be one of $Directions, got '$direction'")
     val rp: LogicalPlan =
       if (lp.outputSet.intersect(rp0.outputSet).isEmpty) rp0
       else org.apache.spark.sql.catalyst.plans.logical.Project(
@@ -269,7 +325,7 @@ object Asof {
     AsofJoin(lp, rp,
       att(lp, leftKey), att(rp, rightKey),
       att(lp, leftTime), att(rp, rightTime),
-      tieBreak.map(att(rp, _)), tolerance)
+      tieBreak.map(att(rp, _)), tolerance, direction)
   }
 
   def join(
@@ -277,11 +333,13 @@ object Asof {
       leftKey: String, rightKey: String,
       leftTime: String, rightTime: String,
       tieBreak: Seq[String] = Nil,
-      tolerance: Option[Long] = None): DataFrame = {
+      tolerance: Option[Long] = None,
+      direction: String = Backward): DataFrame = {
     val plan = resolveNode(
       left.queryExecution.analyzed, right.queryExecution.analyzed,
       left.sparkSession.sessionState.analyzer.resolver,
-      leftKey, rightKey, leftTime, rightTime, tieBreak, tolerance)
+      leftKey, rightKey, leftTime, rightTime, tieBreak, tolerance,
+      direction)
     org.apache.spark.sql.GraftPlanBridge.ofRows(left.sparkSession, plan)
   }
 }
@@ -308,7 +366,8 @@ case class UnresolvedAsofJoin(
     left: LogicalPlan, right: LogicalPlan,
     leftKey: String, rightKey: String,
     leftTime: String, rightTime: String,
-    tieBreak: Seq[String], tolerance: Option[Long])
+    tieBreak: Seq[String], tolerance: Option[Long],
+    direction: String = Asof.Backward)
     extends BinaryNode {
   override lazy val resolved: Boolean = false
   override def output: Seq[Attribute] = Nil
@@ -326,9 +385,10 @@ object AsofTableFunction {
   val info = new ExpressionInfo(classOf[AsofJoin].getName, name)
 
   private def usage = s"$name(leftTable, rightTable, leftKey, rightKey, " +
-    "leftTime, rightTime [, tieBreakCols [, toleranceLong]]) — " +
-    "string literals; tieBreakCols comma-separated; tolerance a long " +
-    "in the time type's integral unit"
+    "leftTime, rightTime [, tieBreakCols [, toleranceLong [, " +
+    "direction]]]) — string literals; tieBreakCols comma-separated; " +
+    "tolerance a long in the time type's integral unit (-1 = none); " +
+    "direction backward|forward|nearest"
 
   private def str(e: Expression, what: String): String = e match {
     case Literal(s: org.apache.spark.unsafe.types.UTF8String, StringType) =>
@@ -338,27 +398,32 @@ object AsofTableFunction {
   }
 
   val builder: Seq[Expression] => LogicalPlan = { args =>
-    if (args.size < 6 || args.size > 8)
+    if (args.size < 6 || args.size > 9)
       throw new IllegalArgumentException(
-        s"$name expects 6-8 arguments, got ${args.size}; $usage")
+        s"$name expects 6-9 arguments, got ${args.size}; $usage")
     val tie =
       if (args.size >= 7)
         str(args(6), "tieBreakCols").split(",").map(_.trim)
           .filter(_.nonEmpty).toSeq
       else Nil
+    // -1 = "no tolerance": a SQL caller that only wants a direction
+    // still has to fill the positional tolerance slot.
     val tol =
-      if (args.size == 8) args(7) match {
+      if (args.size >= 8) (args(7) match {
         case Literal(v: Long, LongType) => Some(v)
         case Literal(v: Int, IntegerType) => Some(v.toLong)
         case other => throw new IllegalArgumentException(
           s"$name: tolerance must be an integral literal, got $other")
-      } else None
+      }).filter(_ >= 0)
+      else None
+    val dir =
+      if (args.size == 9) str(args(8), "direction") else Asof.Backward
     UnresolvedAsofJoin(
       UnresolvedRelation(Seq(str(args(0), "leftTable"))),
       UnresolvedRelation(Seq(str(args(1), "rightTable"))),
       str(args(2), "leftKey"), str(args(3), "rightKey"),
       str(args(4), "leftTime"), str(args(5), "rightTime"),
-      tie, tol)
+      tie, tol, dir)
   }
 }
 
@@ -373,6 +438,6 @@ object ResolveAsofJoin
       case u: UnresolvedAsofJoin if u.childrenResolved =>
         Asof.resolveNode(u.left, u.right, conf.resolver,
           u.leftKey, u.rightKey, u.leftTime, u.rightTime,
-          u.tieBreak, u.tolerance)
+          u.tieBreak, u.tolerance, u.direction)
     }
 }

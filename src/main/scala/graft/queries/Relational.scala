@@ -304,6 +304,45 @@ object Relational {
       o_orderdate AS asof_orderdate
     FROM j WHERE rn = 1 ORDER BY event_id"""))
 
+  /** Native as-of, FORWARD direction (pandas merge_asof
+    * direction='forward'): for each purchase event, the user's FIRST
+    * order on or after the event — the "next action after a trigger"
+    * join (next restock after a stockout, next order after a
+    * complaint). Same streaming exec, no buffering at all in forward
+    * mode (the cursor itself is the candidate). Oracle: the composed
+    * window form with ascending order — DuckDB hash-checks the
+    * direction logic. */
+  val joinAsofForward: Q = Q(
+    "q_join_asof_forward",
+    (s, d) => {
+      val e = Tables.events(s, d)
+        .filter(col("event_type") === lit("purchase"))
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val o = Tables.orders(s, d)
+        .select(col("o_custkey"), col("o_orderkey"),
+          col("o_orderdate").cast("timestamp").as("o_orderdate"))
+      graft.plans.Asof.join(e, o,
+          leftKey = "user_id", rightKey = "o_custkey",
+          leftTime = "ts", rightTime = "o_orderdate",
+          tieBreak = Seq("o_orderkey"),
+          direction = graft.plans.Asof.Forward)
+        .select(col("event_id"), col("user_id"),
+          col("o_orderkey").as("next_orderkey"),
+          col("o_orderdate").as("next_orderdate"))
+        .orderBy("event_id")
+    },
+    Some("""WITH j AS (
+      SELECT e.event_id, e.user_id, o.o_orderkey, o.o_orderdate,
+        ROW_NUMBER() OVER (PARTITION BY e.event_id
+          ORDER BY o.o_orderdate ASC, o.o_orderkey ASC) AS rn
+      FROM (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+            FROM events WHERE event_type = 'purchase') e
+      LEFT JOIN orders o
+        ON e.user_id = o.o_custkey AND o.o_orderdate >= e.ts)
+    SELECT event_id, user_id, o_orderkey AS next_orderkey,
+      o_orderdate AS next_orderdate
+    FROM j WHERE rn = 1 ORDER BY event_id"""))
+
   /** Native as-of with TOLERANCE (pandas merge_asof tolerance): the
     * match must also be recent enough — stale history is worse than no
     * match for feature joins ("the user's most recent order" loses
@@ -626,7 +665,8 @@ object Relational {
   val all: Seq[Q] = Seq(
     scanProjectFilter, joinInnerEqui, joinBroadcast, joinLeftOuter,
     joinRightOuter, joinFullOuter, joinSemi, joinAnti, joinThetaRange,
-    joinAsof, joinAsofNative, joinAsofTolerance, joinAsofSql,
+    joinAsof, joinAsofNative, joinAsofForward, joinAsofTolerance,
+    joinAsofSql,
     joinInterval, joinNonEqui, joinSkewSalt, sortLimit, unionAll,
     unionDistinct, intersectQ, exceptQ, dateSpine, joinNullSafe)
 }

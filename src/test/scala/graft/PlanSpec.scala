@@ -59,6 +59,45 @@ class PlanSpec extends SparkSpec {
     assert(tol(5).getLong(0) == 7L, "tolerance bound is inclusive")
   }
 
+  test("as-of forward and nearest directions (pandas merge_asof rules)") {
+    import spark.implicits._
+    // right rows per key 1: times 5, 10, 10, 30 (tie at 10 to check
+    // the direction-specific tie rule: forward keeps the FIRST in
+    // (rt, tieBreak) order, backward the LAST)
+    val r = Seq((1L, 5L, 50L), (1L, 10L, 101L), (1L, 10L, 102L),
+      (1L, 30L, 300L))
+      .toDF("rk", "rt", "rv")
+    def one(l: (Long, Long), dir: String, tol: Option[Long] = None) = {
+      val lf = Seq(l).toDF("k", "t")
+      graft.plans.Asof.join(lf, r, "k", "rk", "t", "rt",
+        tieBreak = Seq("rv"), tolerance = tol, direction = dir)
+        .select(col("rv")).head()
+    }
+    // forward: first row with rt >= t; exact match included; smallest
+    // tie-break among equal rt
+    assert(one((1L, 7L), "forward").getLong(0) == 101L)
+    assert(one((1L, 10L), "forward").getLong(0) == 101L,
+      "forward includes exact matches, smallest tie-break")
+    assert(one((1L, 31L), "forward").isNullAt(0), "nothing later -> null")
+    assert(one((1L, 11L), "forward", tol = Some(10L)).isNullAt(0),
+      "forward gap 19 must fail tolerance 10")
+    // backward at the tie keeps the LAST tie-break
+    assert(one((1L, 10L), "backward").getLong(0) == 102L)
+    // nearest: backward gap vs strictly-later forward gap
+    assert(one((1L, 12L), "nearest").getLong(0) == 102L, "gap 2 < 18")
+    assert(one((1L, 25L), "nearest").getLong(0) == 300L, "gap 5 < 15")
+    assert(one((1L, 20L), "nearest").getLong(0) == 102L,
+      "equal gaps (10) choose backward")
+    assert(one((1L, 10L), "nearest").getLong(0) == 102L,
+      "exact match wins at gap 0")
+    assert(one((1L, 25L), "nearest", tol = Some(3L)).isNullAt(0),
+      "both candidates out of tolerance -> null")
+    assert(one((1L, 25L), "nearest", tol = Some(5L)).getLong(0) == 300L,
+      "tolerance filters candidates before nearest chooses")
+    // a too-old backward match must not shadow an in-tolerance forward
+    assert(one((1L, 28L), "nearest", tol = Some(2L)).getLong(0) == 300L)
+  }
+
   test("SQL-path asof_join TVF plans AsofJoinExec, matches the native form") {
     val plan = executed("q_join_asof_sql")
     assert(plan.contains("AsofJoin"), plan.take(800))
