@@ -343,6 +343,50 @@ object Relational {
       o_orderdate AS next_orderdate
     FROM j WHERE rn = 1 ORDER BY event_id"""))
 
+  /** Native as-of, NEAREST direction: for each purchase event, the
+    * user's order CLOSEST in time on either side — the
+    * reconciliation join ("which order does this event belong to")
+    * when the event stream and the order book have clock skew in
+    * both directions. The oracle ranks every same-user order by
+    * |gap| with the engine's full tie ladder declared explicitly:
+    * equal gaps choose backward; within the backward side the
+    * largest orderkey wins (the merge keeps the last row in sort
+    * order), within the forward side the smallest. */
+  val joinAsofNearest: Q = Q(
+    "q_join_asof_nearest",
+    (s, d) => {
+      val e = Tables.events(s, d)
+        .filter(col("event_type") === lit("purchase"))
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val o = Tables.orders(s, d)
+        .select(col("o_custkey"), col("o_orderkey"),
+          col("o_orderdate").cast("timestamp").as("o_orderdate"))
+      graft.plans.Asof.join(e, o,
+          leftKey = "user_id", rightKey = "o_custkey",
+          leftTime = "ts", rightTime = "o_orderdate",
+          tieBreak = Seq("o_orderkey"),
+          direction = graft.plans.Asof.Nearest)
+        .select(col("event_id"), col("user_id"),
+          col("o_orderkey").as("near_orderkey"),
+          col("o_orderdate").as("near_orderdate"))
+        .orderBy("event_id")
+    },
+    Some("""WITH j AS (
+      SELECT e.event_id, e.user_id, o.o_orderkey, o.o_orderdate,
+        ROW_NUMBER() OVER (PARTITION BY e.event_id
+          ORDER BY
+            abs(epoch_us(CAST(o.o_orderdate AS TIMESTAMP))
+              - epoch_us(e.ts)) ASC,
+            (o.o_orderdate <= e.ts) DESC,
+            CASE WHEN o.o_orderdate <= e.ts
+              THEN -o.o_orderkey ELSE o.o_orderkey END ASC) AS rn
+      FROM (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+            FROM events WHERE event_type = 'purchase') e
+      LEFT JOIN orders o ON e.user_id = o.o_custkey)
+    SELECT event_id, user_id, o_orderkey AS near_orderkey,
+      o_orderdate AS near_orderdate
+    FROM j WHERE rn = 1 ORDER BY event_id"""))
+
   /** Native as-of with TOLERANCE (pandas merge_asof tolerance): the
     * match must also be recent enough — stale history is worse than no
     * match for feature joins ("the user's most recent order" loses
@@ -665,8 +709,8 @@ object Relational {
   val all: Seq[Q] = Seq(
     scanProjectFilter, joinInnerEqui, joinBroadcast, joinLeftOuter,
     joinRightOuter, joinFullOuter, joinSemi, joinAnti, joinThetaRange,
-    joinAsof, joinAsofNative, joinAsofForward, joinAsofTolerance,
-    joinAsofSql,
+    joinAsof, joinAsofNative, joinAsofForward, joinAsofNearest,
+    joinAsofTolerance, joinAsofSql,
     joinInterval, joinNonEqui, joinSkewSalt, sortLimit, unionAll,
     unionDistinct, intersectQ, exceptQ, dateSpine, joinNullSafe)
 }
