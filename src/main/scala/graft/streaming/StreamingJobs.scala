@@ -103,4 +103,47 @@ object StreamingJobs {
           Iterator(UserRunningCount(userId, total))
       }
   }
+
+  final case class LastView(view_id: Long, ts_us: Long)
+  final case class Attribution(
+      event_id: Long, user_id: Long,
+      attr_view_id: Option[Long], gap_us: Option[Long])
+
+  /** EXT: streaming last-touch attribution — the online twin of
+    * q_event_attribution: per-user keyed state carries the most recent
+    * view; each purchase is credited to it when within the lookback.
+    * Within a micro-batch rows are sorted by (ts, event_id) before the
+    * sequential pass — the same total order as the batch query — so a
+    * view landing after a purchase in the SAME batch does not
+    * attribute it. Cross-batch correctness relies on the source
+    * delivering batches in event-time order for a user (as
+    * runningCountPerUser's count does); a production deployment would
+    * add a watermark-bounded reorder buffer in front. State is one
+    * (view_id, ts) pair per user — O(users), not O(events). */
+  def lastTouchAttribution(
+      events: Dataset[Event],
+      lookbackUs: Long = 7L * 86400L * 1000000L): Dataset[Attribution] = {
+    import events.sparkSession.implicits._
+    events
+      .filter(e => e.event_type == "view" || e.event_type == "purchase")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[LastView, Attribution](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (userId: Long, rows: Iterator[Event], state: GroupState[LastView]) =>
+          var last = state.getOption
+          val out = Seq.newBuilder[Attribution]
+          rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).foreach { e =>
+            val tsUs = e.ts.getTime * 1000L
+            if (e.event_type == "view") {
+              last = Some(LastView(e.event_id, tsUs))
+            } else {
+              val attr = last.filter(v => tsUs - v.ts_us <= lookbackUs)
+              out += Attribution(e.event_id, userId,
+                attr.map(_.view_id), attr.map(v => tsUs - v.ts_us))
+            }
+          }
+          last.foreach(state.update)
+          out.result().iterator
+      }
+  }
 }

@@ -163,6 +163,47 @@ class StreamingSpec extends SparkSpec {
     assert(counts.toSeq == Seq(2L, 3L), s"got ${counts.toSeq}")
   }
 
+  test("streaming last-touch attribution: state carries the last view across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val in = MemoryStream[Event]
+    val q = StreamingJobs.lastTouchAttribution(in.toDS(),
+        lookbackUs = 10L * 60 * 1000000L) // 10-minute lookback
+      .writeStream.outputMode(OutputMode.Append).format("memory")
+      .queryName("attr_out").start()
+    // batch 1: view then purchase (same batch, in-batch sort attributes);
+    // a purchase by a user with no view stays unattributed
+    in.addData(
+      Event(1, ts(0), 7, "view", 0),
+      Event(2, ts(2), 7, "purchase", 5.0),
+      Event(3, ts(2), 9, "purchase", 5.0))
+    q.processAllAvailable()
+    // batch 2: the view carried in state attributes a later purchase;
+    // then a purchase beyond the 10-minute lookback does not
+    in.addData(Event(4, ts(8), 7, "purchase", 5.0))
+    q.processAllAvailable()
+    in.addData(Event(5, ts(30), 7, "purchase", 5.0))
+    q.processAllAvailable()
+    // batch 3: a view whose EVENT TIME is after the purchase must not
+    // attribute it, whatever the arrival order in the batch — the
+    // in-batch (ts, event_id) sort, not arrival order, decides
+    in.addData(
+      Event(6, ts(41), 11, "purchase", 5.0),
+      Event(7, ts(42), 11, "view", 0))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("attr_out").orderBy("event_id").collect()
+      .map(r => (r.getLong(0),
+        if (r.isNullAt(2)) None else Some(r.getLong(2)))).toSeq
+    assert(rows == Seq(
+      2L -> Some(1L),  // in-batch attribution
+      3L -> None,      // no view for user 9
+      4L -> Some(1L),  // state carried across batches
+      5L -> None,      // beyond lookback
+      6L -> None       // view sorts after the purchase
+    ), s"got $rows")
+  }
+
   test("streaming CDC apply: foreachBatch merges each micro-batch into the snapshot") {
     // The CDC tail-end: a changelog stream applied to a parquet
     // snapshot generation-by-generation via Snapshot.applyChangelog —
