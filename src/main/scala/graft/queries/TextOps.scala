@@ -523,9 +523,19 @@ object TextOps {
         .groupBy(col("doc_id"))
         .agg(
           count(lit(1)).as("n_tokens"),
-          round(Det.davg(
-            -log(col("cnt").cast("double") / col("tot").cast("double")), 6),
-            6).as("avg_neg_logprob"))
+          // NO outer round: davg is already deterministic (per-token
+          // -ln quantized to scale-6 decimal by dsum, exact sum, one
+          // IEEE division). Rounding the MEAN is the r6-sf1-caught
+          // anti-pattern: a scale-6 decimal sum over an integer count
+          // systematically lands on exact scale-7 ".5" boundaries,
+          // where Spark's round (shortest-repr BigDecimal) and
+          // DuckDB's (binary value) disagree — 234 docs flipped at
+          // sf1. round() is safe on PER-ROW transcendentals (their
+          // values don't concentrate on decimal boundaries), not on
+          // ratios of decimals.
+          Det.davg(
+            -log(col("cnt").cast("double") / col("tot").cast("double")), 6)
+            .as("avg_neg_logprob"))
         .orderBy("doc_id")
     },
     Some(s"""WITH tok AS (
@@ -534,8 +544,7 @@ object TextOps {
     cnt AS (SELECT token, count(*) AS cnt FROM tok2 GROUP BY token),
     tot AS (SELECT count(*) AS tot FROM tok2)
     SELECT doc_id, count(*) AS n_tokens,
-      round(${Det.sqlAvg(
-        "-ln(CAST(cnt AS DOUBLE) / CAST(tot AS DOUBLE))", 6)}, 6)
+      ${Det.sqlAvg("-ln(CAST(cnt AS DOUBLE) / CAST(tot AS DOUBLE))", 6)}
         AS avg_neg_logprob
     FROM tok2 JOIN cnt USING (token) CROSS JOIN tot
     GROUP BY doc_id ORDER BY doc_id"""))
