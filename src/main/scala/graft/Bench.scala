@@ -31,7 +31,7 @@ object Bench {
     * inherent to the iterative algorithm). This set is therefore the
     * complete write set. */
   private val IoLast = Set("q_ref_round_trip", "q_ref_csv_source",
-    "q_ref_orc_source", "q_ref_json_source")
+    "q_ref_orc_source", "q_ref_json_source", "q_ref_xml_source")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -229,9 +229,13 @@ object DedupOps {
     *
     * Hashing shrinks the arrays the joins carry; a cross-gram collision
     * within one pair (~1e-13) is the accepted error. */
+  /** @param symmetric true when the downstream score guarantees
+    *   `n_common >= t·max(na, nb)` (Jaccard: J ≥ t forces min ≥ t·max),
+    *   false when only `n_common >= t·min` holds (containment). Picks
+    *   the candidate-join shape; both are exact for their score class. */
   private[graft] def ngramRawPairs(
       s: SparkSession, grams: DataFrame,
-      blockCap: Int, t: Double): DataFrame = {
+      blockCap: Int, t: Double, symmetric: Boolean): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val sized = grams.withColumn("block_n",
       count(lit(1)).over(Window.partitionBy(col("source"))))
@@ -254,15 +258,59 @@ object DedupOps {
       .withColumn("rn", row_number()
         .over(perDoc.orderBy(col("df"), col("g"))))
       .withColumn("n_shared", count(lit(1)).over(perDoc))
+    // Tail bound ceil(t·n)−1 must stay BELOW every qualifying n_common.
+    // The double literal 0.8 sits just above the rational 4/5, so t·n
+    // overshoots integer boundaries (0.8·5 = 4.0000000000000002 →
+    // ceil 5 → tail 4), and a boundary pair that the final double
+    // compare admits (c=4, na=4, nb=5: 4/5 rounds to exactly the 0.8
+    // double) would slip into the tail. ceil(t·n − 1e-9) lands on the
+    // REAL product's ceiling at such boundaries; away from them the
+    // epsilon only lengthens the prefix by ≤1 gram — lengthening never
+    // loses candidates. (1e-9 ≫ the ~1e-13 double error of t·n at
+    // these magnitudes, and ≪ the 1/n gap to the next integer for any
+    // real document's gram count.)
     val prefix = ranked.where(col("rn") <=
-      col("n_shared") - ceil(lit(t) * col("n")) + lit(1))
-    val cand = prefix.select(col("source"), col("g"), col("doc_id").as("p_id"))
-      .join(shared.select(col("source"), col("g"), col("doc_id").as("o_id")),
-        Seq("source", "g"))
-      .where(col("p_id") =!= col("o_id"))
-      .select(col("source"), least(col("p_id"), col("o_id")).as("a_id"),
-        greatest(col("p_id"), col("o_id")).as("b_id"))
-      .distinct()
+      col("n_shared") - ceil(lit(t) * col("n") - lit(1e-9)) + lit(1))
+    val cand = if (symmetric) {
+      // PPJoin prefix×prefix (Xiao et al. 2008): rank by a GLOBAL
+      // total order (df, g), so the globally-smallest common gram of a
+      // qualifying pair must appear in BOTH prefixes — if it sat below
+      // either side's prefix, that side's ≥ t·n common grams would all
+      // rank in its ceil(t·n)−1 tail (every common gram ranks at or
+      // after the smallest one). Joining prefix against prefix fans
+      // out p² per gram instead of prefix×postings' p·df — the df
+      // factor is exactly the stopword-gram cost this path exists to
+      // avoid (sf1: 41 s → prefix×prefix + size filter, see bench).
+      // The size filter min ≥ t·max uses the SAME division the scorer
+      // applies at n_common = min (where na+nb−c = max), so it keeps a
+      // pair iff the pair's maximum possible score passes — exact.
+      val pref = prefix.select(col("source"), col("g"),
+        col("doc_id"), col("n"))
+      pref.select(col("source"), col("g"),
+          col("doc_id").as("a_id"), col("n").as("a_n"))
+        .join(pref.select(col("source"), col("g"),
+          col("doc_id").as("b_id"), col("n").as("b_n")), Seq("source", "g"))
+        .where(col("a_id") < col("b_id"))
+        .where(least(col("a_n"), col("b_n")).cast("double")
+          / greatest(col("a_n"), col("b_n")).cast("double") >= lit(t))
+        .select(col("source"), col("a_id"), col("b_id"))
+        .distinct()
+    } else {
+      // Containment guarantees n_common ≥ t·n only on the SMALLER
+      // side, so its prefix must probe FULL postings (the larger side
+      // may bury every shared gram in its tail). Requiring the prefix
+      // side to be the ≤-size side halves the probe space and is
+      // exact: the min side's prefix always carries a shared gram.
+      prefix.select(col("source"), col("g"),
+          col("doc_id").as("p_id"), col("n").as("p_n"))
+        .join(shared.select(col("source"), col("g"),
+          col("doc_id").as("o_id"), col("n").as("o_n")), Seq("source", "g"))
+        .where(col("p_id") =!= col("o_id") && (col("p_n") < col("o_n")
+          || (col("p_n") === col("o_n") && col("p_id") < col("o_id"))))
+        .select(col("source"), least(col("p_id"), col("o_id")).as("a_id"),
+          greatest(col("p_id"), col("o_id")).as("b_id"))
+        .distinct()
+    }
     val exploded = cand
       .join(big.select(col("source"), col("doc_id").as("a_id"),
         col("bg").as("a_bg")), Seq("source", "a_id"))
@@ -276,7 +324,7 @@ object DedupOps {
   private[graft] def ngramPairs(
       s: SparkSession, grams: DataFrame,
       blockCap: Int, t: Double = NgramJaccardT): DataFrame =
-    ngramScore(s, ngramRawPairs(s, grams, blockCap, t), t)
+    ngramScore(s, ngramRawPairs(s, grams, blockCap, t, symmetric = true), t)
 
   val dedupNgramJaccard: Q = Q(
     "q_dedup_ngram_jaccard",
@@ -429,14 +477,15 @@ object DedupOps {
     * candidate machinery as q_dedup_ngram_jaccard (ngramRawPairs) with
     * the containment scorer; the prefix bound holds directly here
     * (n_common ≥ t·min by definition, so the SMALLER side must carry a
-    * shared gram in its prefix — ngramRawPairs joins prefix×full both
-    * ways, covering whichever side is smaller). Exact at every scale —
+    * shared gram in its prefix — ngramRawPairs' asymmetric path probes
+    * the min side's prefix against full postings). Exact at every scale —
     * the DuckDB full-enumeration oracle is matched by construction, not
     * by a fixture property as in r5. */
   val dedupContainment: Q = Q(
     "q_dedup_containment",
     (s, d) =>
-      ngramRawPairs(s, ngramGrams(s, d), NgramBlockCap, NgramContainT)
+      ngramRawPairs(s, ngramGrams(s, d), NgramBlockCap, NgramContainT,
+          symmetric = false)
         .select(col("source"), col("a_id"), col("b_id"),
           graft.functions.SortedIntersectCount(s, col("a_bg"), col("b_bg"))
             .as("n_common"),

@@ -489,7 +489,47 @@ object EventOps {
         AS is_attributed
     FROM p ORDER BY event_id"""))
 
+  /** EXT: top event paths — the most frequent 3-step behavior
+    * sequences across users (the path-analysis query behind "how do
+    * users reach purchase?"), generalizing [[eventTransitions]]'s
+    * bigrams to trigrams with a global top-k. Two lags over the same
+    * per-user (ts, event_id) window share ONE user-key shuffle and one
+    * sort; the trigram aggregate then collapses to ≤ |types|³ rows
+    * (125 here) before the top-20, which is a TakeOrderedAndProject
+    * over the tiny aggregate — the events table is never globally
+    * sorted. Ties rank deterministically by the path itself. */
+  val eventPaths: Q = Q(
+    "q_event_paths",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      Tables.events(s, d)
+        .select(col("user_id"), col("event_type"), col("ts"),
+          col("event_id"))
+        .withColumn("step1", lag(col("event_type"), 2).over(w))
+        .withColumn("step2", lag(col("event_type"), 1).over(w))
+        .where(col("step1").isNotNull)
+        .groupBy(col("step1"), col("step2"),
+          col("event_type").as("step3"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("step1"), col("step2"), col("step3"))
+        .limit(20)
+    },
+    Some("""WITH steps AS (
+      SELECT
+        lag(event_type, 2) OVER (PARTITION BY user_id
+          ORDER BY CAST(ts AS TIMESTAMP), event_id) AS step1,
+        lag(event_type, 1) OVER (PARTITION BY user_id
+          ORDER BY CAST(ts AS TIMESTAMP), event_id) AS step2,
+        event_type AS step3
+      FROM events)
+    SELECT step1, step2, step3, count(*) AS n
+    FROM steps WHERE step1 IS NOT NULL
+    GROUP BY step1, step2, step3
+    ORDER BY n DESC, step1, step2, step3 LIMIT 20"""))
+
   val all: Seq[Q] = Seq(eventFunnel, eventRetention, eventScd2,
     eventTransitions, eventOhlc, eventFfill, eventSessions, eventAnomaly,
-    eventAttribution)
+    eventAttribution, eventPaths)
 }

@@ -564,7 +564,64 @@ object PipelineOps {
       (SELECT count(*) FROM customer)
     ORDER BY rule"""))
 
+  /** EXT: distribution-drift profile (PSI — population stability index,
+    * the standard model-monitoring drift score) between a reference
+    * window and a current window of the same table: orders before vs
+    * on/after 1997-01-01, over fixed-width o_totalprice buckets. The
+    * pipeline use: compare a new corpus/feature drop against the last
+    * accepted snapshot and alarm when Σ psi > 0.2 (the conventional
+    * threshold) — here the per-bucket rows are emitted (counts, shares,
+    * contribution) and the caller sums, because a cross-bucket double
+    * sum would be accumulation-order-dependent while the per-bucket
+    * values are pure per-row scalars.
+    *
+    * Scale shape: one scan → 10-key aggregate (map-side combine
+    * collapses each partition to ≤10 rows before the shuffle), then a
+    * broadcast of the 1-row totals back over the 10-row result — the
+    * table is never scanned twice and nothing wider than the bucket
+    * histogram moves. Laplace smoothing ((n+1)/(N+B)) keeps ln finite
+    * on empty-on-one-side buckets deterministically; ln itself runs
+    * per-row on bitwise-identical doubles in both engines and is
+    * rounded to 6 decimals (the q_text_tfidf libm-ulp discipline). */
+  val profileDrift: Q = Q(
+    "q_profile_drift",
+    (s, d) => {
+      val bucketed = Tables.orders(s, d).select(
+        least(floor(col("o_totalprice") / 50000), lit(9)).cast("int")
+          .as("bucket"),
+        (col("o_orderdate") >= lit("1997-01-01").cast("date")).as("is_cur"))
+      val hist = bucketed.groupBy(col("bucket")).agg(
+        count(when(!col("is_cur"), 1)).as("n_ref"),
+        count(when(col("is_cur"), 1)).as("n_cur"))
+      val totals = hist.agg(
+        sum(col("n_ref")).as("tot_ref"), sum(col("n_cur")).as("tot_cur"))
+      val pRef = (col("n_ref") + 1).cast("double") /
+        (col("tot_ref") + 10).cast("double")
+      val pCur = (col("n_cur") + 1).cast("double") /
+        (col("tot_cur") + 10).cast("double")
+      hist.crossJoin(broadcast(totals))
+        .select(col("bucket"), col("n_ref"), col("n_cur"),
+          pRef.as("share_ref"), pCur.as("share_cur"),
+          round((pCur - pRef) * log(pCur / pRef), 6).as("psi_contrib"))
+        .orderBy("bucket")
+    },
+    Some("""WITH hist AS (
+      SELECT CAST(least(floor(o_totalprice / 50000), 9) AS INT) AS bucket,
+        count(*) FILTER (WHERE o_orderdate < DATE '1997-01-01') AS n_ref,
+        count(*) FILTER (WHERE o_orderdate >= DATE '1997-01-01') AS n_cur
+      FROM orders GROUP BY 1),
+    tot AS (SELECT sum(n_ref) AS tot_ref, sum(n_cur) AS tot_cur FROM hist)
+    SELECT bucket, n_ref, n_cur,
+      CAST(n_ref + 1 AS DOUBLE) / CAST(tot_ref + 10 AS DOUBLE) AS share_ref,
+      CAST(n_cur + 1 AS DOUBLE) / CAST(tot_cur + 10 AS DOUBLE) AS share_cur,
+      round((CAST(n_cur + 1 AS DOUBLE) / CAST(tot_cur + 10 AS DOUBLE)
+           - CAST(n_ref + 1 AS DOUBLE) / CAST(tot_ref + 10 AS DOUBLE))
+        * ln((CAST(n_cur + 1 AS DOUBLE) / CAST(tot_cur + 10 AS DOUBLE))
+           / (CAST(n_ref + 1 AS DOUBLE) / CAST(tot_ref + 10 AS DOUBLE))), 6)
+        AS psi_contrib
+    FROM hist CROSS JOIN tot ORDER BY bucket"""))
+
   val all: Seq[Q] = Seq(dedupComponents, textPack, textQualityFilter,
     textChunk, textDecontaminate, profileTable, textMixWeights,
-    profileSkew, profileExpectations)
+    profileSkew, profileExpectations, profileDrift)
 }

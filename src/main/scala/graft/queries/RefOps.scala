@@ -284,6 +284,43 @@ object RefOps {
       count(DISTINCT strftime(o_orderdate, '%Y-%m-%d')) AS n_days
     FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus"""))
 
+  /** EXT: XML as a source/sink format — completes the built-in text
+    * format family (CSV `q_ref_csv_source`, JSONL `q_ref_json_source`,
+    * ORC `q_ref_orc_source`) with Spark 4's native XML datasource (the
+    * spark-xml package merged into core). Customer rows project to
+    * integer/enum columns only (XML is a text format: the established
+    * text-round-trip rule is integers and strings, no float re-parse
+    * surface), export as one `<row>` element per record, re-ingest
+    * with an explicit schema (inference = a second full scan — never
+    * at 100 TB), and aggregate; the oracle states the round-trip
+    * postcondition over the original parquet.
+    *
+    * CONTRACT NOTE: like q_ref_csv_source, building this DataFrame
+    * executes the XML export job (idempotent overwrite, stable tmp
+    * dir). Bench runs it in the I/O-last block. */
+  val xmlSource: Q = Q(
+    "q_ref_xml_source",
+    (s, d) => {
+      val dest = s"${sys.props("java.io.tmpdir")}/graft_xml/customer_xml"
+      Tables.customer(s, d)
+        .select(col("c_custkey"), col("c_nationkey"), col("c_mktsegment"))
+        .write.mode("overwrite").option("rowTag", "row").xml(dest)
+      s.read
+        .schema("c_custkey LONG, c_nationkey INT, c_mktsegment STRING")
+        .option("rowTag", "row")
+        .xml(dest)
+        .groupBy(col("c_mktsegment"))
+        .agg(
+          count(lit(1)).as("n"),
+          countDistinct(col("c_nationkey")).as("n_nations"),
+          sum(col("c_custkey")).as("sum_key"))
+        .orderBy("c_mktsegment")
+    },
+    Some("""SELECT c_mktsegment, count(*) AS n,
+      count(DISTINCT c_nationkey) AS n_nations,
+      CAST(sum(c_custkey) AS BIGINT) AS sum_key
+    FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment"""))
+
   /** EXT: incremental snapshot diff as a declared query — classify the
     * delta between two snapshot generations into inserts / deletes /
     * unchanged (multiset semantics, engine.Snapshot.incremental's
@@ -435,5 +472,5 @@ object RefOps {
   val all: Seq[Q] = Seq(
     lineFilter, grepExists, extractId, identifier, versionDispatch,
     statusLast, nonemptyGuard, roundTrip, csvSource, orcSource,
-    jsonSource, incremental, mergeUpsert, csvQuarantine)
+    jsonSource, xmlSource, incremental, mergeUpsert, csvQuarantine)
 }

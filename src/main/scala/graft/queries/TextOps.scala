@@ -660,9 +660,69 @@ object TextOps {
     WHERE d.doc_id % 10 = 0
     ORDER BY d.doc_id"""))
 
+  /** EXT: character-entropy quality signal — Shannon entropy of each
+    * document's character distribution, the compression-style gibberish
+    * detector (near-zero entropy = repeated filler, abnormally high =
+    * random noise; both are filter tails, complementing
+    * [[textRepetition]]'s token-level signal). Per-char class
+    * probabilities come from one (doc, char) aggregate; the per-doc
+    * total is a window over the SAME key, so the histogram shuffle is
+    * the only exchange (map-side combine collapses each partition to
+    * ≤ |charset| rows per doc before it). The cross-class Σ p·ln p is
+    * Det.dsum decimal-quantized (order-independent in both engines);
+    * ln runs per-row on bitwise-identical ratio doubles (the
+    * q_text_tfidf discipline). The fixture corpus is pure ASCII at
+    * every scale point (verified sf0.01-sf1), so Spark's codepoint
+    * split and DuckDB's grapheme split agree by construction.
+    *
+    * At 100 TB the explode-shuffle form here would move n_chars rows;
+    * the production variant folds the per-row histogram with a native
+    * char-count kernel (as rolling_hash does for fingerprints) and
+    * shuffles nothing — kept SQL-expressible here so the oracle can
+    * hash-check the semantics. */
+  val textEntropy: Q = Q(
+    "q_text_entropy",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val perChar = Tables.documents(s, d)
+        .select(col("doc_id"),
+          explode(split(lower(col("text")), "")).as("ch"))
+        .where(col("ch") =!= "")
+        .groupBy(col("doc_id"), col("ch"))
+        .agg(count(lit(1)).as("cnt"))
+      val tot = sum(col("cnt")).over(Window.partitionBy(col("doc_id")))
+      val p = col("cnt").cast("double") / col("n_chars").cast("double")
+      perChar
+        .withColumn("n_chars", tot)
+        .groupBy(col("doc_id"))
+        .agg(
+          max(col("n_chars")).as("n_chars"),
+          count(lit(1)).as("n_classes"),
+          (-Det.dsum(p * log(p), 6)).as("entropy"))
+        .orderBy("doc_id")
+    },
+    Some(s"""WITH perchar AS (
+      SELECT doc_id, ch, count(*) AS cnt
+      FROM (SELECT doc_id, unnest(string_split(lower(text), '')) AS ch
+            FROM documents)
+      WHERE ch != ''
+      GROUP BY doc_id, ch),
+    withtot AS (
+      SELECT doc_id, cnt,
+        sum(cnt) OVER (PARTITION BY doc_id) AS n_chars
+      FROM perchar)
+    SELECT doc_id,
+      CAST(max(n_chars) AS BIGINT) AS n_chars,
+      count(*) AS n_classes,
+      -${Det.sqlSum(
+        "(CAST(cnt AS DOUBLE) / CAST(n_chars AS DOUBLE))" +
+          " * ln(CAST(cnt AS DOUBLE) / CAST(n_chars AS DOUBLE))", 6)}
+        AS entropy
+    FROM withtot GROUP BY doc_id ORDER BY doc_id"""))
+
   val all: Seq[Q] = Seq(
     dedupExact, textTokens, textStats, textTfidf, textLangid, textQuality,
     textFingerprint, textTokencount, textNgramFreq, textRedact,
     textNormalize, textRepetition, textSourceOverlap, textCmsTopk,
-    textUnigramLogprob, textBm25, dedupIncremental)
+    textUnigramLogprob, textBm25, dedupIncremental, textEntropy)
 }

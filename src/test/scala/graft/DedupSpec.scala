@@ -218,7 +218,8 @@ class DedupSpec extends SparkSpec {
       .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
     val grams = queries.DedupOps.ngramGrams(spark, tmp)
     val scored = queries.DedupOps
-      .ngramRawPairs(spark, grams, 512, queries.DedupOps.NgramContainT)
+      .ngramRawPairs(spark, grams, 512, queries.DedupOps.NgramContainT,
+        symmetric = false)
       .select(
         graft.functions.SortedIntersectCount(
           spark, col("a_bg"), col("b_bg")).as("n_common"),
@@ -258,7 +259,7 @@ class DedupSpec extends SparkSpec {
     val grams = queries.DedupOps.ngramGrams(spark, tmp).cache()
     def contained(blockCap: Int) =
       queries.DedupOps.ngramRawPairs(spark, grams, blockCap,
-        queries.DedupOps.NgramContainT)
+        queries.DedupOps.NgramContainT, symmetric = false)
         .select(col("source"), col("a_id"), col("b_id"),
           (graft.functions.SortedIntersectCount(
             spark, col("a_bg"), col("b_bg")).cast("double") /
