@@ -273,43 +273,97 @@ object DedupOps {
       col("n_shared") - ceil(lit(t) * col("n") - lit(1e-9)) + lit(1))
     val cand = if (symmetric) {
       // PPJoin prefix×prefix (Xiao et al. 2008): rank by a GLOBAL
-      // total order (df, g), so the globally-smallest common gram of a
-      // qualifying pair must appear in BOTH prefixes — if it sat below
-      // either side's prefix, that side's ≥ t·n common grams would all
-      // rank in its ceil(t·n)−1 tail (every common gram ranks at or
-      // after the smallest one). Joining prefix against prefix fans
-      // out p² per gram instead of prefix×postings' p·df — the df
-      // factor is exactly the stopword-gram cost this path exists to
-      // avoid (sf1: 41 s → prefix×prefix + size filter, see bench).
-      // The size filter min ≥ t·max uses the SAME division the scorer
+      // total order (df, g), so the globally-smallest common gram g*
+      // of a qualifying pair must appear in BOTH prefixes — if it sat
+      // below either side's prefix, that side's ≥ t·n common grams
+      // would all rank in its ceil(t·n)−1 tail (every common gram
+      // ranks at or after the smallest one). Joining prefix against
+      // prefix fans out p² per gram instead of prefix×postings' p·df —
+      // the df factor is exactly the stopword-gram cost this path
+      // exists to avoid (sf1: 41 s → prefix×prefix + size filter).
+      //
+      // Two further PPJoin refinements, both exact (sf1/t=0.4 measured
+      // 27.2M candidates feeding a 34 s array-carrying re-score for 54
+      // true pairs before them):
+      //
+      //  - MID-PREFIX on the smaller side: for a pair with n_s ≤ n_l,
+      //    the required overlap α = ceil(t/(1+t)·(n_l+n_s)) ≥
+      //    ceil(2t/(1+t)·n_s), so if every common gram sat beyond the
+      //    smaller side's first n_shared − ceil(2t/(1+t)·n) + 1 ranked
+      //    grams, c ≤ ceil(2t/(1+t)·n_s) − 1 < α — contradiction. The
+      //    smaller side therefore only needs the SHORTER mid-prefix
+      //    (t=0.4: 0.43·n vs 0.57·n), cutting the per-gram fan-out to
+      //    p_long·p_mid. The larger side still needs the full Bayardo
+      //    prefix (its binding partner is the t·n_l-sized one).
+      //
+      //  - POSITIONAL FILTER: g* is identifiable among a pair's
+      //    matched prefix grams as the (df, g)-minimal one, and every
+      //    common gram ranks ≥ rn(g*) on BOTH sides, so c ≤
+      //    min(l_ns − l_rn*, s_ns − s_rn*) + 1. Aggregating matches
+      //    per pair (min_by over the global order — the same shuffle
+      //    the old .distinct() paid) and pruning pairs whose bound
+      //    falls below α = ceil(t/(1+t)·(n_l+n_s)) removes the
+      //    shared-one-stopword-prefix-gram mass BEFORE the re-score
+      //    join ships gram arrays. ceil(x − 1e-9) for the same
+      //    boundary reason as the prefix bound above: the computed α
+      //    must never exceed the real one.
+      //
+      // The size filter s_n ≥ t·l_n uses the SAME division the scorer
       // applies at n_common = min (where na+nb−c = max), so it keeps a
       // pair iff the pair's maximum possible score passes — exact.
-      val pref = prefix.select(col("source"), col("g"),
-        col("doc_id"), col("n"))
-      pref.select(col("source"), col("g"),
-          col("doc_id").as("a_id"), col("n").as("a_n"))
-        .join(pref.select(col("source"), col("g"),
-          col("doc_id").as("b_id"), col("n").as("b_n")), Seq("source", "g"))
-        .where(col("a_id") < col("b_id"))
-        .where(least(col("a_n"), col("b_n")).cast("double")
-          / greatest(col("a_n"), col("b_n")).cast("double") >= lit(t))
-        .select(col("source"), col("a_id"), col("b_id"))
-        .distinct()
+      val midPrefix = ranked.where(col("rn") <=
+        col("n_shared") - ceil(lit(2 * t / (1 + t)) * col("n") - lit(1e-9))
+          + lit(1))
+      val long = prefix.select(col("source"), col("g"), col("df"),
+        col("doc_id").as("l_id"), col("n").as("l_n"),
+        col("rn").as("l_rn"), col("n_shared").as("l_ns"))
+      val mid = midPrefix.select(col("source"), col("g"),
+        col("doc_id").as("s_id"), col("n").as("s_n"),
+        col("rn").as("s_rn"), col("n_shared").as("s_ns"))
+      long.join(mid, Seq("source", "g"))
+        .where(col("l_n") > col("s_n")
+          || (col("l_n") === col("s_n") && col("l_id") < col("s_id")))
+        .where(col("s_n").cast("double") / col("l_n").cast("double")
+          >= lit(t))
+        .groupBy(col("source"), col("l_id"), col("s_id"),
+          col("l_n"), col("s_n"))
+        .agg(min_by(
+          struct(col("l_rn"), col("l_ns"), col("s_rn"), col("s_ns")),
+          struct(col("df"), col("g"))).as("m"))
+        .where(least(col("m.l_ns") - col("m.l_rn"),
+          col("m.s_ns") - col("m.s_rn")) + lit(1) >=
+          ceil(lit(t / (1 + t)) * (col("l_n") + col("s_n")) - lit(1e-9)))
+        .select(col("source"), least(col("l_id"), col("s_id")).as("a_id"),
+          greatest(col("l_id"), col("s_id")).as("b_id"))
     } else {
       // Containment guarantees n_common ≥ t·n only on the SMALLER
       // side, so its prefix must probe FULL postings (the larger side
       // may bury every shared gram in its tail). Requiring the prefix
       // side to be the ≤-size side halves the probe space and is
       // exact: the min side's prefix always carries a shared gram.
-      prefix.select(col("source"), col("g"),
-          col("doc_id").as("p_id"), col("n").as("p_n"))
-        .join(shared.select(col("source"), col("g"),
-          col("doc_id").as("o_id"), col("n").as("o_n")), Seq("source", "g"))
+      // The positional filter applies here too: the globally-smallest
+      // common gram is in the min side's prefix (same tail argument)
+      // and trivially among the full postings of the other side, so
+      // per pair the (df, g)-minimal match is g* and c ≤
+      // min(p_ns − p_rn*, o_ns − o_rn*) + 1 must reach α = ceil(t·p_n).
+      prefix.select(col("source"), col("g"), col("df"),
+          col("doc_id").as("p_id"), col("n").as("p_n"),
+          col("rn").as("p_rn"), col("n_shared").as("p_ns"))
+        .join(ranked.select(col("source"), col("g"),
+          col("doc_id").as("o_id"), col("n").as("o_n"),
+          col("rn").as("o_rn"), col("n_shared").as("o_ns")),
+          Seq("source", "g"))
         .where(col("p_id") =!= col("o_id") && (col("p_n") < col("o_n")
           || (col("p_n") === col("o_n") && col("p_id") < col("o_id"))))
+        .groupBy(col("source"), col("p_id"), col("o_id"), col("p_n"))
+        .agg(min_by(
+          struct(col("p_rn"), col("p_ns"), col("o_rn"), col("o_ns")),
+          struct(col("df"), col("g"))).as("m"))
+        .where(least(col("m.p_ns") - col("m.p_rn"),
+          col("m.o_ns") - col("m.o_rn")) + lit(1) >=
+          ceil(lit(t) * col("p_n") - lit(1e-9)))
         .select(col("source"), least(col("p_id"), col("o_id")).as("a_id"),
           greatest(col("p_id"), col("o_id")).as("b_id"))
-        .distinct()
     }
     val exploded = cand
       .join(big.select(col("source"), col("doc_id").as("a_id"),
