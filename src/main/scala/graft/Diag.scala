@@ -30,6 +30,27 @@ object Diag {
       println("pairs: " + queries.DedupOps.ngramPairs(spark, grams, 512, t)
         .count())
     }
+    // Overlap distribution of a 1/64 hash-sample of the surviving
+    // candidates: how close does the candidate mass come to the
+    // threshold?  Decides whether a cheap exact upper bound (bucketed
+    // histogram min-sum) would prune it before arrays ship.
+    timed("sampled candidate jaccard deciles") {
+      val scored = queries.DedupOps
+        .ngramRawPairs(spark, grams, 512, t, symmetric = true)
+        .where(pmod(xxhash64(col("a_id"), col("b_id")), lit(64)) === 0)
+        .select(
+          graft.functions.SortedIntersectCount(spark,
+            col("a_bg"), col("b_bg")).cast("double").as("c"),
+          size(col("a_bg")).cast("double").as("na"),
+          size(col("b_bg")).cast("double").as("nb"))
+        .select((col("c") / (col("na") + col("nb") - col("c"))).as("j"),
+          col("na"), col("nb"))
+      scored.select(
+        count(lit(1)).as("n"),
+        avg(col("na")).as("avg_n"),
+        expr("percentile_approx(j, array(0.1,0.25,0.5,0.75,0.9,0.99), 10000)")
+          .as("j_deciles")).show(false)
+    }
     grams.unpersist()
     spark.stop()
   }

@@ -296,17 +296,26 @@ object DedupOps {
       //    p_long·p_mid. The larger side still needs the full Bayardo
       //    prefix (its binding partner is the t·n_l-sized one).
       //
-      //  - POSITIONAL FILTER: g* is identifiable among a pair's
-      //    matched prefix grams as the (df, g)-minimal one, and every
-      //    common gram ranks ≥ rn(g*) on BOTH sides, so c ≤
-      //    min(l_ns − l_rn*, s_ns − s_rn*) + 1. Aggregating matches
-      //    per pair (min_by over the global order — the same shuffle
-      //    the old .distinct() paid) and pruning pairs whose bound
-      //    falls below α = ceil(t/(1+t)·(n_l+n_s)) removes the
-      //    shared-one-stopword-prefix-gram mass BEFORE the re-score
-      //    join ships gram arrays. ceil(x − 1e-9) for the same
-      //    boundary reason as the prefix bound above: the computed α
-      //    must never exceed the real one.
+      //  - POSITIONAL FILTER, applied PER MATCH ROW map-side, before
+      //    the dedup shuffle: every common gram of a pair ranks ≥
+      //    rn(g*) on BOTH sides (g* = the globally-(df,g)-minimal
+      //    common gram), so c ≤ min(l_ns − l_rn*, s_ns − s_rn*) + 1.
+      //    That bound is only valid AT g*, but it can still be tested
+      //    on every matched row: a matched gram g ranks at-or-after
+      //    g* on both sides, so its row bound min(l_ns − l_rn, s_ns −
+      //    s_rn) + 1 is ≤ the g* bound. If the g* bound misses α =
+      //    ceil(t/(1+t)·(n_l+n_s)), EVERY row of that pair misses α
+      //    (their bounds are smaller still) and the pair vanishes
+      //    entirely; if it reaches α, the g* row itself survives (the
+      //    prefix-filter theorem puts g* in both prefixes, so its row
+      //    exists) and keeps the pair alive. The filter therefore
+      //    prunes exactly the pairs whose maximum possible overlap
+      //    cannot reach α — the shared-one-stopword-prefix-gram mass
+      //    (sf1/t=0.4: 99th-pctile candidate jaccard measured 0.06) —
+      //    before the distinct() shuffle and the array-carrying
+      //    re-score join. ceil(x − 1e-9) for the same boundary reason
+      //    as the prefix bound above: the computed α must never
+      //    exceed the real one.
       //
       // The size filter s_n ≥ t·l_n uses the SAME division the scorer
       // applies at n_common = min (where na+nb−c = max), so it keeps a
@@ -314,7 +323,7 @@ object DedupOps {
       val midPrefix = ranked.where(col("rn") <=
         col("n_shared") - ceil(lit(2 * t / (1 + t)) * col("n") - lit(1e-9))
           + lit(1))
-      val long = prefix.select(col("source"), col("g"), col("df"),
+      val long = prefix.select(col("source"), col("g"),
         col("doc_id").as("l_id"), col("n").as("l_n"),
         col("rn").as("l_rn"), col("n_shared").as("l_ns"))
       val mid = midPrefix.select(col("source"), col("g"),
@@ -325,28 +334,27 @@ object DedupOps {
           || (col("l_n") === col("s_n") && col("l_id") < col("s_id")))
         .where(col("s_n").cast("double") / col("l_n").cast("double")
           >= lit(t))
-        .groupBy(col("source"), col("l_id"), col("s_id"),
-          col("l_n"), col("s_n"))
-        .agg(min_by(
-          struct(col("l_rn"), col("l_ns"), col("s_rn"), col("s_ns")),
-          struct(col("df"), col("g"))).as("m"))
-        .where(least(col("m.l_ns") - col("m.l_rn"),
-          col("m.s_ns") - col("m.s_rn")) + lit(1) >=
+        .where(least(col("l_ns") - col("l_rn"),
+          col("s_ns") - col("s_rn")) + lit(1) >=
           ceil(lit(t / (1 + t)) * (col("l_n") + col("s_n")) - lit(1e-9)))
         .select(col("source"), least(col("l_id"), col("s_id")).as("a_id"),
           greatest(col("l_id"), col("s_id")).as("b_id"))
+        .distinct()
     } else {
       // Containment guarantees n_common ≥ t·n only on the SMALLER
       // side, so its prefix must probe FULL postings (the larger side
       // may bury every shared gram in its tail). Requiring the prefix
       // side to be the ≤-size side halves the probe space and is
       // exact: the min side's prefix always carries a shared gram.
-      // The positional filter applies here too: the globally-smallest
-      // common gram is in the min side's prefix (same tail argument)
-      // and trivially among the full postings of the other side, so
-      // per pair the (df, g)-minimal match is g* and c ≤
-      // min(p_ns − p_rn*, o_ns − o_rn*) + 1 must reach α = ceil(t·p_n).
-      prefix.select(col("source"), col("g"), col("df"),
+      // The per-row positional filter applies here too: g* (the
+      // globally-smallest common gram) is in the min side's prefix
+      // (same tail argument) and trivially among the full postings of
+      // the other side, so its match row exists; every common gram
+      // ranks at-or-after g* on both sides, so each row's bound
+      // min(p_ns − p_rn, o_ns − o_rn) + 1 is ≤ the g* bound, and a
+      // pair whose g* bound misses α = ceil(t·p_n) loses ALL its rows
+      // while a qualifying pair keeps at least the g* row — exact.
+      prefix.select(col("source"), col("g"),
           col("doc_id").as("p_id"), col("n").as("p_n"),
           col("rn").as("p_rn"), col("n_shared").as("p_ns"))
         .join(ranked.select(col("source"), col("g"),
@@ -355,15 +363,12 @@ object DedupOps {
           Seq("source", "g"))
         .where(col("p_id") =!= col("o_id") && (col("p_n") < col("o_n")
           || (col("p_n") === col("o_n") && col("p_id") < col("o_id"))))
-        .groupBy(col("source"), col("p_id"), col("o_id"), col("p_n"))
-        .agg(min_by(
-          struct(col("p_rn"), col("p_ns"), col("o_rn"), col("o_ns")),
-          struct(col("df"), col("g"))).as("m"))
-        .where(least(col("m.p_ns") - col("m.p_rn"),
-          col("m.o_ns") - col("m.o_rn")) + lit(1) >=
+        .where(least(col("p_ns") - col("p_rn"),
+          col("o_ns") - col("o_rn")) + lit(1) >=
           ceil(lit(t) * col("p_n") - lit(1e-9)))
         .select(col("source"), least(col("p_id"), col("o_id")).as("a_id"),
           greatest(col("p_id"), col("o_id")).as("b_id"))
+        .distinct()
     }
     val exploded = cand
       .join(big.select(col("source"), col("doc_id").as("a_id"),
