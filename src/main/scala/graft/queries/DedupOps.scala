@@ -346,26 +346,24 @@ object DedupOps {
       // may bury every shared gram in its tail). Requiring the prefix
       // side to be the ≤-size side halves the probe space and is
       // exact: the min side's prefix always carries a shared gram.
-      // The per-row positional filter applies here too: g* (the
-      // globally-smallest common gram) is in the min side's prefix
-      // (same tail argument) and trivially among the full postings of
-      // the other side, so its match row exists; every common gram
-      // ranks at-or-after g* on both sides, so each row's bound
-      // min(p_ns − p_rn, o_ns − o_rn) + 1 is ≤ the g* bound, and a
-      // pair whose g* bound misses α = ceil(t·p_n) loses ALL its rows
-      // while a qualifying pair keeps at least the g* row — exact.
+      // No positional filter here, deliberately: with α = ceil(t·p_n)
+      // the p-side row bound p_ns − p_rn + 1 ≥ α is EXACTLY the
+      // prefix-membership condition (rn ≤ ns − ceil(t·n) + 1), so it
+      // prunes nothing the prefix hasn't, and an o-side rank term
+      // would require joining `ranked` (a second row_number window
+      // over the full postings) instead of the window-free `shared` —
+      // measured at sf1 that window cost a 31.9 → 46.7 s containment
+      // regression for near-zero extra pruning (the o side is the
+      // larger doc with its FULL postings in play, so its tail slack
+      // almost never binds). The symmetric path's filter earns its
+      // keep only because its α = ceil(t/(1+t)·(l_n+s_n)) is strictly
+      // tighter than either side's prefix bound.
       prefix.select(col("source"), col("g"),
-          col("doc_id").as("p_id"), col("n").as("p_n"),
-          col("rn").as("p_rn"), col("n_shared").as("p_ns"))
-        .join(ranked.select(col("source"), col("g"),
-          col("doc_id").as("o_id"), col("n").as("o_n"),
-          col("rn").as("o_rn"), col("n_shared").as("o_ns")),
-          Seq("source", "g"))
+          col("doc_id").as("p_id"), col("n").as("p_n"))
+        .join(shared.select(col("source"), col("g"),
+          col("doc_id").as("o_id"), col("n").as("o_n")), Seq("source", "g"))
         .where(col("p_id") =!= col("o_id") && (col("p_n") < col("o_n")
           || (col("p_n") === col("o_n") && col("p_id") < col("o_id"))))
-        .where(least(col("p_ns") - col("p_rn"),
-          col("o_ns") - col("o_rn")) + lit(1) >=
-          ceil(lit(t) * col("p_n") - lit(1e-9)))
         .select(col("source"), least(col("p_id"), col("o_id")).as("a_id"),
           greatest(col("p_id"), col("o_id")).as("b_id"))
         .distinct()
