@@ -43,7 +43,8 @@ object Registry {
       queries.SqlQueries.all ++
       queries.PipelineOps.all ++
       queries.AnnOps.all ++
-      queries.EventOps.all
+      queries.EventOps.all ++
+      queries.CurationOps.all
 
   lazy val byName: Map[String, Q] = all.map(q => q.name -> q).toMap
 }
