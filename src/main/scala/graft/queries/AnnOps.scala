@@ -318,5 +318,50 @@ object AnnOps {
     },
     None)
 
-  val all: Seq[Q] = Seq(simIvfTopk, simPqTopk, simIvfPqTopk)
+  private val SemTau = 0.35
+  private val SemK = 8
+
+  /** EXT: semantic deduplication — the SemDeDup pipeline (Abbas et
+    * al. 2023, arXiv:2303.09540): k-means-cluster the embedding space,
+    * then near-dedup WITHIN each cluster only, so the pair space is
+    * Σ|cell|² instead of |corpus|² and, at 100 TB, each cell's members
+    * co-locate in one partition of a by-cell-written corpus. The
+    * greedy keep rule is deterministic (the paper uses random order):
+    * a vector is a duplicate when ANY lower-id vector in its cell has
+    * cosine ≥ τ; `dup_of` is the smallest such id, `kept` otherwise.
+    *
+    * K scales with the corpus in production (K ≈ n / target cell
+    * size — the paper uses 50k clusters for LAION); here K=8 over the
+    * fixture's 2k vectors gives the same bounded-cell shape. The
+    * centroid model is the driver-side bounded fit shared with IVF
+    * (trainCentroids) → no SQL oracle; AnnSpec pins the keep-rule
+    * semantics and determinism. */
+  val dedupSemantic: Q = Q(
+    "q_dedup_semantic",
+    (s, d) => {
+      val emb = Tables.embeddings(s, d)
+        .select(col("vec_id"), col("embedding"))
+      val cents = trainCentroids(emb, k = SemK)
+      val corpus = emb.select(col("vec_id"), col("embedding"),
+        cellOf(s, col("embedding"), cents).as("cell"))
+      // Earlier-similar search: equi-join on cell (the SemDeDup pair
+      // bound), id-ordered so each vector only looks backwards.
+      val dups = corpus.select(col("cell"), col("vec_id").as("a_id"),
+          col("embedding").as("av"))
+        .join(corpus.select(col("cell"), col("vec_id").as("b_id"),
+          col("embedding").as("bv")), Seq("cell"))
+        .where(col("b_id") < col("a_id"))
+        .where(graft.functions.CosineSimilarity(
+          s, col("av"), col("bv")) >= SemTau)
+        .groupBy(col("a_id").as("vec_id"))
+        .agg(min(col("b_id")).as("dup_of"))
+      corpus.select(col("vec_id"), col("cell"))
+        .join(dups, Seq("vec_id"), "left")
+        .select(col("vec_id"), col("cell"), col("dup_of"),
+          col("dup_of").isNull.as("kept"))
+        .orderBy("vec_id")
+    },
+    None)
+
+  val all: Seq[Q] = Seq(simIvfTopk, simPqTopk, simIvfPqTopk, dedupSemantic)
 }
