@@ -319,7 +319,8 @@ object AnnOps {
     None)
 
   private val SemTau = 0.35
-  private val SemK = 8
+  private val SemKMin = 8
+  private val SemCellTarget = 256L
 
   /** EXT: semantic deduplication — the SemDeDup pipeline (Abbas et
     * al. 2023, arXiv:2303.09540): k-means-cluster the embedding space,
@@ -330,18 +331,22 @@ object AnnOps {
     * a vector is a duplicate when ANY lower-id vector in its cell has
     * cosine ≥ τ; `dup_of` is the smallest such id, `kept` otherwise.
     *
-    * K scales with the corpus in production (K ≈ n / target cell
-    * size — the paper uses 50k clusters for LAION); here K=8 over the
-    * fixture's 2k vectors gives the same bounded-cell shape. The
-    * centroid model is the driver-side bounded fit shared with IVF
-    * (trainCentroids) → no SQL oracle; AnnSpec pins the keep-rule
-    * semantics and determinism. */
+    * K SCALES WITH THE CORPUS — K = max(8, n/256) — because a fixed K
+    * is the cliff-6 pattern (an equi key whose cardinality does not
+    * grow with the data): with constant K, |cell| ∝ n and the
+    * within-cell join is quadratic again. With K ∝ n the expected cell
+    * stays ~256 vectors and the pair space is linear in the corpus
+    * (the paper sizes the same way: 50k clusters for LAION). The
+    * centroid model stays a bounded driver fit (K×dim doubles,
+    * broadcast) shared with IVF (trainCentroids) → no SQL oracle;
+    * DedupSpec re-derives the keep rule driver-side. */
   val dedupSemantic: Q = Q(
     "q_dedup_semantic",
     (s, d) => {
       val emb = Tables.embeddings(s, d)
         .select(col("vec_id"), col("embedding"))
-      val cents = trainCentroids(emb, k = SemK)
+      val semK = math.max(SemKMin, (emb.count() / SemCellTarget).toInt)
+      val cents = trainCentroids(emb, k = semK)
       val corpus = emb.select(col("vec_id"), col("embedding"),
         cellOf(s, col("embedding"), cents).as("cell"))
       // Earlier-similar search: equi-join on cell (the SemDeDup pair
