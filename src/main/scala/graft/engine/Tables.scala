@@ -49,28 +49,45 @@ object Tables {
   def orders(s: SparkSession, d: String): DataFrame = apply(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame = apply(s, d, "lineitem")
 
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark's vectorized
-    * reader rejects; read it as a raw long and truncate to µs (integer
-    * `div 1000` == DuckDB's `CAST(ts AS TIMESTAMP)` truncation, verified
-    * empirically — both truncate toward zero for the fixture's
-    * post-epoch data; pre-1970 nanos would diverge, pinned in
-    * EngineSpec). Oracle SQL must always wrap ts in
-    * CAST(ts AS TIMESTAMP).
+  /** Normalize an events-shaped frame's `ts` to session-tz TimestampType
+    * whatever the fixture's physical encoding — the engine's analog of
+    * the reference surviving engine/version drift by branching explicitly
+    * (backup.sh:100,172-178). Three encodings have shipped:
     *
-    * The nanos flag is session-scoped and must be set at session
-    * CONSTRUCTION ([[graft.Sessions.local]]) — a reader that flips a
-    * session-global mid-query changes the behavior of every other
-    * parquet read in the session (the r5 bench warm-up crash). The
-    * read-only check below fails loudly instead of mutating. */
-  def events(s: SparkSession, d: String): DataFrame = {
-    require(
-      s.conf.getOption("spark.sql.legacy.parquet.nanosAsLong").contains("true"),
-      "events.parquet is TIMESTAMP(NANOS): build the session with " +
-        "spark.sql.legacy.parquet.nanosAsLong=true (use graft.Sessions.local)")
-    apply(s, d, "events")
-      .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
-        org.apache.spark.sql.functions.expr("ts div 1000")))
+    *  - raw int64 epoch-NANOS (TIMESTAMP(NANOS) parquet read under
+    *    `spark.sql.legacy.parquet.nanosAsLong=true`, and GenData's
+    *    long column): truncate to µs with integer `ts div 1000` — the
+    *    same toward-zero truncation as DuckDB's `CAST(ts AS TIMESTAMP)`
+    *    for the fixture's post-epoch data (pre-1970 would diverge,
+    *    pinned in EngineSpec).
+    *  - parquet TIMESTAMP(µs) isAdjustedToUTC=false → TimestampNTZType:
+    *    cast to TimestampType; value-preserving because the session tz
+    *    is pinned UTC ([[graft.Sessions.local]]).
+    *  - TimestampType: already what every query expects — pass through.
+    *
+    * Oracle SQL always wraps ts in CAST(ts AS TIMESTAMP), which is a
+    * no-op in DuckDB for the µs encoding and the floor cast for nanos. */
+  def normalizeEventsTs(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+    df.schema("ts").dataType match {
+      case LongType =>
+        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType =>
+        df.withColumn("ts", col("ts").cast(TimestampType))
+      case TimestampType => df
+      case other => throw new IllegalArgumentException(
+        s"events.ts has unsupported type $other — expected int64 nanos, " +
+          "TIMESTAMP_NTZ (parquet µs), or TIMESTAMP")
+    }
   }
+
+  /** The `nanosAsLong` flag stays set at session CONSTRUCTION
+    * ([[graft.Sessions.local]]) so a TIMESTAMP(NANOS) fixture still
+    * loads (flipping a session-global mid-query was the r5 bench
+    * warm-up crash); it is inert for the µs encoding. */
+  def events(s: SparkSession, d: String): DataFrame =
+    normalizeEventsTs(apply(s, d, "events"))
   def documents(s: SparkSession, d: String): DataFrame = apply(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = apply(s, d, "embeddings")
 }

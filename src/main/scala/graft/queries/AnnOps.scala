@@ -46,10 +46,13 @@ object AnnOps {
     * as here). Sums are decimal-exact so centroid floats never depend
     * on partitioning/accumulation order. */
   def trainCentroids(
-      emb: DataFrame, k: Int = K, iters: Int = LloydIters)
+      emb: DataFrame, k: Int = K, iters: Int = LloydIters,
+      dimHint: Int = -1)
       : Seq[Seq[Double]] = {
     val s = emb.sparkSession
-    val dim = emb.select(size(col("embedding"))).head().getInt(0)
+    val dim =
+      if (dimHint > 0) dimHint
+      else emb.select(size(col("embedding"))).head().getInt(0)
     var cents: Seq[Seq[Double]] = emb
       .orderBy(col("vec_id")).limit(k)
       .select(col("embedding"))
@@ -321,6 +324,8 @@ object AnnOps {
   private val SemTau = 0.35
   private val SemKMin = 8
   private val SemCellTarget = 256L
+  private val SemKCap = 4096
+  private val SemFitCap = 262144L
 
   /** EXT: semantic deduplication — the SemDeDup pipeline (Abbas et
     * al. 2023, arXiv:2303.09540): k-means-cluster the embedding space,
@@ -331,22 +336,45 @@ object AnnOps {
     * a vector is a duplicate when ANY lower-id vector in its cell has
     * cosine ≥ τ; `dup_of` is the smallest such id, `kept` otherwise.
     *
-    * K SCALES WITH THE CORPUS — K = max(8, n/256) — because a fixed K
-    * is the cliff-6 pattern (an equi key whose cardinality does not
-    * grow with the data): with constant K, |cell| ∝ n and the
-    * within-cell join is quadratic again. With K ∝ n the expected cell
-    * stays ~256 vectors and the pair space is linear in the corpus
-    * (the paper sizes the same way: 50k clusters for LAION). The
-    * centroid model stays a bounded driver fit (K×dim doubles,
-    * broadcast) shared with IVF (trainCentroids) → no SQL oracle;
-    * DedupSpec re-derives the keep rule driver-side. */
+    * K SCALES WITH THE CORPUS, CAPPED — K = min(max(8, n/256), 4096) —
+    * because a fixed K is the cliff-6 pattern (an equi key whose
+    * cardinality does not grow with the data): with constant K,
+    * |cell| ∝ n and the within-cell join is quadratic again. With
+    * K ∝ n the expected cell stays ~256 vectors and the pair space is
+    * linear in the corpus. The cap keeps the OTHER side bounded: an
+    * uncapped K makes the centroid model and the per-row O(n·K)
+    * assignment grow with the corpus (the paper itself caps — 50k
+    * clusters for 5 B LAION vectors, not n/256). Past the cap the
+    * scale path is two-level assignment exactly as q_sim_ivfpq_topk
+    * composes it: the capped K centroids act as IVF coarse cells and a
+    * per-cell sub-quantizer refines within, so assignment stays
+    * O(n·(K₁+K₂)) with K₁·K₂ effective cells; cells then average
+    * n/4096 > 256 members and the within-cell τ-join degrades
+    * gracefully (bigger cells, still bounded by cell occupancy —
+    * SCALE.md rows the cliff). The centroid fit reads a BOUNDED,
+    * deterministic hash-sample of the corpus (≤ SemFitCap rows — a
+    * narrow pushed-down predicate, no sort) so fit cost is O(sample·K),
+    * independent of n; n and dim come from one metadata-cheap agg
+    * (folded count — r6 ran a separate count() job). Model stays a
+    * bounded driver fit (K×dim doubles, broadcast) shared with IVF
+    * (trainCentroids) → no SQL oracle; DedupSpec re-derives the keep
+    * rule driver-side. */
   val dedupSemantic: Q = Q(
     "q_dedup_semantic",
     (s, d) => {
       val emb = Tables.embeddings(s, d)
         .select(col("vec_id"), col("embedding"))
-      val semK = math.max(SemKMin, (emb.count() / SemCellTarget).toInt)
-      val cents = trainCentroids(emb, k = semK)
+      val head = emb.agg(count(lit(1)), first(size(col("embedding")))).head()
+      val (n, dim) = (head.getLong(0), head.getInt(1))
+      val semK = math.min(
+        math.max(SemKMin.toLong, n / SemCellTarget), SemKCap.toLong).toInt
+      // deterministic hash-sample for the fit: every ~(n/SemFitCap)-th
+      // vector by xxhash64(vec_id) — narrow filter, no global sort
+      val fit =
+        if (n <= SemFitCap) emb
+        else emb.where(pmod(xxhash64(col("vec_id"), lit(31L)),
+          lit(math.max(1L, n / SemFitCap))) === 0L)
+      val cents = trainCentroids(fit, k = semK, dimHint = dim)
       val corpus = emb.select(col("vec_id"), col("embedding"),
         cellOf(s, col("embedding"), cents).as("cell"))
       // Earlier-similar search: equi-join on cell (the SemDeDup pair

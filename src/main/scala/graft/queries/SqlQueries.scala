@@ -16,12 +16,19 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object SqlQueries {
 
+  /** Register as temp views ONLY the tables the statement actually
+    * names, resolved by word-boundary match against the SQL text — a
+    * fixture problem in one table must not take down SQL queries that
+    * never touch it (r6: an events re-encoding killed four
+    * lineitem-only queries at eager whole-catalog view setup). */
   private def withViews(s: SparkSession, d: String)(sql: String): DataFrame = {
     Tables.names.foreach { t =>
-      // events routes through Tables.events for its ns→µs ts conversion
-      // (a plain read would reject the TIMESTAMP(NANOS) footer).
-      val df = if (t == "events") Tables.events(s, d) else Tables(s, d, t)
-      df.createOrReplaceTempView(t)
+      if (s"""\\b$t\\b""".r.findFirstIn(sql).isDefined) {
+        // events routes through Tables.events for ts normalization
+        // (nanos-long vs TIMESTAMP(µs) encodings; Tables.normalizeEventsTs).
+        val df = if (t == "events") Tables.events(s, d) else Tables(s, d, t)
+        df.createOrReplaceTempView(t)
+      }
     }
     s.sql(sql)
   }

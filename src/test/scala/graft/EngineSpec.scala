@@ -446,17 +446,27 @@ class SnapshotSpec extends SparkSpec {
 
   test("events.ts µs truncation: fixture post-epoch; div-vs-floor divergence pinned") {
     import org.apache.spark.sql.functions.{col, min}
-    // Tables.events truncates nanos→µs with `ts div 1000` (toward
-    // zero); DuckDB's nanos→µs cast floors. They agree iff ts >= 0, so
-    // the oracle coupling silently depends on the fixture staying
-    // post-epoch — assert that here so a future fixture with pre-1970
-    // rows fails THIS test instead of becoming an oracle mystery.
-    val minRaw = spark.read.parquet(s"$sf/events.parquet")
-      .select(min(col("ts"))).head.getLong(0)
-    assert(minRaw > 0L,
-      "fixture gained pre-epoch events: div-1000 (toward zero) and " +
-        "DuckDB's floor cast diverge for negative nanos — switch " +
-        "Tables.events to floorDiv AND re-verify the oracle")
+    import org.apache.spark.sql.types.LongType
+    // When the fixture encodes ts as raw int64 nanos, Tables.events
+    // truncates with `ts div 1000` (toward zero); DuckDB's nanos→µs
+    // cast floors. They agree iff ts >= 0, so the oracle coupling
+    // silently depends on the fixture staying post-epoch — assert that
+    // here so a future fixture with pre-1970 rows fails THIS test
+    // instead of becoming an oracle mystery. For the TIMESTAMP(µs)
+    // encoding no truncation happens and the check is vacuous; assert
+    // instead that normalization lands on TimestampType.
+    val raw = spark.read.parquet(s"$sf/events.parquet")
+    raw.schema("ts").dataType match {
+      case LongType =>
+        val minRaw = raw.select(min(col("ts"))).head.getLong(0)
+        assert(minRaw > 0L,
+          "fixture gained pre-epoch events: div-1000 (toward zero) and " +
+            "DuckDB's floor cast diverge for negative nanos — switch " +
+            "Tables.events to floorDiv AND re-verify the oracle")
+      case _ =>
+        assert(engine.Tables.events(spark, sf).schema("ts").dataType ==
+          org.apache.spark.sql.types.TimestampType)
+    }
     // the divergence itself, pinned as documentation:
     assert(-1500L / 1000L == -1L && Math.floorDiv(-1500L, 1000L) == -2L)
   }

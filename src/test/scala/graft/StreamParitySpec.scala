@@ -13,11 +13,11 @@ class StreamParitySpec extends SparkSpec {
     java.nio.file.Files.copy(
       java.nio.file.Paths.get(s"$sf/events.parquet"),
       dir.resolve("part-0.parquet"))
-    val stream = spark.readStream
-      .schema("event_id LONG, ts LONG, user_id LONG, event_type STRING, " +
-        "value DOUBLE, props STRING")
-      .parquet(dir.toString)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    // schema from the batch reader, ts normalized the same way as
+    // Tables.events — the parity claim must survive fixture re-encoding
+    val fileSchema = spark.read.parquet(dir.toString).schema
+    val stream = engine.Tables.normalizeEventsTs(
+      spark.readStream.schema(fileSchema).parquet(dir.toString))
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
       .agg(count(lit(1)).as("n"),
         queries.Det.dsum(col("value"), 4).as("sum_value"))
@@ -40,11 +40,9 @@ class StreamParitySpec extends SparkSpec {
       java.nio.file.Paths.get(s"$sf/events.parquet"),
       in.resolve("part-0.parquet"))
     val out = java.nio.file.Files.createTempDirectory("graft_sink_out_")
-    val q = spark.readStream
-      .schema("event_id LONG, ts LONG, user_id LONG, event_type STRING, " +
-        "value DOUBLE, props STRING")
-      .parquet(in.toString)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val inSchema = spark.read.parquet(in.toString).schema
+    val q = engine.Tables.normalizeEventsTs(
+      spark.readStream.schema(inSchema).parquet(in.toString))
       .writeStream
       .format("parquet")
       .option("path", s"$out/data")
@@ -58,11 +56,8 @@ class StreamParitySpec extends SparkSpec {
     assert(landed.count() == source.count())
     assert(source.exceptAll(landed.select(source.columns.map(col): _*)).isEmpty)
     // restart with same checkpoint: no new data -> no duplicates
-    val q2 = spark.readStream
-      .schema("event_id LONG, ts LONG, user_id LONG, event_type STRING, " +
-        "value DOUBLE, props STRING")
-      .parquet(in.toString)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val q2 = engine.Tables.normalizeEventsTs(
+      spark.readStream.schema(inSchema).parquet(in.toString))
       .writeStream.format("parquet")
       .option("path", s"$out/data")
       .option("checkpointLocation", s"$out/ckpt")
