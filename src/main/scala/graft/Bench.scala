@@ -116,10 +116,19 @@ object Bench {
     // marks the number as a failure duration, not a result.
     val warmupJson = warmupFailed
       .map(m => s""","warmup_failed":true,"warmup_error":"${
-        m.replace("\\", "\\\\").replace("\"", "\\\"").replaceAll("[\\n\\r\\t]", " ")
+        m.replace("\\", "\\\\").replace("\"", "\\\"")
+          .replaceAll("[\\n\\r\\t]", " ").take(200)
       }"""")
       .getOrElse("")
-    val full = s"""{"metric":"total","value":$total,"unit":"sec","queries":${
+    // A degraded run (failed warm-up or failed queries) must not publish
+    // a headline total that trend tooling can mistake for a clean
+    // round-over-round data point (r6 advice): "value" goes null and the
+    // raw sum moves to "value_degraded".
+    val clean = warmupFailed.isEmpty && failed.isEmpty
+    def headline(dp: Int) =
+      if (clean) s""""value":${fmt(total, dp)}"""
+      else s""""value":null,"value_degraded":${fmt(total, dp)}"""
+    val full = s"""{"metric":"total",${headline(3)},"unit":"sec","queries":${
       results.map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")
     },"failed":$failedJson$warmupJson,"sf":"$sfDir"}"""
     val out = args.headOption
@@ -134,7 +143,7 @@ object Bench {
     // map is in bench.json (committed to the repo root).
     val top = results.sortBy(-_._2).take(25)
     val omitted = results.size - top.size
-    println(s"""{"metric":"total","value":${fmt(total, 3)},"unit":"sec","queries":${
+    println(s"""{"metric":"total",${headline(3)},"unit":"sec","queries":${
       top.map { case (k, v) => entry(k, v, 3) }.mkString("{", ",", "}")
     },"queries_omitted":$omitted,"failed":$failedJson$warmupJson,"detail":"bench.json","sf":"$sfDir"}""")
     spark.stop()

@@ -202,6 +202,10 @@ object Snapshot {
       dest + ".__staging__" + java.util.UUID.randomUUID().toString.take(8))
     try {
       val n = write(df, staging.toString)
+      // Manifest lands INSIDE staging, so the commit rename publishes
+      // data + stats as one atomic unit — a generation is never
+      // visible without its manifest.
+      writeManifest(spark, staging.toString)
       val rt = verifyContent(spark, df, staging.toString)
         .copy(originalRows = n)
       require(rt.verified,
@@ -229,6 +233,115 @@ object Snapshot {
     * check or the create-if-absent commit rename. */
   final class SnapshotExistsException(msg: String, cause: Throwable = null)
       extends IllegalStateException(msg, cause)
+
+  /** Manifest file name inside a generation dir. The leading underscore
+    * keeps parquet readers from treating it as data (the _SUCCESS
+    * convention). */
+  val ManifestFile = "_graft_manifest.json"
+
+  final case class ColumnStats(min: String, max: String, dtype: String)
+  final case class Manifest(rowCount: Long, columns: Map[String, ColumnStats])
+
+  private def jsonMapper = {
+    val m = new com.fasterxml.jackson.databind.ObjectMapper()
+    m
+  }
+
+  /** Compute and write `dest/_graft_manifest.json`: row count plus
+    * per-column min/max for every atomic orderable column, ONE scalar
+    * aggregation pass (at 100 TB parquet footer stats answer it
+    * per-file without row reads). The manifest is what lets later
+    * maintenance answer "is this generation non-empty" (the A15 guard,
+    * backup.sh:215) and "can this generation contain k ∈ [lo,hi]"
+    * from one tiny file read instead of listing and footer-scanning
+    * every parquet part — the role Iceberg/Delta give their manifest
+    * and stats files. Values serialize as strings with the dtype
+    * alongside; consumers compare in the domain the dtype names.
+    * All-null columns are omitted (no stats ≠ stats of empty string). */
+  def writeManifest(spark: SparkSession, dest: String): Manifest = {
+    import org.apache.spark.sql.functions.{col, count, lit, max, min}
+    import org.apache.spark.sql.types._
+    val df = spark.read.parquet(dest)
+    val statFields = df.schema.fields.filter(f => f.dataType match {
+      case _: NumericType | StringType | BooleanType | DateType |
+           TimestampType | TimestampNTZType => true
+      case _ => false
+    })
+    val aggs = count(lit(1)).as("__n") +: statFields.flatMap(f =>
+      Seq(min(col(f.name)), max(col(f.name)))).toSeq
+    val row = df.agg(aggs.head, aggs.tail: _*).head()
+    val cols = statFields.zipWithIndex.flatMap { case (f, i) =>
+      val (lo, hi) = (row.get(1 + 2 * i), row.get(2 + 2 * i))
+      if (lo == null || hi == null) None
+      else Some(f.name -> ColumnStats(
+        String.valueOf(lo), String.valueOf(hi), f.dataType.typeName))
+    }.toMap
+    val manifest = Manifest(row.getLong(0), cols)
+    val root = jsonMapper.createObjectNode()
+    root.put("rowCount", manifest.rowCount)
+    val colsNode = root.putObject("columns")
+    manifest.columns.toSeq.sortBy(_._1).foreach { case (name, st) =>
+      val n = colsNode.putObject(name)
+      n.put("min", st.min); n.put("max", st.max); n.put("dtype", st.dtype)
+    }
+    val path = new org.apache.hadoop.fs.Path(dest, ManifestFile)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(path, true)
+    try out.write(root.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    manifest
+  }
+
+  /** Read a generation's manifest, if present. */
+  def readManifest(spark: SparkSession, dest: String): Option[Manifest] = {
+    val path = new org.apache.hadoop.fs.Path(dest, ManifestFile)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(path)) return None
+    val in = fs.open(path)
+    val bytes =
+      try org.apache.commons.io.IOUtils.toByteArray(in)
+      finally in.close()
+    val node = jsonMapper.readTree(bytes)
+    import scala.jdk.CollectionConverters._
+    val cols = Option(node.get("columns")).map { cn =>
+      cn.properties().asScala.map { e =>
+        e.getKey -> ColumnStats(
+          e.getValue.get("min").asText(),
+          e.getValue.get("max").asText(),
+          e.getValue.get("dtype").asText())
+      }.toMap
+    }.getOrElse(Map.empty)
+    Some(Manifest(node.get("rowCount").asLong(), cols))
+  }
+
+  /** Manifest-driven generation pruning: the generations under `root`
+    * whose `column` stats can intersect [lo, hi] — compared as longs,
+    * the integer-key case. A generation WITHOUT a manifest (or without
+    * stats for the column) is kept: pruning may only skip what the
+    * stats prove empty, never what they merely don't cover. No parquet
+    * footer is opened for a skipped generation — at 100 TB that is the
+    * difference between one small-file read per generation and a
+    * listing+footer pass over every part file of every generation. */
+  def generationsInRange(
+      spark: SparkSession, root: String, dbName: Option[String],
+      column: String, lo: Long, hi: Long): Seq[String] = {
+    val rootPath = new org.apache.hadoop.fs.Path(root)
+    val fs = rootPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(rootPath)) return Nil
+    fs.listStatus(rootPath)
+      .filter(_.isDirectory)
+      .map(_.getPath.getName)
+      .filter(n => isGeneration(n, dbName))
+      .sorted
+      .filter { gen =>
+        readManifest(spark, s"$root/$gen")
+          .flatMap(_.columns.get(column))
+          .forall { st =>
+            scala.util.Try((st.min.toLong, st.max.toLong)).toOption
+              .forall { case (mn, mx) => mx >= lo && mn <= hi }
+          }
+      }.toSeq
+  }
 
   /** Sink cleanup — the `aws s3 rm` temp-dump delete (A5, backup.sh:370). */
   def delete(spark: SparkSession, path: String): Boolean = {

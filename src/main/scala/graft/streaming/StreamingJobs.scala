@@ -58,6 +58,73 @@ object StreamingJobs {
       .select(col("window.start").as("w_start"), col("c_mktsegment"),
         col("n"))
 
+  final case class SessionAcc(
+      seq: Long, startSec: Long, lastSec: Long, n: Long)
+  final case class UserSession(
+      user_id: Long, session_seq: Long, n_events: Long,
+      duration_sec: Long, is_bounce: Boolean)
+
+  /** EXT: streaming sessionization WITH SESSION IDENTITY — the exact
+    * twin of the batch gaps-and-islands query (q_event_sessions,
+    * EventOps.scala): per-user keyed state carries the open session;
+    * a row whose second-floored gap from the previous exceeds `gapSec`
+    * closes it (emitting the same (user_id, session_seq, n_events,
+    * duration_sec, is_bounce) row the batch query derives, with the
+    * same 1-based seq numbering), and an event-time timeout closes a
+    * session no later row ever touches once the watermark passes
+    * last + gap. `session_window` (sessionize above) gives the
+    * window-keyed aggregate but no stable per-user ordinal — identity
+    * is what downstream joins key on, hence the keyed-state form.
+    *
+    * Semantics parity with batch: gaps compare FLOOR-SECONDS
+    * (unix_seconds in batch; floorDiv(ms,1000) here), in-batch rows
+    * sort by (ts, event_id) — the batch window's total order — and
+    * duration is lastSec - startSec. State is ONE open session per
+    * user (O(users), watermark-bounded by the timeout); at 100 TB
+    * state shards by user across executors like every keyed-state job
+    * here. Cross-batch ordering relies on per-user event-time-ordered
+    * arrival, as runningCountPerUser does; a production deployment
+    * puts a watermark-bounded reorder buffer in front. */
+  def sessionizeWithIds(
+      events: Dataset[Event], gapSec: Long = 1800L): Dataset[UserSession] = {
+    import events.sparkSession.implicits._
+    def close(userId: Long, st: SessionAcc): UserSession =
+      UserSession(userId, st.seq, st.n, st.lastSec - st.startSec, st.n == 1)
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionAcc, UserSession](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (userId: Long, rows: Iterator[Event], state: GroupState[SessionAcc]) =>
+          if (state.hasTimedOut) {
+            // watermark passed last+gap: no further row can extend it
+            val st = state.get
+            state.remove()
+            Iterator(close(userId, st))
+          } else {
+            val out = Seq.newBuilder[UserSession]
+            var cur = state.getOption
+            rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).foreach { e =>
+              val sec = Math.floorDiv(e.ts.getTime, 1000L)
+              cur = cur match {
+                case Some(st) if sec - st.lastSec <= gapSec =>
+                  Some(st.copy(lastSec = sec, n = st.n + 1))
+                case Some(st) =>
+                  out += close(userId, st)
+                  Some(SessionAcc(st.seq + 1, sec, sec, 1))
+                case None =>
+                  Some(SessionAcc(1, sec, sec, 1))
+              }
+            }
+            cur.foreach { st =>
+              state.update(st)
+              state.setTimeoutTimestamp((st.lastSec + gapSec) * 1000L + 1000L)
+            }
+            out.result().iterator
+          }
+      }
+  }
+
   /** B42a: stateful exact dedup by event_id with bounded state — the
     * streaming form of dropDuplicates where the watermark ages keys out. */
   def dedupWithinWatermark(events: DataFrame): DataFrame =

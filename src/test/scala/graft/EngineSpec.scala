@@ -413,6 +413,40 @@ class SnapshotSpec extends SparkSpec {
     Snapshot.delete(spark, root)
   }
 
+  test("publish writes a manifest; pruning skips generations from stats alone") {
+    import org.apache.spark.sql.functions.col
+    val root = java.nio.file.Files.createTempDirectory("graft_mani_").toString
+    // two generations with disjoint n_nationkey ranges
+    val lowGen = s"$root/db_2024_01_01_000000"
+    val highGen = s"$root/db_2024_02_01_000000"
+    Snapshot.publishAtomic(spark,
+      Tables.nation(spark, sf).where(col("n_nationkey") < 10), lowGen)
+    Snapshot.publishAtomic(spark,
+      Tables.nation(spark, sf).where(col("n_nationkey") >= 10), highGen)
+    // manifest landed atomically with the generation and carries the
+    // A15 non-empty answer + per-column stats without any parquet read
+    val m = Snapshot.readManifest(spark, lowGen)
+    assert(m.nonEmpty && m.get.rowCount == 10)
+    val stats = m.get.columns("n_nationkey")
+    assert(stats.min == "0" && stats.max == "9")
+    assert(m.get.columns.contains("n_name")) // string stats too
+    // manifest-driven skip: a range entirely above lowGen's max keeps
+    // only highGen — and deleting lowGen's PARQUET (manifest intact)
+    // proves the pruning decision never opened the data files
+    new java.io.File(lowGen).listFiles()
+      .filter(_.getName.endsWith(".parquet")).foreach(_.delete())
+    assert(Snapshot.generationsInRange(
+      spark, root, Some("db"), "n_nationkey", 15L, 20L)
+      == Seq("db_2024_02_01_000000"))
+    // overlap keeps both; a column with no stats keeps both (no prune
+    // without proof)
+    assert(Snapshot.generationsInRange(
+      spark, root, Some("db"), "n_nationkey", 5L, 15L).size == 2)
+    assert(Snapshot.generationsInRange(
+      spark, root, Some("db"), "no_such_col", 0L, 1L).size == 2)
+    Snapshot.delete(spark, root)
+  }
+
   test("atomic publish: two racing publishers — one wins, loser fails loudly") {
     val root = java.nio.file.Files.createTempDirectory("graft_race_").toString
     val dest = s"$root/db_2024_07_01_000000"

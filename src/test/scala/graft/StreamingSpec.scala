@@ -85,6 +85,77 @@ class StreamingSpec extends SparkSpec {
     assert(rows.toSeq == Seq(("BUILDING", 2L), ("MACHINERY", 1L)))
   }
 
+  test("sessionizeWithIds: gap closes a session with a stable per-user seq") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val in = MemoryStream[Event]
+    // user 1: 10:00, 10:10 (session 1), then 11:00 — gap > 30m closes
+    // session 1 and opens session 2, which stays open (never emitted)
+    in.addData(
+      Event(1, ts(0), 1, "a", 0), Event(2, ts(10), 1, "a", 0),
+      Event(3, Timestamp.valueOf("2024-01-01 11:00:00"), 1, "a", 0))
+    runToMemory(StreamingJobs.sessionizeWithIds(in.toDS()).toDF(), "sid_out")
+    val rows = spark.table("sid_out").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getBoolean(4))).toSeq
+    assert(rows == Seq((1L, 1L, 2L, 600L, false)), s"got $rows")
+  }
+
+  test("sessionizeWithIds: event-time timeout closes an abandoned session") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val in = MemoryStream[Event]
+    val q = StreamingJobs.sessionizeWithIds(in.toDS())
+      .writeStream.outputMode(OutputMode.Append).format("memory")
+      .queryName("sid_to_out").start()
+    in.addData(Event(1, ts(0), 7, "a", 0)) // user 7 opens a session
+    q.processAllAvailable()
+    // another user's events advance the watermark past 10:30+gap...
+    in.addData(Event(2, Timestamp.valueOf("2024-01-01 12:00:00"), 8, "a", 0))
+    q.processAllAvailable()
+    // ...and the next batch fires user 7's timeout (no row needed)
+    in.addData(Event(3, Timestamp.valueOf("2024-01-01 14:00:00"), 8, "a", 0))
+    q.processAllAvailable()
+    q.stop()
+    val u7 = spark.table("sid_to_out").where(col("user_id") === 7)
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getBoolean(4))).toSeq
+    assert(u7 == Seq((1L, 1L, true)), s"got $u7")
+  }
+
+  test("sessionizeWithIds matches batch q_event_sessions on the fixture") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val ev = graft.engine.Tables.events(spark, sf)
+      .select(col("event_id"), col("ts"), col("user_id"),
+        col("event_type"), col("value")).as[Event].collect().toSeq
+    val maxTs = ev.map(_.ts.getTime).max
+    // per-user sentinels a day past the fixture close every real
+    // session via the row path; the sentinel's own session stays open
+    val sentinels = ev.map(_.user_id).distinct.zipWithIndex.map {
+      case (u, i) => Event(1000000L + i, new Timestamp(maxTs + 86400000L),
+        u, "sentinel", 0)
+    }
+    val in = MemoryStream[Event]
+    in.addData(ev)
+    val sq = StreamingJobs.sessionizeWithIds(in.toDS())
+      .writeStream.outputMode(OutputMode.Append).format("memory")
+      .queryName("sid_parity_out").start()
+    sq.processAllAvailable()
+    in.addData(sentinels)
+    sq.processAllAvailable()
+    sq.stop()
+    val streamed = spark.table("sid_parity_out").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getBoolean(4))).toSet
+    val batch = q("q_event_sessions").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getBoolean(4))).toSet
+    assert(batch.nonEmpty && streamed == batch,
+      s"stream ${streamed.size} vs batch ${batch.size}; " +
+        s"only-stream=${(streamed -- batch).take(3)} " +
+        s"only-batch=${(batch -- streamed).take(3)}")
+  }
+
   test("dropDuplicatesWithinWatermark dedups repeated event ids") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
