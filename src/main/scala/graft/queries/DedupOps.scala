@@ -143,10 +143,10 @@ object DedupOps {
         .orderBy("doc_id"),
     None)
 
-  /** Mandated EXT: exact n-gram (token bigram) Jaccard near-dup pairs,
-    * blocked by source. Fully SQL-expressible → oracle-checked. The
-    * explode+equi-join computes |A∩B| without ever building the cross
-    * product of documents. */
+  /** Mandated EXT: exact n-gram (token trigram — see ngramGrams) Jaccard
+    * near-dup pairs, blocked by source. Fully SQL-expressible →
+    * oracle-checked. The explode+equi-join computes |A∩B| without ever
+    * building the cross product of documents. */
   /** Docs per source block above which the ngram dedup abandons the
     * |block|² pairwise shape for the prefix-filtered candidate join
     * (SCALE.md cliff #2). Fixture blocks (25–250 docs) stay pairwise.
@@ -169,15 +169,31 @@ object DedupOps {
     * output-linearity reason as [[NgramJaccardT]]. */
   private[graft] val NgramContainT = 0.8
 
-  /** (doc_id, source, bg): each doc's distinct token bigrams, 64-bit
+  /** (doc_id, source, bg): each doc's distinct token TRIGRAMS, 64-bit
     * hashed and sorted (the merge-count input shape), via the native
-    * one-pass kernel — the bigram string is never built (same |A∩B|
+    * one-pass kernel — the gram string is never built (same |A∩B|
     * counts modulo 64-bit collisions, which the hashed-gram design
-    * already accepts). */
+    * already accepts).
+    *
+    * Trigrams, not bigrams (r7): gram-space size is what makes the
+    * Bayardo/PPJoin prefix filter BITE. Over a V-word vocabulary the
+    * bigram space is V² — for this corpus's ~40-word vocabulary that
+    * is ~1.6k distinct grams, so per-source df ≈ |block|·len/1.6k
+    * grows linearly with the block and nearly every prefix gram is
+    * shared by hundreds of documents: measured r7 at sf5, the t=0.8
+    * candidate join ran 138 s and the t=0.4 one spilled the disk to
+    * death. The trigram space is V³ (~64k) — df drops ~40×, prefix
+    * holders drop with it, and the candidate volume follows true
+    * co-occurrence again (the same reason MinHash shingling uses
+    * w=3+; Broder'97 resemblance uses 10-grams). Semantics shift from
+    * bigram to trigram Jaccard/containment — near-identical documents
+    * score ≈ the same under both (fixture: the one true sf0.01 pair
+    * scores 0.973 bigram vs 0.974 trigram) — and the oracle SQL
+    * mirrors trigrams exactly. */
   private[graft] def ngramGrams(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)
       .select(col("doc_id"), col("source"),
-        graft.functions.GramHashes(s, col("text"), 2).as("bg"))
+        graft.functions.GramHashes(s, col("text"), 3).as("bg"))
 
   /** Exact score + threshold over candidate pairs carrying both gram
     * arrays: native merge-count over the sorted hashed grams — no
@@ -392,10 +408,12 @@ object DedupOps {
       SELECT doc_id, source,
         list_distinct(list_transform(
           generate_series(1, len(list_filter(string_split(lower(text), ' '),
-            t -> t != '')) - 1),
+            t -> t != '')) - 2),
           i -> list_filter(string_split(lower(text), ' '), t -> t != '')[i]
             || ' ' ||
-            list_filter(string_split(lower(text), ' '), t -> t != '')[i+1]))
+            list_filter(string_split(lower(text), ' '), t -> t != '')[i+1]
+            || ' ' ||
+            list_filter(string_split(lower(text), ' '), t -> t != '')[i+2]))
           AS bg
       FROM documents),
     pairs AS (
@@ -557,10 +575,12 @@ object DedupOps {
       SELECT doc_id, source,
         list_distinct(list_transform(
           generate_series(1, len(list_filter(string_split(lower(text), ' '),
-            t -> t != '')) - 1),
+            t -> t != '')) - 2),
           i -> list_filter(string_split(lower(text), ' '), t -> t != '')[i]
             || ' ' ||
-            list_filter(string_split(lower(text), ' '), t -> t != '')[i+1]))
+            list_filter(string_split(lower(text), ' '), t -> t != '')[i+1]
+            || ' ' ||
+            list_filter(string_split(lower(text), ' '), t -> t != '')[i+2]))
           AS bg
       FROM documents),
     pairs AS (

