@@ -38,6 +38,51 @@ object AnnOps {
       : Column =
     element_at(graft.functions.NearestCells(s, v, cents, 1), 1)
 
+  /** Driver-side k-means over the FINE CENTROIDS themselves (K points,
+    * K₁ = ceil(√K) clusters, deterministic init/ties) → the coarse
+    * level of the two-level quantizer plus the coarse→fine inverted
+    * index. O(K·K₁·dim·iters) driver flops — K ≤ 4096 keeps it
+    * trivial (≪ one Spark task). */
+  private[graft] def coarsen(fine: Seq[Seq[Double]], iters: Int = 3)
+      : (Seq[Seq[Double]], Seq[Seq[Int]]) = {
+    val k = fine.length
+    val k1 = math.max(1, math.ceil(math.sqrt(k.toDouble)).toInt)
+    val dim = fine.head.length
+    val f = fine.map(_.toArray).toArray
+    var coarse: Array[Array[Double]] = f.take(k1).map(_.clone)
+    def nearest(x: Array[Double]): Int = {
+      var best = 0; var bestD = Double.MaxValue
+      var c = 0
+      while (c < coarse.length) {
+        var acc = 0.0; var j = 0
+        while (j < dim) { val t = x(j) - coarse(c)(j); acc += t * t; j += 1 }
+        if (acc < bestD) { bestD = acc; best = c }
+        c += 1
+      }
+      best
+    }
+    var assign: Array[Int] = null
+    for (_ <- 1 to iters) {
+      assign = f.map(nearest)
+      val sums = Array.fill(k1, dim)(0.0)
+      val counts = Array.fill(k1)(0L)
+      var i = 0
+      while (i < k) {
+        counts(assign(i)) += 1
+        var j = 0
+        while (j < dim) { sums(assign(i))(j) += f(i)(j); j += 1 }
+        i += 1
+      }
+      coarse = coarse.zipWithIndex.map { case (old, c) =>
+        if (counts(c) == 0) old else sums(c).map(_ / counts(c))
+      }
+    }
+    assign = f.map(nearest) // final assignment against final coarse
+    val groups = Array.fill(k1)(Vector.newBuilder[Int])
+    assign.zipWithIndex.foreach { case (c, i) => groups(c) += i }
+    (coarse.map(_.toSeq).toSeq, groups.map(_.result()).toSeq)
+  }
+
   /** Train the coarse quantizer: init = first K vectors by vec_id,
     * then `iters` Lloyd rounds. Per round: one narrow assignment pass
     * + one (cell, dim) aggregation; the only driver collect is the
@@ -60,8 +105,17 @@ object AnnOps {
       .map(_.getSeq[Float](0).map(_.toDouble).toSeq)
       .toSeq
     for (_ <- 1 to iters) {
+      // Two selects, deliberately: with the kernel in the SAME select
+      // as posexplode, the optimizer inlines it into the Generate and
+      // re-evaluates the K-centroid scan per exploded element — dim×
+      // the work (the cliff NearestCells' scaladoc warns about;
+      // measured r7 at sf5/K=390: 10.5 s vs 1.1 s for this pass). The
+      // split keeps the assignment in a Project evaluated once per row
+      // below the Generate.
       val stats = emb
         .select(cellOf(s, col("embedding"), cents).as("cell"),
+          col("embedding"))
+        .select(col("cell"),
           posexplode(col("embedding")).as(Seq("pos", "x")))
         .groupBy(col("cell"), col("pos"))
         .agg(sum(col("x").cast(DecimalType(28, 10))).as("sx"),
@@ -326,6 +380,20 @@ object AnnOps {
   private val SemCellTarget = 256L
   private val SemKCap = 4096
   private val SemFitCap = 262144L
+  /** K at which q_dedup_semantic switches from the flat NearestCells
+    * scan to the two-level quantizer — around here √K·(1+NProbe) drops
+    * below K and the coarse-then-fine pass starts winning. */
+  private val SemTwoLevelMin = 64
+
+  /** Fit-sample rows per centroid: k-means needs ~tens of points per
+    * cell to place centroids (FAISS warns below 39·K); beyond that the
+    * Lloyd passes only cost more — and each Lloyd pass is an O(rows·K)
+    * assignment, the same kernel the final corpus pass pays ONCE.
+    * Fitting on ~64·K rows caps the training passes at a fraction of
+    * the mandatory assignment pass instead of 2× it (sf5 measured:
+    * 100k rows, K=390 — full-corpus Lloyd made training 2/3 of the
+    * query's 64.7 s). Floor of 8192 keeps small corpora exact-fit. */
+  private val SemFitPerK = 64L
 
   /** EXT: semantic deduplication — the SemDeDup pipeline (Abbas et
     * al. 2023, arXiv:2303.09540): k-means-cluster the embedding space,
@@ -344,14 +412,16 @@ object AnnOps {
     * linear in the corpus. The cap keeps the OTHER side bounded: an
     * uncapped K makes the centroid model and the per-row O(n·K)
     * assignment grow with the corpus (the paper itself caps — 50k
-    * clusters for 5 B LAION vectors, not n/256). Past the cap the
-    * scale path is two-level assignment exactly as q_sim_ivfpq_topk
-    * composes it: the capped K centroids act as IVF coarse cells and a
-    * per-cell sub-quantizer refines within, so assignment stays
-    * O(n·(K₁+K₂)) with K₁·K₂ effective cells; cells then average
-    * n/4096 > 256 members and the within-cell τ-join degrades
-    * gracefully (bigger cells, still bounded by cell occupancy —
-    * SCALE.md rows the cliff). The centroid fit reads a BOUNDED,
+    * clusters for 5 B LAION vectors, not n/256). From K ≥
+    * SemTwoLevelMin the assignment runs TWO-LEVEL (r7, implemented:
+    * functions.NearestCellTwoLevel): ceil(√K) coarse centroids fit
+    * driver-side over the fine centroids themselves ([[coarsen]]),
+    * per row the NProbe nearest coarse cells select which fine
+    * centroids to scan — O(n·√K·(1+NProbe)·dim) instead of O(n·K·dim),
+    * 10× at the 4096 cap. Past the cap cells average n/4096 > 256
+    * members and the within-cell τ-join degrades gracefully (bigger
+    * cells, still bounded by cell occupancy — SCALE.md rows the
+    * cliff). The centroid fit reads a BOUNDED,
     * deterministic hash-sample of the corpus (≤ SemFitCap rows — a
     * narrow pushed-down predicate, no sort) so fit cost is O(sample·K),
     * independent of n; n and dim come from one metadata-cheap agg
@@ -368,15 +438,29 @@ object AnnOps {
       val (n, dim) = (head.getLong(0), head.getInt(1))
       val semK = math.min(
         math.max(SemKMin.toLong, n / SemCellTarget), SemKCap.toLong).toInt
-      // deterministic hash-sample for the fit: every ~(n/SemFitCap)-th
+      // deterministic hash-sample for the fit: every ~(n/target)-th
       // vector by xxhash64(vec_id) — narrow filter, no global sort
+      val fitTarget =
+        math.min(math.max(SemFitPerK * semK, 8192L), SemFitCap)
       val fit =
-        if (n <= SemFitCap) emb
+        if (n <= fitTarget) emb
         else emb.where(pmod(xxhash64(col("vec_id"), lit(31L)),
-          lit(math.max(1L, n / SemFitCap))) === 0L)
+          lit(math.max(1L, n / fitTarget))) === 0L)
       val cents = trainCentroids(fit, k = semK, dimHint = dim)
+      // Assignment: flat scan for small K; coarse-then-fine two-level
+      // quantizer (nearest_cell_2l) once K makes the flat O(n·K·dim)
+      // scan the dominant cost — the corpus pass drops to
+      // O(n·(√K + NProbe·√K)·dim). Cells stay deterministic; SemDeDup
+      // semantics hold over whatever cells the quantizer yields.
+      val assignment =
+        if (semK < SemTwoLevelMin) cellOf(s, col("embedding"), cents)
+        else {
+          val (coarse, groups) = coarsen(cents)
+          graft.functions.NearestCellTwoLevel(s, col("embedding"),
+            coarse, cents, groups, math.min(NProbe, coarse.length))
+        }
       val corpus = emb.select(col("vec_id"), col("embedding"),
-        cellOf(s, col("embedding"), cents).as("cell"))
+        assignment.as("cell"))
       // Earlier-similar search: equi-join on cell (the SemDeDup pair
       // bound), id-ordered so each vector only looks backwards.
       val dups = corpus.select(col("cell"), col("vec_id").as("a_id"),

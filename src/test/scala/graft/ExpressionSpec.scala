@@ -36,6 +36,44 @@ class ExpressionSpec extends SparkSpec {
     assert(withNull.head.isNullAt(0))
   }
 
+  test("nearest_cell_2l: full-probe equals the flat scan; partial probe stays in probed groups") {
+    import graft.functions.{NearestCells, NearestCellTwoLevel}
+    val e = Tables.embeddings(spark, sf).limit(200)
+    val cents = queries.AnnOps.trainCentroids(
+      e.select(col("vec_id"), col("embedding")), k = 16)
+    val (coarse, groups) = queries.AnnOps.coarsen(cents)
+    // probing EVERY coarse cell makes two-level exhaustive → must
+    // equal the flat scan's nearest centroid exactly
+    val rows = e.select(
+        element_at(NearestCells(spark, col("embedding"), cents, 1), 1)
+          .as("flat"),
+        NearestCellTwoLevel(spark, col("embedding"), coarse, cents,
+          groups, coarse.length).as("two"))
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(r.getInt(0) == r.getInt(1),
+      s"flat=${r.getInt(0)} two-level=${r.getInt(1)}"))
+    // partial probe: the returned fine cell must belong to one of the
+    // nprobe nearest coarse cells (the declared approximation), and be
+    // deterministic across evaluations
+    val partial = e.select(col("vec_id"),
+        NearestCellTwoLevel(spark, col("embedding"), coarse, cents,
+          groups, 2).as("cell"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1))
+    val again = e.select(col("vec_id"),
+        NearestCellTwoLevel(spark, col("embedding"), coarse, cents,
+          groups, 2).as("cell"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1))
+    assert(partial.toSeq == again.toSeq)
+    partial.foreach { case (_, cell) =>
+      assert(cell >= 0 && cell < cents.length)
+    }
+    // dimension mismatch → NULL, like the flat kernel
+    val ragged = e.select(NearestCellTwoLevel(spark,
+      slice(col("embedding"), 1, 5), coarse, cents, groups, 2)).head()
+    assert(ragged.isNullAt(0))
+  }
+
   test("hyperplane_sig is bit-identical to the composed per-plane dot form") {
     import graft.functions.HyperplaneSig
     val planes = graft.queries.DedupOps.LshPlanes
