@@ -329,13 +329,20 @@ object RefOps {
     * l_orderkey % 13 == 0 survivor re-priced (update = delete+insert).
     * This declared form reduces the multiset diff to ONE shuffle: union
     * the generations with a signed weight (+1 prev, −1 cur), group by
-    * the full row, and read inserts/deletes off the sign of the summed
+    * a 128-bit row digest (two independently-seeded xxhash64 over every
+    * column), and read inserts/deletes off the sign of the summed
     * weight (a group with d < 0 has −d copies only in cur = inserted;
-    * d > 0 means d copies only in prev = deleted). Two EXCEPT ALL legs
-    * — the naive shape — shuffle both generations twice; at 100 TB
-    * that's the difference between one pass over 200 TB and two. The
-    * engine's digest fast path (Snapshot.verifyContent) still answers
-    * the cheaper "did anything change" question with scalar aggs only. */
+    * d > 0 means d copies only in prev = deleted). Grouping on the
+    * digest instead of the full row shuffles ~24 bytes/row instead of
+    * the whole ~100-byte row — at 100 TB that is the difference between
+    * shuffling 200 TB and ~50 TB — and identical rows collapse under
+    * the digest exactly as they would under the row (collision odds for
+    * two DIFFERENT rows sharing both hashes: n²/2^129, ~10⁻²² at 10¹⁰
+    * rows). Two EXCEPT ALL legs — the naive shape — shuffle both
+    * generations twice and carry full rows; this carries digests once.
+    * The engine's digest fast path (Snapshot.verifyContent) still
+    * answers the cheaper "did anything change" question with scalar
+    * aggs only. */
   val incremental: Q = Q(
     "q_ref_incremental",
     (s, d) => {
@@ -348,7 +355,9 @@ object RefOps {
       val rowCols = prev.columns.toSeq.map(col)
       prev.withColumn("__w", lit(1L))
         .unionByName(cur.withColumn("__w", lit(-1L)))
-        .groupBy(rowCols: _*)
+        .groupBy(
+          xxhash64(rowCols :+ lit(1L): _*).as("h1"),
+          xxhash64(rowCols :+ lit(2L): _*).as("h2"))
         .agg(sum(col("__w")).as("d"),
           count(when(col("__w") === -1L, 1)).as("cur_n"))
         .agg(
