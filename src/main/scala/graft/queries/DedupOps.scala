@@ -143,7 +143,7 @@ object DedupOps {
         .orderBy("doc_id"),
     None)
 
-  /** Mandated EXT: exact n-gram (token trigram — see ngramGrams) Jaccard
+  /** Mandated EXT: exact n-gram (token 5-gram — see ngramGrams) Jaccard
     * near-dup pairs, blocked by source. Fully SQL-expressible →
     * oracle-checked. The explode+equi-join computes |A∩B| without ever
     * building the cross product of documents. */
@@ -169,31 +169,37 @@ object DedupOps {
     * output-linearity reason as [[NgramJaccardT]]. */
   private[graft] val NgramContainT = 0.8
 
-  /** (doc_id, source, bg): each doc's distinct token TRIGRAMS, 64-bit
+  /** (doc_id, source, bg): each doc's distinct token 5-GRAMS, 64-bit
     * hashed and sorted (the merge-count input shape), via the native
     * one-pass kernel — the gram string is never built (same |A∩B|
     * counts modulo 64-bit collisions, which the hashed-gram design
     * already accepts).
     *
-    * Trigrams, not bigrams (r7): gram-space size is what makes the
-    * Bayardo/PPJoin prefix filter BITE. Over a V-word vocabulary the
-    * bigram space is V² — for this corpus's ~40-word vocabulary that
-    * is ~1.6k distinct grams, so per-source df ≈ |block|·len/1.6k
-    * grows linearly with the block and nearly every prefix gram is
-    * shared by hundreds of documents: measured r7 at sf5, the t=0.8
-    * candidate join ran 138 s and the t=0.4 one spilled the disk to
-    * death. The trigram space is V³ (~64k) — df drops ~40×, prefix
-    * holders drop with it, and the candidate volume follows true
-    * co-occurrence again (the same reason MinHash shingling uses
-    * w=3+; Broder'97 resemblance uses 10-grams). Semantics shift from
-    * bigram to trigram Jaccard/containment — near-identical documents
-    * score ≈ the same under both (fixture: the one true sf0.01 pair
-    * scores 0.973 bigram vs 0.974 trigram) — and the oracle SQL
-    * mirrors trigrams exactly. */
+    * GRAM ORDER IS THE SCALE KNOB (SCALE.md cliff 9): gram-space size
+    * V^w is what makes the Bayardo/PPJoin prefix filter BITE — every
+    * candidate generator here fans out with per-source gram df, and
+    * df ≈ |block|·len/V^w grows linearly with the block once the gram
+    * space saturates. Measured escalation on this ~31-word-vocabulary
+    * corpus: bigrams (V²≈1k) died at sf5 (138 s at t=0.8, disk-dead at
+    * t=0.4); trigrams (V³≈30k, the r7 first fix) died at sf20 — 1M
+    * docs, 200k/block, avg df ≈ 350, candidates ∝ n²/V³ spilled >70 GB
+    * and took the disk down. 5-grams (V⁵≈29M) keep df at 1-3 up to
+    * ~10M docs/source — candidates track true co-occurrence (output-
+    * bound), the property that must hold at 100 TB. Published dedup
+    * uses the same lever harder still (Broder'97 resemblance: w=10
+    * shingles; Gopher/SlimPajama: 13-gram Jaccard); w=5 rather than 10+
+    * because qualifying near-dup pairs among the fixture's SHORT docs
+    * (p10 = 21 tokens) must keep scoring above t — an L-token doc with
+    * one edited token loses w grams of its L−w+1, so w ≪ L·(1−t) is
+    * the constraint. Near-identical documents score ≈ the same under
+    * any small w (the one true sf0.01 pair: jaccard 0.9737 trigram vs
+    * 0.9722 5-gram, containment 1.0 under both; qualifying pair sets
+    * at sf0.01/sf0.1 are IDENTICAL under w=3 and w=5) — and the oracle
+    * SQL mirrors 5-grams exactly. */
   private[graft] def ngramGrams(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)
       .select(col("doc_id"), col("source"),
-        graft.functions.GramHashes(s, col("text"), 3).as("bg"))
+        graft.functions.GramHashes(s, col("text"), 5).as("bg"))
 
   /** Exact score + threshold over candidate pairs carrying both gram
     * arrays: native merge-count over the sorted hashed grams — no
@@ -253,7 +259,12 @@ object DedupOps {
       s: SparkSession, grams: DataFrame,
       blockCap: Int, t: Double, symmetric: Boolean): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val sized = grams.withColumn("block_n",
+    // A doc shorter than the gram order has an EMPTY gram set: it can
+    // never reach a positive threshold, and keeping it makes the score
+    // 0/0. The oracle SQL excludes such docs the same way (NaN/x>=t is
+    // false in DuckDB), so dropping them here is exact, not a guard.
+    val nonEmpty = grams.where(size(col("bg")) > 0)
+    val sized = nonEmpty.withColumn("block_n",
       count(lit(1)).over(Window.partitionBy(col("source"))))
     val small = sized.where(col("block_n") <= blockCap)
     val big = sized.where(col("block_n") > blockCap)
@@ -404,18 +415,18 @@ object DedupOps {
     (s, d) =>
       ngramPairs(s, ngramGrams(s, d), NgramBlockCap, NgramJaccardT)
         .orderBy("source", "a_id", "b_id"),
-    Some("""WITH d AS (
+    Some("""WITH t AS (
+      SELECT doc_id, source,
+        list_filter(string_split(lower(text), ' '), x -> x != '') AS toks
+      FROM documents),
+    d AS (
       SELECT doc_id, source,
         list_distinct(list_transform(
-          generate_series(1, len(list_filter(string_split(lower(text), ' '),
-            t -> t != '')) - 2),
-          i -> list_filter(string_split(lower(text), ' '), t -> t != '')[i]
-            || ' ' ||
-            list_filter(string_split(lower(text), ' '), t -> t != '')[i+1]
-            || ' ' ||
-            list_filter(string_split(lower(text), ' '), t -> t != '')[i+2]))
+          generate_series(1, len(toks) - 4),
+          i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+            || ' ' || toks[i+3] || ' ' || toks[i+4]))
           AS bg
-      FROM documents),
+      FROM t),
     pairs AS (
       SELECT a.source AS source, a.doc_id AS a_id, b.doc_id AS b_id,
         CAST(len(list_intersect(a.bg, b.bg)) AS BIGINT) AS n_common,
@@ -571,18 +582,18 @@ object DedupOps {
         .where(col("containment") >= NgramContainT)
         .select("source", "a_id", "b_id", "n_common", "containment")
         .orderBy("source", "a_id", "b_id"),
-    Some("""WITH d AS (
+    Some("""WITH t AS (
+      SELECT doc_id, source,
+        list_filter(string_split(lower(text), ' '), x -> x != '') AS toks
+      FROM documents),
+    d AS (
       SELECT doc_id, source,
         list_distinct(list_transform(
-          generate_series(1, len(list_filter(string_split(lower(text), ' '),
-            t -> t != '')) - 2),
-          i -> list_filter(string_split(lower(text), ' '), t -> t != '')[i]
-            || ' ' ||
-            list_filter(string_split(lower(text), ' '), t -> t != '')[i+1]
-            || ' ' ||
-            list_filter(string_split(lower(text), ' '), t -> t != '')[i+2]))
+          generate_series(1, len(toks) - 4),
+          i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+            || ' ' || toks[i+3] || ' ' || toks[i+4]))
           AS bg
-      FROM documents),
+      FROM t),
     pairs AS (
       SELECT a.source AS source, a.doc_id AS a_id, b.doc_id AS b_id,
         CAST(len(list_intersect(a.bg, b.bg)) AS BIGINT) AS n_common,

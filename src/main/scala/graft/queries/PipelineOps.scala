@@ -168,18 +168,18 @@ object PipelineOps {
           (col("doc_id") =!= col("canonical_id")).as("is_dup"))
         .orderBy("doc_id")
     },
-    Some("""WITH RECURSIVE d AS (
+    Some("""WITH RECURSIVE t AS (
+      SELECT doc_id, source,
+        list_filter(string_split(lower(text), ' '), x -> x != '') AS toks
+      FROM documents),
+    d AS (
       SELECT doc_id, source,
         list_distinct(list_transform(
-          generate_series(1, len(list_filter(string_split(lower(text), ' '),
-            t -> t != '')) - 2),
-          i -> list_filter(string_split(lower(text), ' '), t -> t != '')[i]
-            || ' ' ||
-            list_filter(string_split(lower(text), ' '), t -> t != '')[i+1]
-            || ' ' ||
-            list_filter(string_split(lower(text), ' '), t -> t != '')[i+2]))
+          generate_series(1, len(toks) - 4),
+          i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+            || ' ' || toks[i+3] || ' ' || toks[i+4]))
           AS bg
-      FROM documents),
+      FROM t),
     pairs AS (
       SELECT a.doc_id AS a_id, b.doc_id AS b_id
       FROM d a JOIN d b ON a.source = b.source AND a.doc_id < b.doc_id

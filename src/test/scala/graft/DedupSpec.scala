@@ -170,7 +170,7 @@ class DedupSpec extends SparkSpec {
     // them in its (rarest-first) prefix. Ground truth is the pairwise
     // shape on the same grams.
     val tmp = java.nio.file.Files.createTempDirectory("graft_resid").toString
-    val boiler = "aaa bbb ccc ddd"
+    val boiler = "aaa bbb ccc ddd eee" // 5 tokens = one 5-gram
     val docs =
       Seq((1L, boiler), (2L, boiler), // boilerplate-only duplicates
         (3L, s"$boiler xxx yyy zzz"), // rare-phrase duplicates
@@ -201,7 +201,7 @@ class DedupSpec extends SparkSpec {
     // verifier of the family.) The prefix path must return the complete
     // quadratic truth, not a capped subset as r5's residual path did.
     val tmp = java.nio.file.Files.createTempDirectory("graft_residcap").toString
-    val boiler = "aaa bbb ccc ddd"
+    val boiler = "aaa bbb ccc ddd eee"
     (1L to 120L).map(i => (i, boiler, "en", "srcA", boiler.length.toLong))
       .toDF("doc_id", "text", "lang", "source", "n_chars")
       .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
@@ -218,7 +218,7 @@ class DedupSpec extends SparkSpec {
 
   test("containment catches a quote inside a container that jaccard misses") {
     val tmp = java.nio.file.Files.createTempDirectory("graft_contain").toString
-    val quote = "alpha beta gamma delta"
+    val quote = "alpha beta gamma delta epsilon"
     val filler = (1 to 60).map(i => s"w$i").mkString(" ")
     Seq((1L, quote, "en", "srcA", quote.length.toLong),
       (2L, s"$quote $filler", "en", "srcA", 400L))
@@ -238,7 +238,7 @@ class DedupSpec extends SparkSpec {
         (col("n_common") / (col("na") + col("nb") - col("n_common")))
           .as("jaccard"))
       .head()
-    // all 3 of the quote's bigrams appear in the container → perfect
+    // every gram of the quote appears in the container → perfect
     // containment, while jaccard is diluted by the container's length
     assert(scored.getDouble(0) == 1.0,
       s"containment ${scored.getDouble(0)}")
@@ -248,15 +248,15 @@ class DedupSpec extends SparkSpec {
   test("containment prefix path is exact when every shared gram is ubiquitous") {
     // The blind spot that killed the r5 df-capped generator at sf1: a
     // pair whose EVERY shared gram is block-ubiquitous generated no
-    // candidate. Here a 4-token quote is contained whole in 30 long
-    // containers (quote grams have df=31 — maximally ubiquitous), so
-    // all 30 (quote, container) pairs have containment 1.0 and depend
-    // ONLY on ubiquitous grams. Container-container pairs share just
-    // those 3 grams against ~40 of their own → below threshold. The
+    // candidate. Here a 5-token quote is contained whole in 30 long
+    // containers (its single 5-gram has df=31 — maximally ubiquitous),
+    // so all 30 (quote, container) pairs have containment 1.0 and
+    // depend ONLY on that ubiquitous gram. Container-container pairs
+    // share just it against ~40 of their own → below threshold. The
     // prefix path must find exactly the 30 true pairs; ground truth is
     // the pairwise shape on the same grams.
     val tmp = java.nio.file.Files.createTempDirectory("graft_ubiq").toString
-    val quote = "alpha beta gamma delta"
+    val quote = "alpha beta gamma delta epsilon"
     val docs = (1L, quote) +: (2L to 31L).map { i =>
       val filler = (1 to 40).map(j => s"w${i}_$j").mkString(" ")
       (i, s"$quote $filler")
