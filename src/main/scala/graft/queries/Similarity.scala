@@ -163,11 +163,19 @@ object Similarity {
         .select("label", "a_id", "b_id").distinct()
       val w = Window.partitionBy(col("b_id"))
         .orderBy(col("cos").desc, col("a_id").asc)
+      // BROADCAST the vector table into both re-rank joins: the
+      // candidate stream is ~bands·BandWindow (≈512)× larger than the
+      // vector table, so a sort-merge shape shuffles the big side
+      // twice to co-locate the small one (sf20 measured: 258 s, spill-
+      // bound). Broadcasting streams candidates through two in-memory
+      // hash joins instead (sf20: 32-42 s). Past broadcastable size
+      // (~10⁸ vectors) the 100 TB fallback is bucketing both sides on
+      // vec_id — never shuffling the candidate stream stays the goal.
       cands
-        .join(e.select(col("vec_id").as("a_id"), col("embedding").as("av")),
-          Seq("a_id"))
-        .join(e.select(col("vec_id").as("b_id"), col("embedding").as("bv")),
-          Seq("b_id"))
+        .join(broadcast(e.select(col("vec_id").as("a_id"),
+          col("embedding").as("av"))), Seq("a_id"))
+        .join(broadcast(e.select(col("vec_id").as("b_id"),
+          col("embedding").as("bv"))), Seq("b_id"))
         .withColumn("cos",
           graft.functions.CosineSimilarity(s, col("av"), col("bv")))
         .where(col("cos") >= 0.35)
