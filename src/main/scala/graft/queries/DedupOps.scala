@@ -255,14 +255,23 @@ object DedupOps {
     *   `n_common >= t·max(na, nb)` (Jaccard: J ≥ t forces min ≥ t·max),
     *   false when only `n_common >= t·min` holds (containment). Picks
     *   the candidate-join shape; both are exact for their score class. */
+  /** @param probe diagnostic tap: called with (stage, frame) at each
+    *   intermediate stage. The default no-op leaves the production plan
+    *   byte-identical; graft.Diag3 passes a counting probe to attribute
+    *   candidate volume per stage across scale points. */
   private[graft] def ngramRawPairs(
       s: SparkSession, grams: DataFrame,
-      blockCap: Int, t: Double, symmetric: Boolean): DataFrame = {
+      blockCap: Int, t: Double, symmetric: Boolean,
+      probe: (String, DataFrame) => Unit = (_, _) => ()): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     // A doc shorter than the gram order has an EMPTY gram set: it can
     // never reach a positive threshold, and keeping it makes the score
-    // 0/0. The oracle SQL excludes such docs the same way (NaN/x>=t is
-    // false in DuckDB), so dropping them here is exact, not a guard.
+    // 0/0. The oracle SQL mirrors this with `WHERE len(toks) >= 5` in
+    // its gram CTE rather than relying on 0/0 semantics: DuckDB 1.0
+    // returns NULL for 0/0 (NULL >= t excludes), but versions with
+    // IEEE float division yield NaN, which DuckDB orders ABOVE all
+    // values — NaN >= t would be TRUE and emit bogus pairs. The
+    // explicit filter makes both engines exact by construction.
     val nonEmpty = grams.where(size(col("bg")) > 0)
     val sized = nonEmpty.withColumn("block_n",
       count(lit(1)).over(Window.partitionBy(col("source"))))
@@ -426,7 +435,7 @@ object DedupOps {
           i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
             || ' ' || toks[i+3] || ' ' || toks[i+4]))
           AS bg
-      FROM t),
+      FROM t WHERE len(toks) >= 5),
     pairs AS (
       SELECT a.source AS source, a.doc_id AS a_id, b.doc_id AS b_id,
         CAST(len(list_intersect(a.bg, b.bg)) AS BIGINT) AS n_common,
@@ -593,7 +602,7 @@ object DedupOps {
           i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
             || ' ' || toks[i+3] || ' ' || toks[i+4]))
           AS bg
-      FROM t),
+      FROM t WHERE len(toks) >= 5),
     pairs AS (
       SELECT a.source AS source, a.doc_id AS a_id, b.doc_id AS b_id,
         CAST(len(list_intersect(a.bg, b.bg)) AS BIGINT) AS n_common,

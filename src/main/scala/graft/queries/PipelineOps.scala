@@ -58,11 +58,10 @@ object PipelineOps {
     * corpus can contain. PipelineSpec proves a 300-node path — 10×
     * MaxIters in diameter — converges to the correct labels.
     *
-    * Scale shape: `edges` is materialized ONCE (localCheckpoint — at
-    * cluster scale a checkpoint to reliable storage) so each round is
-    * one keyed shuffle over the edge list plus two over the label list,
-    * never re-running the upstream dedup pipeline; lineage is cut per
-    * round so the plan stays constant-size.
+    * Scale shape: `edges` is materialized ONCE (via [[cut]]) so each
+    * round is one keyed shuffle over the edge list plus two over the
+    * label list, never re-running the upstream dedup pipeline; lineage
+    * is cut per round so the plan stays constant-size.
     *
     * Everything is integer/long arithmetic — bit-deterministic under
     * any partitioning and accumulation order.
@@ -71,10 +70,23 @@ object PipelineOps {
     *              orientation, self-loops tolerated)
     * @return (`node`, `label`) — label = min node id in the component
     */
+  /** Materialize and cut lineage for one iteration round. Local mode
+    * uses `localCheckpoint()` (block-manager scratch, no external
+    * storage needed); when a checkpoint directory is configured
+    * (`SparkContext.setCheckpointDir`, as any real cluster job should)
+    * the round instead checkpoints EAGERLY to that reliable storage —
+    * `localCheckpoint` blocks live on executors and die with them, so
+    * on a 1000-executor cluster a single lost executor mid-iteration
+    * would kill the job; reliable checkpoints survive executor loss. */
+  private def cut(df: DataFrame): DataFrame =
+    if (df.sparkSession.sparkContext.getCheckpointDir.isDefined)
+      df.checkpoint()
+    else df.localCheckpoint()
+
   def connectedComponents(spark: SparkSession, edges: DataFrame): DataFrame = {
-    val e0 = edges.select(col("src").cast("long"), col("dst").cast("long"))
-      .where(col("src") =!= col("dst"))
-      .localCheckpoint()
+    val e0 = cut(edges
+      .select(col("src").cast("long"), col("dst").cast("long"))
+      .where(col("src") =!= col("dst")))
     // Size the iteration shuffles to the EDGE LIST, not the corpus: the
     // propagation rounds touch only nodes that have edges (a sliver of
     // the corpus after near-dup thresholding), and running a handful of
@@ -87,9 +99,8 @@ object PipelineOps {
     val e = e0.repartition(parts)
     val sym = e.unionByName(
       e.select(col("dst").as("src"), col("src").as("dst")))
-    var labels = sym.select(col("src").as("node")).distinct()
-      .select(col("node"), col("node").as("label"))
-      .localCheckpoint()
+    var labels = cut(sym.select(col("src").as("node")).distinct()
+      .select(col("node"), col("node").as("label")))
     var converged = false
     var iter = 0
     while (!converged && iter < MaxIters) {
@@ -116,7 +127,7 @@ object PipelineOps {
       // whose label is themselves either way.
       val byNode = stepped
         .select(col("node").as("pnode"), col("label").as("plabel"))
-      val next = stepped
+      val next = cut(stepped
         .join(byNode, stepped("label") === byNode("pnode"), "left")
         .select(
           stepped("node"),
@@ -124,8 +135,7 @@ object PipelineOps {
             .as("label"),
           (stepped("chg")
             || (col("plabel").isNotNull && col("plabel") < stepped("label")))
-            .as("chg"))
-        .localCheckpoint()
+            .as("chg")))
       converged = next.where(col("chg")).limit(1).isEmpty
       labels = next.select("node", "label")
       iter += 1
@@ -179,7 +189,7 @@ object PipelineOps {
           i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
             || ' ' || toks[i+3] || ' ' || toks[i+4]))
           AS bg
-      FROM t),
+      FROM t WHERE len(toks) >= 5),
     pairs AS (
       SELECT a.doc_id AS a_id, b.doc_id AS b_id
       FROM d a JOIN d b ON a.source = b.source AND a.doc_id < b.doc_id

@@ -336,9 +336,20 @@ object RefOps {
     * digest instead of the full row shuffles ~24 bytes/row instead of
     * the whole ~100-byte row — at 100 TB that is the difference between
     * shuffling 200 TB and ~50 TB — and identical rows collapse under
-    * the digest exactly as they would under the row (collision odds for
-    * two DIFFERENT rows sharing both hashes: n²/2^129, ~10⁻²² at 10¹⁰
-    * rows). Two EXCEPT ALL legs — the naive shape — shuffle both
+    * the digest exactly as they would under the row. The salts are
+    * PREPENDED (first fold), not appended: xxhash64 folds columns
+    * left-to-right using the running hash as the next seed, so an
+    * appended salt would leave both chains with the identical 64-bit
+    * internal state over the row columns — any state collision would
+    * collide h1 and h2 together, making the effective odds ~n²/2^65
+    * (≈3 expected silent collisions at 10¹⁰ rows). With the salt first
+    * the two chains diverge from fold one and behave as independent
+    * 64-bit digests: odds for two DIFFERENT rows sharing both hashes
+    * ~n²/2^129, ~10⁻²² at 10¹⁰ rows. (Caveat: Spark's hash functions
+    * skip NULL columns, so rows differing only in null placement would
+    * collide — benign for the null-free lineitem schema; schemas with
+    * nullable columns should add an isnull-bitmask column to rowCols.)
+    * Two EXCEPT ALL legs — the naive shape — shuffle both
     * generations twice and carry full rows; this carries digests once.
     * The engine's digest fast path (Snapshot.verifyContent) still
     * answers the cheaper "did anything change" question with scalar
@@ -356,8 +367,8 @@ object RefOps {
       prev.withColumn("__w", lit(1L))
         .unionByName(cur.withColumn("__w", lit(-1L)))
         .groupBy(
-          xxhash64(rowCols :+ lit(1L): _*).as("h1"),
-          xxhash64(rowCols :+ lit(2L): _*).as("h2"))
+          xxhash64(lit(1L) +: rowCols: _*).as("h1"),
+          xxhash64(lit(2L) +: rowCols: _*).as("h2"))
         .agg(sum(col("__w")).as("d"),
           count(when(col("__w") === -1L, 1)).as("cur_n"))
         .agg(

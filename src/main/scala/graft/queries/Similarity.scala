@@ -2,6 +2,7 @@ package graft.queries
 
 import graft.Q
 import graft.engine.Tables
+import org.apache.spark.sql.DataFrame
 import graft.functions.Vectors
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -95,6 +96,13 @@ object Similarity {
     * Deterministic (vec_id order), mirrored in the oracle SQL. */
   private val BandWindow = 64
 
+  /** Ceiling on the optimizer's size estimate for a forced broadcast()
+    * of the vector table (re-rank joins). 2 GiB ≈ 4·10⁶ 64-float
+    * vectors after the ~8× parquet→row inflation — comfortably inside
+    * executor memory; above it the hint would OOM instead of degrade,
+    * so the join reverts to the shuffled shape. */
+  private val BroadcastCapBytes = BigInt(2L) << 30
+
   /** Mandated EXT: embedding-cosine near-duplicates — candidates from
     * an 8-band random-hyperplane LSH join WITHIN label (each bucket
     * member pairing with its ≤ BandWindow vec_id-order predecessors),
@@ -168,13 +176,18 @@ object Similarity {
       // vector table, so a sort-merge shape shuffles the big side
       // twice to co-locate the small one (sf20 measured: 258 s, spill-
       // bound). Broadcasting streams candidates through two in-memory
-      // hash joins instead (sf20: 32-42 s). Past broadcastable size
-      // (~10⁸ vectors) the 100 TB fallback is bucketing both sides on
-      // vec_id — never shuffling the candidate stream stays the goal.
+      // hash joins instead (sf20: 32-42 s). broadcast() is a FORCED
+      // hint — past broadcastable range it OOMs rather than degrading —
+      // so it is gated on the optimizer's size estimate: above
+      // BroadcastCapBytes the join falls back to the plain shuffled
+      // shape (slower, never fatal), the 100 TB degradation path.
+      val vecBytes = e.queryExecution.optimizedPlan.stats.sizeInBytes
+      def reRankSide(side: DataFrame): DataFrame =
+        if (vecBytes <= BroadcastCapBytes) broadcast(side) else side
       cands
-        .join(broadcast(e.select(col("vec_id").as("a_id"),
+        .join(reRankSide(e.select(col("vec_id").as("a_id"),
           col("embedding").as("av"))), Seq("a_id"))
-        .join(broadcast(e.select(col("vec_id").as("b_id"),
+        .join(reRankSide(e.select(col("vec_id").as("b_id"),
           col("embedding").as("bv"))), Seq("b_id"))
         .withColumn("cos",
           graft.functions.CosineSimilarity(s, col("av"), col("bv")))

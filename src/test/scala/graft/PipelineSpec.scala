@@ -23,6 +23,31 @@ class PipelineSpec extends SparkSpec {
       10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 20L))
   }
 
+  test("connectedComponents uses reliable checkpoints when a dir is configured") {
+    // With SparkContext.setCheckpointDir set (as any cluster job should),
+    // every iteration materialization must go to reliable storage —
+    // localCheckpoint blocks die with their executor — and the labels
+    // must be identical to the local-mode path.
+    val dir = java.nio.file.Files.createTempDirectory("graft-ckpt")
+    spark.sparkContext.setCheckpointDir(dir.toString)
+    try {
+      val edges = Seq((2L, 1L), (2L, 3L), (10L, 11L)).toDF("src", "dst")
+      val got = PipelineOps.connectedComponents(spark, edges)
+        .orderBy("node").as[(Long, Long)].collect().toSeq
+      assert(got == Seq(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
+      // reliable-checkpoint evidence: RDD checkpoint files were written
+      val files = java.nio.file.Files.walk(dir).iterator()
+      val wrote = Iterator.continually(files)
+        .takeWhile(_.hasNext).map(_.next().getFileName.toString)
+        .exists(_.startsWith("rdd-"))
+      assert(wrote, "no rdd-* checkpoint dirs under the configured location")
+    } finally {
+      spark.sparkContext.setCheckpointDir(null)
+      assert(spark.sparkContext.getCheckpointDir.isEmpty)
+      org.apache.commons.io.FileUtils.deleteDirectory(dir.toFile)
+    }
+  }
+
   test("connectedComponents converges on a 300-node path (10x MaxIters diameter)") {
     // Pure min-label propagation needs diameter≈299 rounds and would
     // abort at MaxIters=30; pointer jumping must close this in
