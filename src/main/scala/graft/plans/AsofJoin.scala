@@ -90,12 +90,15 @@ case class AsofJoinExec(
 
   /** Both children cluster on their key — the same contract as a
     * sort-merge join, so EnsureRequirements inserts the co-partitioned
-    * exchanges. The partition count is pinned (conf value) so the two
-    * sides stay aligned for zipPartitions even under AQE's coalescing;
-    * a cluster deployment tunes that single conf, exactly as for any
-    * shuffle. */
+    * exchanges. The partition count is pinned (spark.sql.shuffle
+    * .partitions, NOT SQLConf.numShufflePartitions: the latter resolves
+    * to AQE's initialPartitionNum when coalescing is on, and a pinned
+    * requirement is uncoalescible — the join would run the full
+    * initial width as real tasks) so the two sides stay aligned for
+    * zipPartitions even under AQE's coalescing; a cluster deployment
+    * tunes that single conf, exactly as for any shuffle. */
   override def requiredChildDistribution: Seq[Distribution] = {
-    val n = Some(conf.numShufflePartitions)
+    val n = Some(conf.defaultNumShufflePartitions)
     ClusteredDistribution(Seq(leftKey), requiredNumPartitions = n) ::
       ClusteredDistribution(Seq(rightKey), requiredNumPartitions = n) :: Nil
   }

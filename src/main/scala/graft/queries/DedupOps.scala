@@ -273,8 +273,19 @@ object DedupOps {
     // values — NaN >= t would be TRUE and emit bogus pairs. The
     // explicit filter makes both engines exact by construction.
     val nonEmpty = grams.where(size(col("bg")) > 0)
-    val sized = nonEmpty.withColumn("block_n",
-      count(lit(1)).over(Window.partitionBy(col("source"))))
+    // Block sizes via a pruned aggregate + tiny broadcast join, NOT a
+    // window over the gram-array rows: the window shape sorted every
+    // row (arrays included) into |sources| partitions — a 20-task
+    // bottleneck moving ~0.5 GB of arrays at sf20, and parallelism
+    // capped by source cardinality is a genuine cluster-scale cliff.
+    // The aggregate reads the pruned source-only scan (GramHashes is
+    // never evaluated for it), and block_n counts ALL docs of the
+    // source, short ones included — block_n only routes between two
+    // EXACT physical paths, so any consistent per-source size is
+    // correct.
+    val blockSizes = grams.groupBy(col("source"))
+      .agg(count(lit(1)).as("block_n"))
+    val sized = nonEmpty.join(broadcast(blockSizes), Seq("source"))
     val small = sized.where(col("block_n") <= blockCap)
     val big = sized.where(col("block_n") > blockCap)
 
@@ -286,9 +297,24 @@ object DedupOps {
 
     val g = big.select(col("source"), col("doc_id"),
       size(col("bg")).as("n"), explode(col("bg")).as("g"))
-    val gramDf = g.groupBy(col("source"), col("g"))
-      .agg(count(lit(1)).as("df"))
-    val shared = g.join(gramDf.where(col("df") > 1), Seq("source", "g"))
+    probe("postings", g)
+    // Per-gram df via ONE repartition + window count, not groupBy+join:
+    // posting keys are mostly unique (5-gram space ≫ corpus), so the
+    // grouped shape's map-side partial aggregate builds a hash map
+    // nearly the size of its input split, falls back to sort-based
+    // aggregation and spills — measured as the 8 GiB sf20 memory cliff
+    // behind VERDICT r7's superlinear trend (19 s for the aggregate
+    // alone; 11 s given 32 GiB). This shape moves the same 30-byte
+    // rows through one exchange — no explicit partition count, so AQE
+    // splits it at scale and coalesces it when small — and the
+    // window's in-partition sort is a spillable linear pass. The df>1
+    // postings join (a second 53M-row shuffle at sf20) disappears:
+    // the window leaves df on every posting row.
+    val withDf = g.repartition(col("source"), col("g"))
+      .withColumn("df",
+        count(lit(1)).over(Window.partitionBy(col("source"), col("g"))))
+    val shared = withDf.where(col("df") > 1)
+    probe("shared_rows", shared)
     val perDoc = Window.partitionBy(col("source"), col("doc_id"))
     val ranked = shared
       .withColumn("rn", row_number()
@@ -365,17 +391,27 @@ object DedupOps {
       val mid = midPrefix.select(col("source"), col("g"),
         col("doc_id").as("s_id"), col("n").as("s_n"),
         col("rn").as("s_rn"), col("n_shared").as("s_ns"))
-      long.join(mid, Seq("source", "g"))
+      probe("sym_prefix_rows", long)
+      probe("sym_mid_rows", mid)
+      val joined = long.join(mid, Seq("source", "g"))
         .where(col("l_n") > col("s_n")
           || (col("l_n") === col("s_n") && col("l_id") < col("s_id")))
+      probe("sym_join_rows", joined)
+      val sizeOk = joined
         .where(col("s_n").cast("double") / col("l_n").cast("double")
           >= lit(t))
+      probe("sym_size_rows", sizeOk)
+      val posOk = sizeOk
         .where(least(col("l_ns") - col("l_rn"),
           col("s_ns") - col("s_rn")) + lit(1) >=
           ceil(lit(t / (1 + t)) * (col("l_n") + col("s_n")) - lit(1e-9)))
+      probe("sym_pos_rows", posOk)
+      val c = posOk
         .select(col("source"), least(col("l_id"), col("s_id")).as("a_id"),
           greatest(col("l_id"), col("s_id")).as("b_id"))
         .distinct()
+      probe("sym_cand", c)
+      c
     } else {
       // Containment guarantees n_common ≥ t·n only on the SMALLER
       // side, so its prefix must probe FULL postings (the larger side
@@ -394,15 +430,19 @@ object DedupOps {
       // almost never binds). The symmetric path's filter earns its
       // keep only because its α = ceil(t/(1+t)·(l_n+s_n)) is strictly
       // tighter than either side's prefix bound.
-      prefix.select(col("source"), col("g"),
+      val joined = prefix.select(col("source"), col("g"),
           col("doc_id").as("p_id"), col("n").as("p_n"))
         .join(shared.select(col("source"), col("g"),
           col("doc_id").as("o_id"), col("n").as("o_n")), Seq("source", "g"))
         .where(col("p_id") =!= col("o_id") && (col("p_n") < col("o_n")
           || (col("p_n") === col("o_n") && col("p_id") < col("o_id"))))
+      probe("con_join_rows", joined)
+      val c = joined
         .select(col("source"), least(col("p_id"), col("o_id")).as("a_id"),
           greatest(col("p_id"), col("o_id")).as("b_id"))
         .distinct()
+      probe("con_cand", c)
+      c
     }
     val exploded = cand
       .join(big.select(col("source"), col("doc_id").as("a_id"),
