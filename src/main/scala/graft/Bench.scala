@@ -138,6 +138,22 @@ object Bench {
     catch { case e: Throwable =>
       System.err.println(s"[bench] file write failed: ${e.getMessage}")
     }
+    // Per-round audit trail (r6/r7 advice): the canonical bench.json is
+    // overwritten every driver round and the driver's BENCH_r{N}.json
+    // keeps only the stdout top-25, so no self-contained full-map
+    // history survived. Canonical runs (default out) therefore ALSO
+    // append one timestamped line to bench_history.jsonl — append-only,
+    // so no later run can clobber an earlier record. Ad-hoc runs with
+    // an explicit output path stay out of the history.
+    if (out == "bench.json")
+      try Files.writeString(Paths.get("bench_history.jsonl"),
+        "{" + s""""ts_ms":${System.currentTimeMillis()},""" +
+          full.stripPrefix("{") + "\n",
+        java.nio.file.StandardOpenOption.CREATE,
+        java.nio.file.StandardOpenOption.APPEND)
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] history append failed: ${e.getMessage}")
+      }
     // Stdout gets ONE compact line guaranteed to fit the tail buffer:
     // the slowest 25 queries at 3 decimals (~0.8 KB). The rest of the
     // map is in bench.json (committed to the repo root).

@@ -476,12 +476,22 @@ object DedupOps {
             || ' ' || toks[i+3] || ' ' || toks[i+4]))
           AS bg
       FROM t WHERE len(toks) >= 5),
+    g AS (
+      SELECT doc_id, source, len(bg) AS n, unnest(bg) AS gram FROM d),
     pairs AS (
+      -- Exploded gram equi-join, not the quadratic per-source block
+      -- join: a pair with zero common grams scores 0 < t, so grouping
+      -- gram matches enumerates every qualifying pair exactly (bg is
+      -- distinct within a doc, so count(*) IS |A∩B|). The block form
+      -- is O(|block|²) list intersects — DuckDB-intractable past
+      -- sf0.1 — while this form's join output is Σ df² over grams.
       SELECT a.source AS source, a.doc_id AS a_id, b.doc_id AS b_id,
-        CAST(len(list_intersect(a.bg, b.bg)) AS BIGINT) AS n_common,
-        CAST(len(a.bg) AS BIGINT) AS na, CAST(len(b.bg) AS BIGINT) AS nb
-      FROM d a JOIN d b
-        ON a.source = b.source AND a.doc_id < b.doc_id)
+        count(*) AS n_common,
+        any_value(a.n) AS na, any_value(b.n) AS nb
+      FROM g a JOIN g b
+        ON a.source = b.source AND a.gram = b.gram
+          AND a.doc_id < b.doc_id
+      GROUP BY a.source, a.doc_id, b.doc_id)
     SELECT source, a_id, b_id, n_common,
       CAST(n_common AS DOUBLE) / (na + nb - n_common) AS jaccard
     FROM pairs
@@ -643,12 +653,18 @@ object DedupOps {
             || ' ' || toks[i+3] || ' ' || toks[i+4]))
           AS bg
       FROM t WHERE len(toks) >= 5),
+    g AS (
+      SELECT doc_id, source, len(bg) AS n, unnest(bg) AS gram FROM d),
     pairs AS (
+      -- Same exploded-equi-join exactness argument as the jaccard
+      -- oracle: zero common grams ⇒ containment 0 < t.
       SELECT a.source AS source, a.doc_id AS a_id, b.doc_id AS b_id,
-        CAST(len(list_intersect(a.bg, b.bg)) AS BIGINT) AS n_common,
-        CAST(len(a.bg) AS BIGINT) AS na, CAST(len(b.bg) AS BIGINT) AS nb
-      FROM d a JOIN d b
-        ON a.source = b.source AND a.doc_id < b.doc_id)
+        count(*) AS n_common,
+        any_value(a.n) AS na, any_value(b.n) AS nb
+      FROM g a JOIN g b
+        ON a.source = b.source AND a.gram = b.gram
+          AND a.doc_id < b.doc_id
+      GROUP BY a.source, a.doc_id, b.doc_id)
     SELECT source, a_id, b_id, n_common,
       CAST(n_common AS DOUBLE) / least(na, nb) AS containment
     FROM pairs

@@ -190,11 +190,25 @@ object PipelineOps {
             || ' ' || toks[i+3] || ' ' || toks[i+4]))
           AS bg
       FROM t WHERE len(toks) >= 5),
+    g AS (
+      SELECT doc_id, source, len(bg) AS n, unnest(bg) AS gram FROM d),
+    common AS (
+      -- Pair enumeration via the exploded gram equi-join, NOT the
+      -- quadratic per-source block join: a pair with zero common grams
+      -- has jaccard 0 < 0.8, so grouping the gram matches enumerates
+      -- every qualifying pair exactly (bg is distinct within a doc, so
+      -- count(*) IS |A∩B|). The block-join form is O(|block|^2) list
+      -- intersects (125M at sf1) and was DuckDB-intractable past
+      -- sf0.01; this form's join output is sum(df^2) over grams —
+      -- linear in true gram co-occurrence — and verifies at sf1.
+      SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+        count(*) AS c, any_value(a.n) AS na, any_value(b.n) AS nb
+      FROM g a JOIN g b
+        ON a.source = b.source AND a.gram = b.gram AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id),
     pairs AS (
-      SELECT a.doc_id AS a_id, b.doc_id AS b_id
-      FROM d a JOIN d b ON a.source = b.source AND a.doc_id < b.doc_id
-      WHERE CAST(len(list_intersect(a.bg, b.bg)) AS DOUBLE)
-        / (len(a.bg) + len(b.bg) - len(list_intersect(a.bg, b.bg))) >= 0.8),
+      SELECT a_id, b_id FROM common
+      WHERE CAST(c AS DOUBLE) / (na + nb - c) >= 0.8),
     edges AS (
       SELECT a_id AS src, b_id AS dst FROM pairs
       UNION ALL SELECT b_id, a_id FROM pairs),
