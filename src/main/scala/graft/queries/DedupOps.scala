@@ -313,7 +313,19 @@ object DedupOps {
     val withDf = g.repartition(col("source"), col("g"))
       .withColumn("df",
         count(lit(1)).over(Window.partitionBy(col("source"), col("g"))))
-    val shared = withDf.where(col("df") > 1)
+    val sharedBase = withDf.where(col("df") > 1)
+    // The containment path consumes `shared` TWICE — once under the
+    // ranked-prefix chain and once directly as the join's postings
+    // probe — and the probe branch is already (source, g)-distributed,
+    // so no exchange separates the consumers and the full postings
+    // window recomputes per consumer (~a second 53M-row pass at sf20,
+    // measured +7 s). A post-filter repartition on the SAME keys adds
+    // one exchange over only the df>1 sliver (1.5M rows at sf20) and
+    // makes everything below it shuffle-reused. The symmetric path has
+    // a single consumer — no reuse to buy — so it skips the hop.
+    val shared =
+      if (symmetric) sharedBase
+      else sharedBase.repartition(col("source"), col("g"))
     probe("shared_rows", shared)
     val perDoc = Window.partitionBy(col("source"), col("doc_id"))
     val ranked = shared
@@ -444,11 +456,25 @@ object DedupOps {
       probe("con_cand", c)
       c
     }
+    // ONE postings pass for BOTH gram arrays: melt each candidate pair
+    // into its two doc lookups, join `big` once, regroup the
+    // output-sized melt into (a_bg, b_bg). The previous shape ran two
+    // joins, and each re-evaluated GramHashes over the FULL corpus —
+    // the array projection can't be pruned for non-matching rows, so
+    // the per-pair key join cost two end-to-end gram passes. Each
+    // group has exactly two rows (a_id < b_id), so the ignoreNulls
+    // first() per side is deterministic.
     val exploded = cand
-      .join(big.select(col("source"), col("doc_id").as("a_id"),
-        col("bg").as("a_bg")), Seq("source", "a_id"))
-      .join(big.select(col("source"), col("doc_id").as("b_id"),
-        col("bg").as("b_bg")), Seq("source", "b_id"))
+      .select(col("source"), col("a_id"), col("b_id"),
+        explode(array(col("a_id"), col("b_id"))).as("doc_id"))
+      .join(big.select(col("source"), col("doc_id"), col("bg")),
+        Seq("source", "doc_id"))
+      .groupBy(col("source"), col("a_id"), col("b_id"))
+      .agg(
+        first(when(col("doc_id") === col("a_id"), col("bg")),
+          ignoreNulls = true).as("a_bg"),
+        first(when(col("doc_id") === col("b_id"), col("bg")),
+          ignoreNulls = true).as("b_bg"))
 
     pairwise.select("source", "a_id", "b_id", "a_bg", "b_bg")
       .unionByName(exploded.select("source", "a_id", "b_id", "a_bg", "b_bg"))
