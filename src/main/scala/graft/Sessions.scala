@@ -25,6 +25,17 @@ object Sessions {
       .master(s"local[$cpus]")
       .appName(appName)
       .config("spark.sql.shuffle.partitions", cpus)
+      // NOT set here: spark.sql.adaptive.coalescePartitions
+      // .initialPartitionNum. On a real cluster it SHOULD be raised
+      // (hundreds–thousands) so big exchanges start wide — bounded
+      // per-task sort/agg memory — while AQE coalesces small ones;
+      // the engine is compatible with that posture (AsofJoinExec pins
+      // defaultNumShufflePartitions, not the AQE-initial value, so
+      // pinned-width operators don't balloon). It is left unset for
+      // the local suite because it was MEASURED as a pure tax at this
+      // size: 512 initial partitions cost +14% on the sf0.1 bench
+      // (wide shuffle writes + AQE re-planning on ~MB exchanges) and
+      // bought nothing the 32-partition plans don't already have.
       .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
