@@ -316,16 +316,21 @@ object DedupOps {
     val sharedBase = withDf.where(col("df") > 1)
     // The containment path consumes `shared` TWICE — once under the
     // ranked-prefix chain and once directly as the join's postings
-    // probe — and the probe branch is already (source, g)-distributed,
-    // so no exchange separates the consumers and the full postings
-    // window recomputes per consumer (~a second 53M-row pass at sf20,
-    // measured +7 s). A post-filter repartition on the SAME keys adds
-    // one exchange over only the df>1 sliver (1.5M rows at sf20) and
-    // makes everything below it shuffle-reused. The symmetric path has
-    // a single consumer — no reuse to buy — so it skips the hop.
+    // probe — and without an exchange separating the consumers the
+    // full postings machinery (explode + repartition + window over
+    // 107M rows at sf40) recomputes PER CONSUMER: Diag3 measured the
+    // probed join stage at ≈ 2× the shared-chain cost, and the full
+    // query scaled 3.0× on the 2× sf20→sf40 step while jaccard (one
+    // consumer) scaled 2.0×. A post-filter repartition on
+    // (source, doc_id) — deliberately the ranked windows' OWN required
+    // distribution, so EnsureRequirements adds no second exchange
+    // above it and the optimizer cannot drop it as redundant — makes
+    // both consumers read the SAME exchange: the machinery runs once,
+    // and the hop moves only the df>1 sliver. The symmetric path has a
+    // single consumer — no reuse to buy — so it skips the hop.
     val shared =
       if (symmetric) sharedBase
-      else sharedBase.repartition(col("source"), col("g"))
+      else sharedBase.repartition(col("source"), col("doc_id"))
     probe("shared_rows", shared)
     val perDoc = Window.partitionBy(col("source"), col("doc_id"))
     val ranked = shared
