@@ -83,6 +83,31 @@ object PipelineOps {
       df.checkpoint()
     else df.localCheckpoint()
 
+  /** Reliable-checkpoint directory backing a just-[[cut]] DataFrame
+    * (None in localCheckpoint mode: the block-manager cleaner already
+    * reclaims those with the RDD reference). Spark itself only deletes
+    * reliable checkpoints on driver GC with
+    * `spark.cleaner.referenceTracking.cleanCheckpoints=true`, so a
+    * MaxIters loop would otherwise leave ~MaxIters rdd-* snapshot dirs
+    * for the app lifetime — unbounded storage growth on long cluster
+    * jobs (r8 advice). The eager checkpoint's Dataset is a bare
+    * LogicalRDD over the checkpointed RDD, so the path is recoverable
+    * and each round can delete its predecessor once it has
+    * materialized. */
+  private def checkpointPath(df: DataFrame): Option[String] =
+    df.queryExecution.analyzed match {
+      case l: org.apache.spark.sql.execution.LogicalRDD =>
+        l.rdd.getCheckpointFile
+      case _ => None
+    }
+
+  private def deleteCheckpoint(spark: SparkSession, path: String): Unit =
+    try {
+      val p = new org.apache.hadoop.fs.Path(path)
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .delete(p, true)
+    } catch { case scala.util.control.NonFatal(_) => () } // best-effort
+
   def connectedComponents(spark: SparkSession, edges: DataFrame): DataFrame = {
     val e0 = cut(edges
       .select(col("src").cast("long"), col("dst").cast("long"))
@@ -101,6 +126,14 @@ object PipelineOps {
       e.select(col("dst").as("src"), col("src").as("dst")))
     var labels = cut(sym.select(col("src").as("node")).distinct()
       .select(col("node"), col("node").as("label")))
+    // Rolling cleanup of superseded reliable checkpoints: once round
+    // N's cut has materialized, round N-1's files are unreferenced
+    // (each round's plan reads only `sym` + the PREVIOUS labels, and
+    // the eager checkpoint fully materializes before we delete). The
+    // FINAL round's files back the returned DataFrame and must
+    // survive until the caller consumes it — one retained dir per
+    // invocation instead of ~MaxIters.
+    var prevRoundPath = checkpointPath(labels)
     var converged = false
     var iter = 0
     while (!converged && iter < MaxIters) {
@@ -138,10 +171,16 @@ object PipelineOps {
             .as("chg")))
       converged = next.where(col("chg")).limit(1).isEmpty
       labels = next.select("node", "label")
+      prevRoundPath.foreach(deleteCheckpoint(spark, _))
+      prevRoundPath = checkpointPath(next)
       iter += 1
     }
     require(converged,
       s"connectedComponents did not converge in $MaxIters rounds")
+    // The edge list's checkpoint is only read by the iteration rounds;
+    // the returned labels are backed entirely by the final round's
+    // files, so the edge snapshot can go now.
+    checkpointPath(e0).foreach(deleteCheckpoint(spark, _))
     labels
   }
 

@@ -96,12 +96,23 @@ object Similarity {
     * Deterministic (vec_id order), mirrored in the oracle SQL. */
   private val BandWindow = 64
 
-  /** Ceiling on the optimizer's size estimate for a forced broadcast()
+  /** Ceiling on the estimated IN-MEMORY size for a forced broadcast()
     * of the vector table (re-rank joins). 2 GiB ≈ 4·10⁶ 64-float
-    * vectors after the ~8× parquet→row inflation — comfortably inside
-    * executor memory; above it the hint would OOM instead of degrade,
-    * so the join reverts to the shuffled shape. */
+    * vectors — comfortably inside executor memory; above it the hint
+    * would OOM instead of degrade, so the join reverts to the shuffled
+    * shape. Compared against the optimizer's file-derived estimate
+    * scaled by RowInflation, NOT the raw estimate: Spark's
+    * sizeInBytes is parquet-file-derived and ArrayType.defaultSize
+    * assumes ~1 element, so a 64-float embedding row is ~8× larger
+    * unpacked in the broadcast hash map than the estimate claims — an
+    * ungated raw comparison could approve a broadcast that lands past
+    * the 8 GB hard limit (r8 advice). */
   private val BroadcastCapBytes = BigInt(2L) << 30
+
+  /** Measured parquet-estimate → unpacked-row inflation for the 64-float
+    * embedding schema (dictionary/RLE-compressed file bytes vs UnsafeRow
+    * + broadcast HashedRelation overhead). */
+  private val RowInflation = 8
 
   /** Mandated EXT: embedding-cosine near-duplicates — candidates from
     * an 8-band random-hyperplane LSH join WITHIN label (each bucket
@@ -183,7 +194,8 @@ object Similarity {
       // shape (slower, never fatal), the 100 TB degradation path.
       val vecBytes = e.queryExecution.optimizedPlan.stats.sizeInBytes
       def reRankSide(side: DataFrame): DataFrame =
-        if (vecBytes <= BroadcastCapBytes) broadcast(side) else side
+        if (vecBytes * RowInflation <= BroadcastCapBytes) broadcast(side)
+        else side
       cands
         .join(reRankSide(e.select(col("vec_id").as("a_id"),
           col("embedding").as("av"))), Seq("a_id"))

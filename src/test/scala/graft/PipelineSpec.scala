@@ -1,5 +1,7 @@
 package graft
 
+import scala.jdk.CollectionConverters._
+
 import graft.queries.{AnnOps, PipelineOps}
 import org.apache.spark.sql.functions._
 
@@ -35,12 +37,21 @@ class PipelineSpec extends SparkSpec {
       val got = PipelineOps.connectedComponents(spark, edges)
         .orderBy("node").as[(Long, Long)].collect().toSeq
       assert(got == Seq(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
-      // reliable-checkpoint evidence: RDD checkpoint files were written
-      val files = java.nio.file.Files.walk(dir).iterator()
-      val wrote = Iterator.continually(files)
-        .takeWhile(_.hasNext).map(_.next().getFileName.toString)
-        .exists(_.startsWith("rdd-"))
-      assert(wrote, "no rdd-* checkpoint dirs under the configured location")
+      // reliable-checkpoint evidence: RDD checkpoint files were
+      // written — and superseded rounds were DELETED as the iteration
+      // advanced (r8 advice: Spark never reclaims reliable checkpoints
+      // without cleanCheckpoints+GC, so an uncleaned loop leaks
+      // ~MaxIters dirs per invocation). Exactly the final round's dir
+      // may remain: it backs the returned DataFrame (consumed above).
+      // Files.walk streams hold a directory handle — close via Using.
+      val remaining = scala.util.Using.resource(
+        java.nio.file.Files.walk(dir)) { s =>
+        s.iterator().asScala.map(_.getFileName.toString)
+          .filter(_.startsWith("rdd-")).toSet
+      }
+      assert(remaining.size == 1,
+        s"expected exactly the final round's rdd-* checkpoint dir to " +
+          s"survive, found: $remaining")
     } finally {
       spark.sparkContext.setCheckpointDir(null)
       assert(spark.sparkContext.getCheckpointDir.isEmpty)
