@@ -20,8 +20,8 @@ import org.apache.spark.sql.functions._
   */
 object DedupOps {
   private val Perms = 32
-  private val Bands = 8
-  private val RowsPerBand = 4
+  private[graft] val Bands = 8
+  private[graft] val RowsPerBand = 4
 
   /** The random-hyperplane model for embedding LSH (seeded → identical
     * across JVMs/plan branches); shared by q_sim_lsh_topk and
@@ -529,6 +529,79 @@ object DedupOps {
     WHERE CAST(n_common AS DOUBLE) / (na + nb - n_common) >= 0.8
     ORDER BY source, a_id, b_id"""))
 
+  /** EXT (r8 verdict gap #1): GLOBAL — cross-source — exact 5-gram
+    * Jaccard near-dup pairs. Every other ngram query blocks on
+    * `source` (an engine choice inherited from the per-unit reference
+    * scripts), so the highest-value dup class of a real crawl corpus —
+    * the same document syndicated across domains — is invisible to
+    * them. This query runs the SAME exact machinery with ONE corpus-
+    * wide block: the blocking column becomes a constant, so gram df is
+    * GLOBAL df and candidates are free to cross sources.
+    *
+    * Why a constant block key cannot go quadratic: `blockCap` routes
+    * any block bigger than 512 docs through the prefix-filtered
+    * postings path, whose cost follows rare-gram CO-OCCURRENCE
+    * (prefix×prefix join on df-ranked grams), never |block|² — the
+    * corpus-as-one-block shape is exactly what that path was measured
+    * linear on through sf40 (SCALE.md). A partitioned blocking key
+    * (length band, gram-df band) would only shrink the join's key
+    * space, and any non-overlapping choice LOSES boundary pairs — with
+    * the prefix filter already bounding the fan-out there is nothing
+    * to buy for the lost exactness.
+    *
+    * Output carries each side's source (the cross-source pairs are the
+    * point); the pair list is output-bound, so the two source lookups
+    * join a tiny pair set against a 2-column pruned scan — AQE
+    * broadcasts the pair side at any scale. */
+  val dedupNgramGlobal: Q = Q(
+    "q_dedup_ngram_global",
+    (s, d) => {
+      val grams = ngramGrams(s, d).withColumn("source", lit("__corpus"))
+      val pairs = ngramPairs(s, grams, NgramBlockCap, NgramJaccardT)
+        .drop("source")
+      val src = Tables.documents(s, d).select(col("doc_id"), col("source"))
+      pairs
+        .join(src.select(col("doc_id").as("a_id"),
+          col("source").as("a_source")), Seq("a_id"))
+        .join(src.select(col("doc_id").as("b_id"),
+          col("source").as("b_source")), Seq("b_id"))
+        .select(col("a_id"), col("b_id"), col("a_source"), col("b_source"),
+          col("n_common"), col("jaccard"))
+        .orderBy("a_id", "b_id")
+    },
+    Some("""WITH t AS (
+      SELECT doc_id, source,
+        list_filter(string_split(lower(text), ' '), x -> x != '') AS toks
+      FROM documents),
+    d AS (
+      SELECT doc_id, source,
+        list_distinct(list_transform(
+          generate_series(1, len(toks) - 4),
+          i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+            || ' ' || toks[i+3] || ' ' || toks[i+4]))
+          AS bg
+      FROM t WHERE len(toks) >= 5),
+    g AS (
+      SELECT doc_id, len(bg) AS n, unnest(bg) AS gram FROM d),
+    pairs AS (
+      -- Global exploded gram equi-join: same tractable form as the
+      -- per-source oracle, minus the source equality — join output is
+      -- sum of GLOBAL df^2 over grams, fine at 5-gram df 1-3.
+      SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+        count(*) AS n_common,
+        any_value(a.n) AS na, any_value(b.n) AS nb
+      FROM g a JOIN g b
+        ON a.gram = b.gram AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id)
+    SELECT p.a_id, p.b_id,
+      sa.source AS a_source, sb.source AS b_source, p.n_common,
+      CAST(p.n_common AS DOUBLE) / (p.na + p.nb - p.n_common) AS jaccard
+    FROM pairs p
+    JOIN documents sa ON sa.doc_id = p.a_id
+    JOIN documents sb ON sb.doc_id = p.b_id
+    WHERE CAST(p.n_common AS DOUBLE) / (p.na + p.nb - p.n_common) >= 0.8
+    ORDER BY p.a_id, p.b_id"""))
+
   /** Mandated EXT: LSH-bucketed approximate nearest neighbors — random
     * hyperplane signatures (seeded, compile-time deterministic), 4-bit
     * band buckets, exact cosine re-rank of candidates only. The 100 TB
@@ -613,28 +686,90 @@ object DedupOps {
     FROM ranked WHERE k <= 5 ORDER BY probe_id, k"""
     })
 
+  /** Blocks-per-prefix ceiling for the fuzzy-name pairwise path. The
+    * 16-char prefix block was FIXTURE-COUPLED (r8 verdict): on
+    * `Customer#`+9-digit names every block is exactly 100 rows, so the
+    * |block|² self-join is benign — but on real name data a hot prefix
+    * ("John Smith…") is unbounded and the block join detonates
+    * quadratically. Same discipline as [[NgramBlockCap]]: the cap
+    * picks a PHYSICAL PLAN between two exact paths, never the
+    * answer. */
+  private[graft] val FuzzyBlockCap = 1000
+
+  /** Exact dist≤1 pair generation over (id, name, blk) rows, dual-path
+    * by block size — both paths exact, so the declared oracle (plain
+    * blocked join + levenshtein filter) holds on ANY data:
+    *
+    *  - blocks ≤ cap: |block|² pairwise join + threshold levenshtein
+    *    (O(threshold·len) early-exit form) — fastest at sane block
+    *    sizes, the fixture's 100-row blocks included;
+    *  - blocks > cap: FastSS deletion-neighborhood blocking (Bocek et
+    *    al. 2007): a string's candidate keys are itself plus its
+    *    len 1-deletions. dist(a,b) ≤ 1 ⟹ keys intersect — a
+    *    substitution at i makes a.delete(i) == b.delete(i); an
+    *    insertion makes b.delete(j) == a itself; equality is the
+    *    identity key — so joining on (blk, key) loses nothing, and a
+    *    hot block's cost drops from |block|² pairs to Σ|key bucket|²
+    *    with ~len·|block| keys: quadratic only where names are truly
+    *    near-identical, i.e. output-bound. The threshold levenshtein
+    *    re-verify keeps only true pairs either way.
+    *
+    * Block sizes come from a window count over blk — blk cardinality
+    * scales with the corpus (unlike the ngram machinery's ~20 sources),
+    * so the window parallelizes and no broadcast of a corpus-sized
+    * block list is ever built. */
+  private[graft] def fuzzyNamePairs(named: DataFrame, cap: Int): DataFrame = {
+    val sized = named.withColumn("block_n",
+      count(lit(1)).over(Window.partitionBy(col("blk"))))
+    def side(df: DataFrame, k: String) = df.select(col("blk"),
+      col("id").as(s"id_$k"), col("name").as(s"name_$k"))
+    val small = sized.where(col("block_n") <= cap)
+    val pairSmall = side(small, "a").join(side(small, "b"), "blk")
+      .where(col("id_a") < col("id_b"))
+    val hot = sized.where(col("block_n") > cap)
+    // name + its one-char deletions; array_distinct because repeated
+    // characters produce identical deletions ("aa" → "a","a")
+    val delKeys = array_distinct(concat(
+      array(col("name")),
+      transform(sequence(lit(1), length(col("name"))),
+        i => concat(
+          col("name").substr(lit(1), i - lit(1)),
+          col("name").substr(i + lit(1), length(col("name")))))))
+    def keyed(k: String) = hot
+      .select(col("blk"), col("id").as(s"id_$k"),
+        col("name").as(s"name_$k"), explode(delKeys).as("key"))
+    val pairHot = keyed("a").join(keyed("b"), Seq("blk", "key"))
+      .where(col("id_a") < col("id_b"))
+      .select("blk", "id_a", "name_a", "id_b", "name_b")
+      .distinct()
+    pairSmall.select("id_a", "name_a", "id_b", "name_b")
+      .unionByName(pairHot.select("id_a", "name_a", "id_b", "name_b"))
+      .withColumn("dist",
+        levenshtein(col("name_a"), col("name_b"), 1).cast("long"))
+      .where(col("dist") >= 0)
+      .select(col("id_a"), col("id_b"), col("dist"))
+  }
+
   /** EXT: edit-distance fuzzy matching (entity resolution) — near-
     * identical customer names within a prefix block, the classic
-    * record-linkage shape. Scale guards, both load-bearing at 100 TB:
+    * record-linkage shape. Scale guards, all load-bearing at 100 TB:
     * (a) the self-join keys on a 16-char prefix block, so the pair
     * space is Σ|block|², never |table|²; (b) Spark's THRESHOLD form of
     * levenshtein(l, r, 1) abandons a pair the moment the running
-    * distance exceeds 1 — O(threshold·len) per pair, not O(len²).
+    * distance exceeds 1 — O(threshold·len) per pair, not O(len²);
+    * (c) a hot prefix block past [[FuzzyBlockCap]] degrades to exact
+    * deletion-neighborhood blocking instead of detonating — see
+    * [[fuzzyNamePairs]] (DedupSpec proves the bounded path engages and
+    * agrees with the pairwise truth on a synthetic mega-block).
     * DuckDB's plain levenshtein is semantically identical on the kept
     * pairs, so this IS oracle-checked despite the early-exit form. */
   val dedupFuzzyName: Q = Q(
     "q_dedup_fuzzy_name",
     (s, d) => {
-      val c = Tables.customer(s, d)
-      def side(k: String) = c.select(
-        col("c_custkey").as(s"id_$k"), col("c_name").as(s"name_$k"),
+      val named = Tables.customer(s, d).select(
+        col("c_custkey").as("id"), col("c_name").as("name"),
         substring(col("c_name"), 1, 16).as("blk"))
-      side("a").join(side("b"), "blk")
-        .where(col("id_a") < col("id_b"))
-        .withColumn("dist",
-          levenshtein(col("name_a"), col("name_b"), 1).cast("long"))
-        .where(col("dist") >= 0)
-        .select(col("id_a"), col("id_b"), col("dist"))
+      fuzzyNamePairs(named, FuzzyBlockCap)
         .orderBy("id_a", "id_b")
     },
     Some("""SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
@@ -755,5 +890,6 @@ object DedupOps {
 
   val all: Seq[Q] = Seq(
     dedupMinhashSig, dedupMinhashPairs, dedupSimhash, dedupNgramJaccard,
-    simLshTopk, dedupFuzzyName, dedupContainment, dedupUrl)
+    dedupNgramGlobal, simLshTopk, dedupFuzzyName, dedupContainment,
+    dedupUrl)
 }
