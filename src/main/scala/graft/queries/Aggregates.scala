@@ -240,21 +240,41 @@ object Aggregates {
       CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS view
     FROM events GROUP BY user_bucket ORDER BY user_bucket"""))
 
-  /** Stratified sampling (`sampleBy` per-language fractions, fixed
-    * seed) — the corpus-subsampling primitive; sampling is engine-
-    * specific so there is no SQL oracle (rows-only + spec bounds). */
+  /** Stratified sampling — the corpus-subsampling primitive: a
+    * per-language Bernoulli rate (en 50%, the other curated langs
+    * 30%, everything else dropped), realized as a DETERMINISTIC
+    * row-hash test rather than `stat.sampleBy`. The r1–r8 sampleBy
+    * form was seeded but PARTITION-DEPENDENT: Spark seeds its
+    * Bernoulli RNG per partition, so the same corpus repartitioned
+    * (AQE, file split changes, a cluster with different parallelism)
+    * samples a DIFFERENT subset — at 100 TB that breaks retry
+    * reproducibility and train/eval stability. The LCG-on-doc_id form
+    * (same Lehmer-31 discipline as q_sample_weighted, decorrelated by
+    * a +7 offset and the 16807 multiplier) depends only on row
+    * identity, is equidistributed within each stratum, and is exactly
+    * SQL-expressible — flipping this query from rows-only to
+    * oracle-checked (r8 verdict next-10 #7). */
   val aggSample: Q = Q(
     "q_sample_stratified",
-    (s, d) =>
+    (s, d) => {
+      val u = pmod((col("doc_id") + lit(7L)) * lit(16807L),
+        lit(2147483647L)) % 1000
+      val ratePermille = when(col("lang") === "en", lit(500))
+        .when(col("lang").isin("de", "es", "fr", "zh"), lit(300))
+        .otherwise(lit(0))
       Tables.documents(s, d)
-        .stat.sampleBy("lang",
-          Map("en" -> 0.5, "de" -> 0.3, "es" -> 0.3, "fr" -> 0.3,
-            "zh" -> 0.3),
-          seed = 42L)
+        .where(u < ratePermille)
         .groupBy(col("lang"))
         .agg(count(lit(1)).as("n_sampled"))
-        .orderBy("lang"),
-    None)
+        .orderBy("lang")
+    },
+    Some("""SELECT lang, CAST(count(*) AS BIGINT) AS n_sampled
+    FROM documents
+    WHERE ((doc_id + 7) * 16807) % 2147483647 % 1000 <
+      CASE WHEN lang = 'en' THEN 500
+           WHEN lang IN ('de', 'es', 'fr', 'zh') THEN 300
+           ELSE 0 END
+    GROUP BY lang ORDER BY lang"""))
 
   /** Collect/string aggregation — sorted collect_list joined to a CSV
     * string (sorting makes the collect order-independent, so the value

@@ -13,6 +13,48 @@ class AggregatesSpec extends SparkSpec {
     df.unpersist()
   }
 
+  test("stratified sample rates land near targets; partition-invariant") {
+    // The deterministic LCG sampler must (a) hit each stratum's target
+    // rate within sampling noise, (b) produce the SAME subset under a
+    // different partitioning — the property the old per-partition-
+    // seeded sampleBy lacked and the reason the query is now
+    // oracle-checkable.
+    val docs = engine.Tables.documents(spark, sf)
+    val strata = docs.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val sampled = q("q_sample_stratified").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val targets = Map("en" -> 0.5, "de" -> 0.3, "es" -> 0.3,
+      "fr" -> 0.3, "zh" -> 0.3)
+    targets.foreach { case (lang, rate) =>
+      val n = strata.getOrElse(lang, 0L)
+      if (n >= 30) {
+        val got = sampled.getOrElse(lang, 0L).toDouble / n
+        // 4-sigma Bernoulli tolerance at this stratum size
+        val tol = 4 * math.sqrt(rate * (1 - rate) / n)
+        assert(math.abs(got - rate) <= tol,
+          f"$lang: rate $got%.3f vs target $rate (n=$n, tol=$tol%.3f)")
+      }
+    }
+    // non-target languages must be absent entirely
+    (sampled.keySet -- targets.keySet).foreach(l =>
+      fail(s"unexpected stratum in sample: $l"))
+    // partition invariance: the same rows are selected regardless of
+    // how the input is partitioned (per-row identity hash, no RNG
+    // state) — the property the per-partition-seeded sampleBy lacked
+    val pred = pmod((col("doc_id") + lit(7L)) * lit(16807L),
+      lit(2147483647L)) % 1000 <
+      when(col("lang") === "en", lit(500))
+        .when(col("lang").isin("de", "es", "fr", "zh"), lit(300))
+        .otherwise(lit(0))
+    def ids(df: org.apache.spark.sql.DataFrame) =
+      df.where(pred).select("doc_id").collect().map(_.getLong(0)).toSet
+    val base = ids(docs)
+    assert(base.nonEmpty)
+    assert(ids(docs.repartition(16)) == base)
+    assert(ids(docs.repartition(1)) == base)
+  }
+
   test("approx_count_distinct within 3x the 5% rsd of exact") {
     val approx = q("q_agg_approx_distinct").collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
