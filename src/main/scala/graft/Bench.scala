@@ -34,6 +34,15 @@ object Bench {
     "q_ref_orc_source", "q_ref_json_source", "q_ref_xml_source")
 
   def main(args: Array[String]): Unit = {
+    // --canonical: run the full schedule 3× in this JVM and publish the
+    // MEDIAN-BY-TOTAL run's map (r8 verdict: four same-day canonical
+    // runs of identical code spread ±6%; a single-shot headline made
+    // sub-10% round-over-round deltas unreadable, and the committed
+    // number was silently best-of-N). The median run is published
+    // verbatim — value and per-query map from the SAME run, so the map
+    // still sums to the headline — and all three runs land in
+    // bench_history.jsonl.
+    val canonical = args.contains("--canonical")
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = Sessions.local(cpus, "graft-bench")
@@ -91,16 +100,34 @@ object Bench {
     val ordered = SparkEntry.queries.toSeq.sortBy { case (name, _) =>
       (IoLast.contains(name), name)
     }
-    val failed = scala.collection.mutable.ArrayBuffer.empty[String]
-    val results = ordered.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try materialize(fn(spark, sfDir))
-      catch { case e: Throwable =>
-        failed += name
-        System.err.println(s"[bench] $name failed: ${e.getMessage}")
+    def runSchedule(): (Seq[(String, Double)], Seq[String]) = {
+      val failed = scala.collection.mutable.ArrayBuffer.empty[String]
+      val results = ordered.map { case (name, fn) =>
+        val t0 = System.nanoTime()
+        try materialize(fn(spark, sfDir))
+        catch { case e: Throwable =>
+          failed += name
+          System.err.println(s"[bench] $name failed: ${e.getMessage}")
+        }
+        name -> (System.nanoTime() - t0) / 1e9
       }
-      name -> (System.nanoTime() - t0) / 1e9
+      (results, failed.toSeq)
     }
+    val runs = (1 to (if (canonical) 3 else 1)).map { i =>
+      val r = runSchedule()
+      if (canonical) System.err.println(
+        f"[bench] canonical run $i/3 total ${r._1.map(_._2).sum}%.1f s")
+      r
+    }
+    // Median by total among CLEAN runs (a failed run's total is not a
+    // comparable data point); if every run failed, fall back to all.
+    val pool = {
+      val clean = runs.filter(_._2.isEmpty)
+      if (clean.nonEmpty) clean else runs
+    }
+    val (results, failedSeq) =
+      pool.sortBy(_._1.map(_._2).sum).apply(pool.size / 2)
+    val failed = failedSeq
     // Locale.ROOT: a comma-decimal default locale would render the
     // stdout line as invalid JSON.
     def fmt(v: Double, dp: Int) = String.format(Locale.ROOT, s"%.${dp}f",
@@ -128,10 +155,20 @@ object Bench {
     def headline(dp: Int) =
       if (clean) s""""value":${fmt(total, dp)}"""
       else s""""value":null,"value_degraded":${fmt(total, dp)}"""
-    val full = s"""{"metric":"total",${headline(3)},"unit":"sec","queries":${
-      results.map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")
-    },"failed":$failedJson$warmupJson,"sf":"$sfDir"}"""
-    val out = args.headOption
+    def fullJson(res: Seq[(String, Double)], fl: Seq[String],
+        extra: String): String = {
+      val tot = res.map(_._2).sum
+      val flJson = fl.map(n => s""""$n"""").mkString("[", ",", "]")
+      val head =
+        if (warmupFailed.isEmpty && fl.isEmpty) s""""value":${fmt(tot, 3)}"""
+        else s""""value":null,"value_degraded":${fmt(tot, 3)}"""
+      s"""{"metric":"total",$head,"unit":"sec","queries":${
+        res.map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")
+      },"failed":$flJson$warmupJson$extra,"sf":"$sfDir"}"""
+    }
+    val full = fullJson(results, failed,
+      if (canonical) s""","canonical":"median-of-3"""" else "")
+    val out = args.filterNot(_ == "--canonical").headOption
       .orElse(sys.env.get("SPARK_GRAFT_BENCH_OUT"))
       .getOrElse("bench.json")
     try Files.writeString(Paths.get(out), full + "\n")
@@ -142,18 +179,37 @@ object Bench {
     // overwritten every driver round and the driver's BENCH_r{N}.json
     // keeps only the stdout top-25, so no self-contained full-map
     // history survived. Canonical runs (default out) therefore ALSO
-    // append one timestamped line to bench_history.jsonl — append-only,
-    // so no later run can clobber an earlier record. Ad-hoc runs with
-    // an explicit output path stay out of the history.
-    if (out == "bench.json")
-      try Files.writeString(Paths.get("bench_history.jsonl"),
-        "{" + s""""ts_ms":${System.currentTimeMillis()},""" +
-          full.stripPrefix("{") + "\n",
-        java.nio.file.StandardOpenOption.CREATE,
-        java.nio.file.StandardOpenOption.APPEND)
-      catch { case e: Throwable =>
+    // append to bench_history.jsonl — append-only, so no later run can
+    // clobber an earlier record; under --canonical ALL runs are
+    // appended (tagged with their index), not just the published
+    // median. Ad-hoc runs with an explicit output path stay out of the
+    // history. The default-out test normalizes paths (r8 advice: a
+    // literal compare silently skipped history for an absolute path to
+    // the same file), and each line is appended as ONE byte[] through a
+    // FileChannel so a forked-JVM kill mid-run can't leave a torn line
+    // (Files.writeString with APPEND may split across syscalls).
+    val isCanonicalOut = Paths.get(out).toAbsolutePath.normalize ==
+      Paths.get("bench.json").toAbsolutePath.normalize
+    if (isCanonicalOut) {
+      val ts = System.currentTimeMillis()
+      val lines = runs.zipWithIndex.map { case ((res, fl), i) =>
+        val tag = if (canonical) s""","canonical_iter":${i + 1}""" else ""
+        "{" + s""""ts_ms":$ts,""" + fullJson(res, fl, tag).stripPrefix("{") +
+          "\n"
+      }.mkString
+      try {
+        val ch = java.nio.channels.FileChannel.open(
+          Paths.get("bench_history.jsonl"),
+          java.nio.file.StandardOpenOption.CREATE,
+          java.nio.file.StandardOpenOption.WRITE,
+          java.nio.file.StandardOpenOption.APPEND)
+        try ch.write(java.nio.ByteBuffer.wrap(
+          lines.getBytes(java.nio.charset.StandardCharsets.UTF_8)))
+        finally ch.close()
+      } catch { case e: Throwable =>
         System.err.println(s"[bench] history append failed: ${e.getMessage}")
       }
+    }
     // Stdout gets ONE compact line guaranteed to fit the tail buffer:
     // the slowest 25 queries at 3 decimals (~0.8 KB). The rest of the
     // map is in bench.json (committed to the repo root).
