@@ -98,6 +98,59 @@ class PlanSpec extends SparkSpec {
     assert(one((1L, 28L), "nearest", tol = Some(2L)).getLong(0) == 300L)
   }
 
+  test("as-of exchanges stay shuffle.partitions-wide when AQE initialPartitionNum is raised") {
+    // r8 SCALE.md latent cliff: AsofJoinExec once pinned
+    // SQLConf.numShufflePartitions, which silently resolves to AQE's
+    // initialPartitionNum when coalescing is enabled — a pinned
+    // requirement is uncoalescible, so the standard cluster posture
+    // (initialPartitionNum in the hundreds–thousands) would have run
+    // every as-of join at the full initial width as real tasks. The
+    // fix pins defaultNumShufflePartitions (the operator-tuned
+    // spark.sql.shuffle.partitions); this guard re-plans the join
+    // under a raised initial width — the cluster condition the local
+    // suite otherwise never exercises — and asserts both child
+    // exchanges still land exactly shuffle.partitions wide.
+    val key = "spark.sql.adaptive.coalescePartitions.initialPartitionNum"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "512")
+    try {
+      val df = q("q_join_asof_native")
+      df.collect() // finalize the adaptive plan
+      import org.apache.spark.sql.execution.SparkPlan
+      import org.apache.spark.sql.execution.adaptive.{
+        AdaptiveSparkPlanExec, QueryStageExec}
+      import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+      // tree walk that descends through the AQE wrappers — every
+      // QueryStageExec flavor (Shuffle/Broadcast/Result) is a LEAF
+      // hiding its subtree behind .plan
+      def unwrap(p: SparkPlan): Seq[SparkPlan] = p match {
+        case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+        case s: QueryStageExec => Seq(s.plan)
+        case other => other.children
+      }
+      def collectAll[T](p: SparkPlan)(
+          f: PartialFunction[SparkPlan, T]): Seq[T] =
+        (if (f.isDefinedAt(p)) Seq(f(p)) else Nil) ++
+          unwrap(p).flatMap(collectAll(_)(f))
+      val root = df.queryExecution.executedPlan
+      val joins = collectAll(root) { case j: graft.plans.AsofJoinExec => j }
+      assert(joins.nonEmpty, root.toString.take(1200))
+      val widths = joins.flatMap(j => collectAll(j: SparkPlan) {
+        case e: ShuffleExchangeLike => e.numPartitions
+      })
+      val expected = spark.sessionState.conf.defaultNumShufflePartitions
+      assert(widths.size >= 2, s"expected both child exchanges, got $widths")
+      assert(widths.forall(_ == expected),
+        s"as-of exchange widths $widths != shuffle.partitions $expected " +
+          "(initialPartitionNum leaked into the pinned requirement)")
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
+
   test("SQL-path asof_join TVF plans AsofJoinExec, matches the native form") {
     val plan = executed("q_join_asof_sql")
     assert(plan.contains("AsofJoin"), plan.take(800))
