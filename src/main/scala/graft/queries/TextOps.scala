@@ -262,6 +262,35 @@ object TextOps {
         AS approx_llm_tokens
     FROM documents ORDER BY doc_id"""))
 
+  /** EXT: REAL subword tokenization — per-document token counts under
+    * a learned BPE merge table (r8 verdict missing #3: the regex lexer
+    * above is only BPE's PRE-tokenizer). The vocabulary is a committed
+    * artifact (graft_bpe_merges.txt, learned from the corpus by
+    * graft.TrainBpe — deterministic, reproducible byte-for-byte) and
+    * encoding is the one-pass codegen'd functions.BpeTokenCount
+    * kernel: narrow scan-speed projection, no shuffle, no UDF — the
+    * shape that token-budget packing and mix-weight queries need at
+    * 100 TB.
+    *
+    * No SQL oracle: greedy iterative merge application is not
+    * SQL-expressible. TextSpec pins the semantics instead — the
+    * invariant chain pieces ≤ bpe_real_tokens ≤ non-space chars, the
+    * expression-vs-driver-encoder bit-equality, hand-built merge-table
+    * cases, and trainer determinism. */
+  val textBpeTokens: Q = Q(
+    "q_text_bpe_tokens",
+    (s, d) =>
+      Tables.documents(s, d)
+        .select(
+          col("doc_id"),
+          size(expr(
+            "regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]', 0)"))
+            .cast("long").as("pieces"),
+          graft.functions.BpeTokenCount(s, col("text"))
+            .as("bpe_real_tokens"))
+        .orderBy("doc_id"),
+    None)
+
   /** EXT: corpus n-gram frequency — top token bigrams with a
     * deterministic (count DESC, gram ASC) tie-break. The vocabulary /
     * collocation-analysis primitive: at 100 TB this is one explode +
@@ -722,7 +751,8 @@ object TextOps {
 
   val all: Seq[Q] = Seq(
     dedupExact, textTokens, textStats, textTfidf, textLangid, textQuality,
-    textFingerprint, textTokencount, textNgramFreq, textRedact,
-    textNormalize, textRepetition, textSourceOverlap, textCmsTopk,
-    textUnigramLogprob, textBm25, dedupIncremental, textEntropy)
+    textFingerprint, textTokencount, textBpeTokens, textNgramFreq,
+    textRedact, textNormalize, textRepetition, textSourceOverlap,
+    textCmsTopk, textUnigramLogprob, textBm25, dedupIncremental,
+    textEntropy)
 }

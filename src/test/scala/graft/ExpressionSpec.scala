@@ -5,6 +5,72 @@ import graft.functions.{CosineSimilarity, Vectors}
 import org.apache.spark.sql.functions._
 
 class ExpressionSpec extends SparkSpec {
+  import graft.functions.Bpe
+
+  test("BPE trainer learns most-frequent merges with deterministic ties") {
+    // "aaab"x10 + "ab"x5: round 1 counts (a,a)=20 (overlapping pairs
+    // both count), (a,b)=15 -> merge (a,a); after applying, (a,b)
+    // appears in [aa,a,b]x10 and [a,b]x5 = 15 vs (aa,a)=10 -> merge
+    // (a,b). The classic Sennrich'16 procedure, pinned.
+    val merges = Bpe.train(Map("aaab" -> 10L, "ab" -> 5L), 2)
+    assert(merges == Seq(("a", "a"), ("a", "b")), merges.toString)
+    // determinism under reversed map insertion order
+    assert(Bpe.train(Map("ab" -> 5L, "aaab" -> 10L), 2) == merges)
+  }
+
+  test("BPE greedy encoder applies lowest-rank merges, all occurrences") {
+    val r1 = Map(("a", "a") -> 0)
+    assert(Bpe.encode("aaab", r1) == Seq("aa", "a", "b"))
+    val r2 = Map(("a", "a") -> 0, ("aa", "aa") -> 1)
+    assert(Bpe.encode("aaaa", r2) == Seq("aaaa"))
+    assert(Bpe.encode("a", r2) == Seq("a"))
+    assert(Bpe.encode("xyz", r2) == Seq("x", "y", "z"))
+    // rank order decides: (b,c) outranks (a,b) -> "abc" = [a, bc]
+    val r3 = Map(("a", "b") -> 1, ("b", "c") -> 0)
+    assert(Bpe.encode("abc", r3) == Seq("a", "bc"))
+  }
+
+  test("bpe_token_count kernel equals the driver encoder; committed vocab loads") {
+    // TrainBpe asked for 512 merges but the fixture's ~31-word
+    // vocabulary EXHAUSTS at 89 (every word reaches one symbol and no
+    // adjacent pair remains) — the committed table is the saturation
+    // point, not a truncation
+    assert(Bpe.defaultRanks.size >= 50,
+      s"committed merge table suspiciously small: ${Bpe.defaultRanks.size}")
+    val rows = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text"),
+        graft.functions.BpeTokenCount(spark, col("text")).as("n"))
+      .limit(50).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val expected = Bpe.preTokens(r.getString(1))
+        .map(w => Bpe.encode(w, Bpe.defaultRanks).length.toLong).sum
+      assert(r.getLong(2) == expected,
+        s"doc ${r.getLong(0)}: kernel ${r.getLong(2)} != driver $expected")
+    }
+  }
+
+  test("q_text_bpe_tokens invariants: pieces <= bpe_real <= non-space chars") {
+    // merging only ever shrinks a word's symbol count from chars
+    // toward one, so per doc: piece count <= BPE count <= chars
+    val bad = q("q_text_bpe_tokens")
+      .join(Tables.documents(spark, sf)
+        .select(col("doc_id"),
+          length(regexp_replace(col("text"), " ", "")).cast("long")
+            .as("nsc")), "doc_id")
+      .where(col("bpe_real_tokens") < col("pieces")
+        || col("bpe_real_tokens") > col("nsc"))
+    assert(bad.isEmpty, bad.take(3).mkString(","))
+    // and the vocabulary actually compresses this corpus: strictly
+    // fewer tokens than characters overall
+    val agg = q("q_text_bpe_tokens")
+      .agg(sum("pieces"), sum("bpe_real_tokens")).head()
+    assert(agg.getLong(1) < agg.getLong(0) * 8,
+      "BPE output implausibly large")
+    assert(agg.getLong(1) >= agg.getLong(0),
+      "BPE can never produce fewer tokens than pre-tokenizer pieces")
+  }
+
   test("fused cosine_sim is bit-identical to the composed form") {
     val e = Tables.embeddings(spark, sf).limit(100)
     val a = e.select(col("vec_id").as("a_id"), col("embedding").as("av"))
