@@ -1,0 +1,114 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Streaming scale probe (r8 verdict next-10 #9): run the two
+  * spec-only streaming components — C106 keyed-state sessionization
+  * and C63 CDC apply — over a REAL scale fixture (sf5 events, ~50× the
+  * canonical bench) instead of toy MemoryStreams, and report the
+  * numbers that matter for a cluster: state-store rows/bytes per
+  * micro-batch (must be O(users), watermark-bounded — never O(events))
+  * and per-batch apply latency for the CDC path.
+  *
+  * The fixture streams as ~20 EVENT-TIME-RANGED parquet files
+  * (repartitionByRange on ts; the file source takes them in path
+  * order, so per-user arrival is event-time-ordered — the documented
+  * delivery assumption of the keyed-state jobs) with
+  * maxFilesPerTrigger=1, giving a 20-micro-batch run whose progress
+  * telemetry is printed per batch and summarized at the end.
+  *
+  * Usage: runMain graft.StreamScale [sfDir] [chunks]
+  */
+object StreamScale {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("testdata-sf5")
+    val chunks = if (args.length > 1) args(1).toInt else 20
+    val spark = Sessions.local(
+      sys.env.getOrElse("SPARK_GRAFT_CPUS", "16"), "graft-streamscale")
+    import spark.implicits._
+    val ev = graft.engine.Tables.events(spark, sfDir)
+      .select(col("event_id"), col("ts"), col("user_id"),
+        col("event_type"), col("value"))
+    val nEvents = ev.count()
+    val nUsers = ev.select("user_id").distinct().count()
+    println(s"[streamscale] events=$nEvents users=$nUsers sf=$sfDir")
+    val work = java.nio.file.Files
+      .createTempDirectory("graft_streamscale_").toString
+    val inDir = s"$work/in"
+    ev.repartitionByRange(chunks, col("ts")).write.parquet(inDir)
+    val schema = spark.read.parquet(inDir).schema
+
+    // ---- C106: keyed-state sessionization over the full sf5 stream
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(inDir)
+      .as[graft.streaming.StreamingJobs.Event]
+    val t0 = System.nanoTime()
+    val q = graft.streaming.StreamingJobs.sessionizeWithIds(stream)
+      .writeStream.format("noop")
+      .option("checkpointLocation", s"$work/ckpt_sess")
+      .outputMode("append").start()
+    q.processAllAvailable()
+    val wallSess = (System.nanoTime() - t0) / 1e9
+    val progress = q.recentProgress.toSeq
+    q.stop()
+    var peakRows = 0L
+    var peakBytes = 0L
+    var outRows = 0L
+    progress.foreach { p =>
+      val so = p.stateOperators.headOption
+      val rows = so.map(_.numRowsTotal).getOrElse(0L)
+      val bytes = so.map(_.memoryUsedBytes).getOrElse(0L)
+      peakRows = math.max(peakRows, rows)
+      peakBytes = math.max(peakBytes, bytes)
+      outRows += Option(p.sink).map(_.numOutputRows).getOrElse(0L)
+      println(s"[streamscale] sess batch=${p.batchId} in=${p.numInputRows} " +
+        s"stateRows=$rows stateBytes=$bytes " +
+        s"watermark=${Option(p.eventTime.get("watermark")).getOrElse("-")}")
+    }
+    println(f"[streamscale] SESSIONIZE: wall=$wallSess%.1f s " +
+      s"batches=${progress.size} peakStateRows=$peakRows " +
+      s"peakStateBytes=$peakBytes sessionRowsOut=$outRows " +
+      s"(users=$nUsers events=$nEvents -> state/users=" +
+      f"${peakRows.toDouble / nUsers}%.2f)")
+
+    // ---- C63: CDC apply at scale — each micro-batch is a changelog
+    // of per-user upserts merged into an immutable snapshot chain
+    Seq.empty[(Long, Long, String)].toDF("user_id", "event_id", "event_type")
+      .write.parquet(s"$work/gen0")
+    var gen = 0
+    val batchTimes = scala.collection.mutable.ArrayBuffer.empty[Double]
+    val cdcStream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(inDir)
+    val q2 = cdcStream
+      .writeStream
+      .option("checkpointLocation", s"$work/ckpt_cdc")
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        // changelog = each user's LAST event in the batch, as an upsert
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("user_id"))
+          .orderBy(col("ts").desc, col("event_id").desc)
+        val changes = batch
+          .withColumn("rn", row_number().over(w)).where(col("rn") === 1)
+          .select(col("user_id"), col("event_id"), col("event_type"),
+            lit("U").as("op"))
+        val cur = spark.read.parquet(s"$work/gen$gen")
+        val tb = System.nanoTime()
+        graft.engine.Snapshot.applyChangelog(
+            cur, changes, Seq("user_id"), "op")
+          .write.mode("overwrite").parquet(s"$work/gen${gen + 1}")
+        batchTimes += (System.nanoTime() - tb) / 1e9
+        gen += 1
+      }
+      .start()
+    q2.processAllAvailable()
+    q2.stop()
+    val finalRows = spark.read.parquet(s"$work/gen$gen").count()
+    println(f"[streamscale] CDC: batches=$gen " +
+      f"avgApply=${batchTimes.sum / math.max(1, batchTimes.size)}%.2f s " +
+      f"maxApply=${batchTimes.max}%.2f s snapshotRows=$finalRows " +
+      s"(== users? ${finalRows == nUsers})")
+    org.apache.commons.io.FileUtils.deleteDirectory(
+      new java.io.File(work))
+    spark.stop()
+  }
+}

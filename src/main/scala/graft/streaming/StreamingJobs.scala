@@ -118,7 +118,19 @@ object StreamingJobs {
             }
             cur.foreach { st =>
               state.update(st)
-              state.setTimeoutTimestamp((st.lastSec + gapSec) * 1000L + 1000L)
+              // Clamp the close-timeout to AFTER the current watermark:
+              // a micro-batch spanning more than the gap (normal in
+              // catch-up/backfill — the sf5 StreamScale probe hit it on
+              // its first real run, r9) advances the watermark past
+              // last+gap for users whose events sit early in the batch,
+              // and an unclamped setTimeoutTimestamp then throws
+              // IllegalArgumentException and KILLS THE QUERY. Clamped,
+              // the stale session closes via the timeout path on the
+              // next watermark advance — same emission semantics,
+              // one-batch later delivery for already-expired sessions.
+              val candidate = (st.lastSec + gapSec) * 1000L + 1000L
+              state.setTimeoutTimestamp(
+                math.max(candidate, state.getCurrentWatermarkMs() + 1000L))
             }
             out.result().iterator
           }
