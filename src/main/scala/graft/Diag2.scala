@@ -45,6 +45,10 @@ object Diag2 {
           .agg(sum(col("x").cast(
             org.apache.spark.sql.types.DecimalType(28, 10))).as("sx"),
             count(lit(1)).as("n"))
+          // already bounded by construction (groups = K×dim ≤ 4096×64);
+          // the explicit limit makes "every collect is limit-bounded"
+          // grep-enforceable across src/main (r8 advice)
+          .limit(semK * dim + 16)
           .collect()
       }
       timed(s"lloyd iter $it driver update") {

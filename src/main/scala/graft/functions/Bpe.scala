@@ -172,11 +172,28 @@ case class BpeTokenCount(child: Expression) extends UnaryExpression {
   override def dataType: DataType = LongType
   override def prettyName: String = BpeTokenCount.name
 
+  // Per-thread word→subword-count memo: word frequency is Zipfian, so
+  // almost every encode after warm-up is a hash hit instead of the
+  // greedy merge loop. ThreadLocal because codegen shares ONE
+  // expression instance across a JVM's task threads; capped so a
+  // high-entropy corpus (random ids) cannot grow it unboundedly.
+  @transient private lazy val memo =
+    ThreadLocal.withInitial[java.util.HashMap[String, java.lang.Long]](
+      () => new java.util.HashMap[String, java.lang.Long]())
+  private val MemoCap = 1 << 16
+
   def kernel(t: UTF8String): Long = {
     val ranks = Bpe.defaultRanks
+    val m = memo.get()
     var n = 0L
     Bpe.preTokens(t.toString).foreach { w =>
-      n += Bpe.encode(w, ranks).length
+      val cached = m.get(w)
+      if (cached != null) n += cached.longValue()
+      else {
+        val c = Bpe.encode(w, ranks).length.toLong
+        if (m.size < MemoCap) m.put(w, c)
+        n += c
+      }
     }
     n
   }
