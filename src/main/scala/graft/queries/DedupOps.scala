@@ -602,6 +602,69 @@ object DedupOps {
     WHERE CAST(p.n_common AS DOUBLE) / (p.na + p.nb - p.n_common) >= 0.8
     ORDER BY p.a_id, p.b_id"""))
 
+  /** EXT (companion to [[dedupNgramGlobal]]): GLOBAL cross-source
+    * n-gram CONTAINMENT — |A∩B| / min. The quote-detection direction
+    * crosses sources even more often than whole-document syndication
+    * (a paragraph quoted on another domain), so the per-source block
+    * of q_dedup_containment hides exactly the pairs this measure
+    * exists for. Same constant-block routing as the global Jaccard:
+    * blockCap sends the corpus-wide "block" through the asymmetric
+    * prefix→postings path (min side's prefix probes full postings),
+    * cost follows global rare-gram co-occurrence. */
+  val dedupContainGlobal: Q = Q(
+    "q_dedup_contain_global",
+    (s, d) => {
+      val grams = ngramGrams(s, d).withColumn("source", lit("__corpus"))
+      val pairs = ngramRawPairs(s, grams, NgramBlockCap, NgramContainT,
+          symmetric = false)
+        .select(col("a_id"), col("b_id"),
+          graft.functions.SortedIntersectCount(s, col("a_bg"), col("b_bg"))
+            .as("n_common"),
+          size(col("a_bg")).cast("long").as("na"),
+          size(col("b_bg")).cast("long").as("nb"))
+        .withColumn("containment",
+          col("n_common").cast("double") / least(col("na"), col("nb")))
+        .where(col("containment") >= NgramContainT)
+      val src = Tables.documents(s, d).select(col("doc_id"), col("source"))
+      pairs
+        .join(src.select(col("doc_id").as("a_id"),
+          col("source").as("a_source")), Seq("a_id"))
+        .join(src.select(col("doc_id").as("b_id"),
+          col("source").as("b_source")), Seq("b_id"))
+        .select(col("a_id"), col("b_id"), col("a_source"), col("b_source"),
+          col("n_common"), col("containment"))
+        .orderBy("a_id", "b_id")
+    },
+    Some("""WITH t AS (
+      SELECT doc_id, source,
+        list_filter(string_split(lower(text), ' '), x -> x != '') AS toks
+      FROM documents),
+    d AS (
+      SELECT doc_id, source,
+        list_distinct(list_transform(
+          generate_series(1, len(toks) - 4),
+          i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+            || ' ' || toks[i+3] || ' ' || toks[i+4]))
+          AS bg
+      FROM t WHERE len(toks) >= 5),
+    g AS (
+      SELECT doc_id, len(bg) AS n, unnest(bg) AS gram FROM d),
+    pairs AS (
+      SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+        count(*) AS n_common,
+        any_value(a.n) AS na, any_value(b.n) AS nb
+      FROM g a JOIN g b
+        ON a.gram = b.gram AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id)
+    SELECT p.a_id, p.b_id,
+      sa.source AS a_source, sb.source AS b_source, p.n_common,
+      CAST(p.n_common AS DOUBLE) / least(p.na, p.nb) AS containment
+    FROM pairs p
+    JOIN documents sa ON sa.doc_id = p.a_id
+    JOIN documents sb ON sb.doc_id = p.b_id
+    WHERE CAST(p.n_common AS DOUBLE) / least(p.na, p.nb) >= 0.8
+    ORDER BY p.a_id, p.b_id"""))
+
   /** Mandated EXT: LSH-bucketed approximate nearest neighbors — random
     * hyperplane signatures (seeded, compile-time deterministic), 4-bit
     * band buckets, exact cosine re-rank of candidates only. The 100 TB
@@ -890,6 +953,6 @@ object DedupOps {
 
   val all: Seq[Q] = Seq(
     dedupMinhashSig, dedupMinhashPairs, dedupSimhash, dedupNgramJaccard,
-    dedupNgramGlobal, simLshTopk, dedupFuzzyName, dedupContainment,
-    dedupUrl)
+    dedupNgramGlobal, dedupContainGlobal, simLshTopk, dedupFuzzyName,
+    dedupContainment, dedupUrl)
 }
