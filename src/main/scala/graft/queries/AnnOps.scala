@@ -70,6 +70,12 @@ object AnnOps {
     require(rows.nonEmpty, s"empty centroid model at $dest")
     rows.zipWithIndex.foreach { case (r, i) =>
       require(r.getInt(0) == i, s"non-contiguous cell ids in $dest") }
+    // manifest cross-check: a torn/partial artifact (files deleted
+    // after publish) must fail loudly, not serve a truncated model
+    graft.engine.Snapshot.readManifest(s, dest).foreach { m =>
+      require(m.rowCount == rows.length,
+        s"model at $dest has ${rows.length} rows; manifest says ${m.rowCount}")
+    }
     rows.map(_.getSeq[Double](1).toSeq).toSeq
   }
 
@@ -228,6 +234,10 @@ object AnnOps {
       .select(col("subspace"), col("code"), col("centroid"))
       .orderBy("subspace", "code").collect()
     require(rows.nonEmpty, s"empty codebook model at $dest")
+    graft.engine.Snapshot.readManifest(s, dest).foreach { m =>
+      require(m.rowCount == rows.length,
+        s"model at $dest has ${rows.length} rows; manifest says ${m.rowCount}")
+    }
     rows.groupBy(_.getInt(0)).toSeq.sortBy(_._1).map { case (_, rs) =>
       rs.sortBy(_.getInt(1)).map(_.getSeq[Double](2).toSeq).toSeq
     }

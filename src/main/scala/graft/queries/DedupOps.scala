@@ -550,9 +550,14 @@ object DedupOps {
     * to buy for the lost exactness.
     *
     * Output carries each side's source (the cross-source pairs are the
-    * point); the pair list is output-bound, so the two source lookups
-    * join a tiny pair set against a 2-column pruned scan — AQE
-    * broadcasts the pair side at any scale. */
+    * point); the two source lookups join the output-bound pair set
+    * against a 2-column pruned scan. No hint, deliberately: the
+    * optimizer broadcasts whichever side its stats call small (the
+    * doc→source map at fixture scale; at 100 TB the stats flip and
+    * AQE broadcasts the pair side or falls back to an SMJ whose big
+    * side is a 2-column projection) — a forced broadcast(pairs) would
+    * be the Similarity-gate mistake: output-bound ≠ provably small on
+    * a duplicate-heavy corpus. */
   val dedupNgramGlobal: Q = Q(
     "q_dedup_ngram_global",
     (s, d) => {
