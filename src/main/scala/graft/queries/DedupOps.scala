@@ -549,6 +549,19 @@ object DedupOps {
     * the prefix filter already bounding the fan-out there is nothing
     * to buy for the lost exactness.
     *
+    * Known straggler bound (not a cliff), stated honestly: the df pass
+    * repartitions postings on (const, gram), so a GLOBALLY ubiquitous
+    * 5-gram's postings land in one partition and its window count is
+    * one task's spillable linear sort — per-source mode bounds that by
+    * the block, global mode by the hottest gram's global df. The JOIN
+    * stays safe regardless (ubiquitous grams rank last and never enter
+    * a prefix, p ≈ 0), so the hot gram costs one wide-but-linear sort
+    * task, not pair fan-out. The alternative (salted two-phase count +
+    * join-back) re-introduces the r7 near-unique-key hash-agg memory
+    * cliff for every NORMAL gram to shave the rare hot one — the wrong
+    * trade at this fixture and a documented knob if a real corpus's
+    * gram df distribution says otherwise.
+    *
     * Output carries each side's source (the cross-source pairs are the
     * point); the two source lookups join the output-bound pair set
     * against a 2-column pruned scan. No hint, deliberately: the
