@@ -151,6 +151,26 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("expensive scan projections evaluate above the global sort (sampler re-execution fix)") {
+    // r9: a global sort's range-exchange samples by EXECUTING ITS
+    // CHILD A SECOND TIME — for scan-shaped text queries the expensive
+    // regex/kernel projection was the whole cost and the sort doubled
+    // it (sf20: 25.1 -> 8.3 s). SortBelowExpensiveProject must leave
+    // the projection ABOVE the sort: plan reads Project over Sort, and
+    // the sampled/exchanged child carries the raw scan columns.
+    for (name <- Seq("q_text_tokencount", "q_text_bpe_tokens",
+        "q_dedup_simhash")) {
+      val df = q(name)
+      val plan = df.queryExecution.optimizedPlan
+      import org.apache.spark.sql.catalyst.plans.logical.{Project, Sort}
+      plan match {
+        case Project(_, _: Sort) => () // projection above the sort
+        case other => fail(s"$name: expected Project over Sort, got:\n" +
+          other.treeString.take(800))
+      }
+    }
+  }
+
   test("SQL-path asof_join TVF plans AsofJoinExec, matches the native form") {
     val plan = executed("q_join_asof_sql")
     assert(plan.contains("AsofJoin"), plan.take(800))
