@@ -277,7 +277,14 @@ object PipelineOps {
     * straddling a boundary belongs to its start bin; packers handle
     * the overflow by splitting or padding downstream.
     *
-    * One window shuffle on (source); cumulative sums are exact longs. */
+    * One window shuffle on (source); cumulative sums are exact longs.
+    *
+    * Token source: the chars/4 heuristic keeps this query
+    * oracle-checkable end-to-end; the machinery is token-source-
+    * agnostic, and with the real BPE tokenizer (C109) a production
+    * pipeline swaps `nTokens` for
+    * `graft.functions.BpeTokenCount(s, col("text"))` — same window,
+    * same bins, exact budgets. */
   val textPack: Q = Q(
     "q_text_pack",
     (s, d) => {

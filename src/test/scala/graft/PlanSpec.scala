@@ -169,6 +169,18 @@ class PlanSpec extends SparkSpec {
           other.treeString.take(800))
       }
     }
+    // negative guard: a CHEAP reducing projection must NOT be pulled
+    // above the sort — there the exchange should move the projected
+    // rows, not the raw scan (the rule's `expensive` gate)
+    import org.apache.spark.sql.catalyst.plans.logical.{Project, Sort}
+    val cheap = engine.Tables.lineitem(spark, sf)
+      .select(col("l_orderkey"), (col("l_quantity") * 2).as("q2"))
+      .orderBy("l_orderkey")
+    cheap.queryExecution.optimizedPlan match {
+      case _: Sort => () // Sort stayed on top of the (collapsed) project
+      case other => fail("cheap projection was pulled above the sort:\n" +
+        other.treeString.take(600))
+    }
   }
 
   test("SQL-path asof_join TVF plans AsofJoinExec, matches the native form") {
