@@ -498,18 +498,32 @@ object Aggregates {
     * q_sample_weighted (`(doc_id·48271) mod 2³¹−1`), so the "random"
     * pick is bit-reproducible across engines, retries, and partitions
     * — a nondeterministic sample in a training pipeline is a
-    * provenance hole. Window sorts per (lang, source) group, k=3 kept. */
+    * provenance hole.
+    *
+    * k=3 kept per group via a bounded top-k heap Aggregator
+    * (functions.TypedAggs.TopKMinAgg), NOT row_number over a
+    * (lang, source) window: the group key has FIXED cardinality (~100
+    * groups at any corpus size — the cliff-6 pattern, SCALE.md), so the
+    * window form sorts each group's entire slice in one task at 100×.
+    * The aggregator carries O(k) state through partial/final hash
+    * aggregation — map-side combine reduces every input split to ≤ 3
+    * rows per group before the (tiny) shuffle, and nothing ever sorts
+    * the raw stream. The oracle stays the PLAIN row_number window form,
+    * so the rewrite is cross-checked end-to-end. */
   val samplePerGroup: Q = Q(
     "q_sample_per_group",
     (s, d) => {
-      import org.apache.spark.sql.expressions.Window
       val u = pmod(col("doc_id") * lit(48271L), lit(2147483647L))
-      val w = Window.partitionBy(col("lang"), col("source"))
-        .orderBy(col("u").asc, col("doc_id").asc)
+      val topk = udaf(new graft.functions.TypedAggs.TopKMinAgg(3),
+        org.apache.spark.sql.Encoders.product[
+          graft.functions.TypedAggs.RankedId])
       Tables.documents(s, d)
-        .withColumn("u", u)
-        .withColumn("rn", row_number().over(w).cast("long"))
-        .where(col("rn") <= 3)
+        .select(col("lang"), col("source"), u.as("u"), col("doc_id"))
+        .groupBy(col("lang"), col("source"))
+        .agg(topk(col("u"), col("doc_id")).as("top"))
+        .select(col("lang"), col("source"),
+          posexplode(col("top.ids")).as(Seq("pos", "doc_id")))
+        .withColumn("rn", (col("pos") + 1).cast("long"))
         .select(col("lang"), col("source"), col("rn"), col("doc_id"))
         .orderBy("lang", "source", "rn")
     },

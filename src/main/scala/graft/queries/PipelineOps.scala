@@ -269,6 +269,16 @@ object PipelineOps {
   /** Context-window token budget for sequence packing. */
   private val PackBudget = 2048L
 
+  /** Documents per id-range chunk for the packing prefix sum. Any
+    * positive width is exact (chunking never changes the answer —
+    * Skew.chunkedRunning's contract); it only sets the parallelism
+    * trade: per-(source, chunk) tasks sort ~width rows, the per-source
+    * prefix pass sorts (id_range / width) chunk-total rows in one task.
+    * 64 exercises the multi-chunk path at every fixture scale; a
+    * production corpus sizes it ~√(ids per source) via
+    * `spark.graft.pack.chunkDocs` so neither pass can dominate. */
+  private val PackChunkDocs = 64L
+
   /** Mandated EXT (sequence packing): assign documents to fixed
     * token-budget context windows ("bins") for training. This is
     * offset packing — each doc lands in the bin where its cumulative
@@ -277,7 +287,15 @@ object PipelineOps {
     * straddling a boundary belongs to its start bin; packers handle
     * the overflow by splitting or padding downstream.
     *
-    * One window shuffle on (source); cumulative sums are exact longs.
+    * The running sum rides engine.Skew.chunkedRunning, NOT a plain
+    * window over (source): `source` is a FIXED-CARDINALITY key (~20
+    * values at any corpus size — the cliff-6 pattern, SCALE.md), so
+    * the plain window serializes each source's entire doc stream
+    * through one task at 100×. Chunked, each (source, id-chunk) sorts
+    * independently and only chunk TOTALS take the per-source prefix
+    * pass. Result ≡ the plain window — the DuckDB oracle IS the plain
+    * form, so the rewrite is verified end-to-end, not against itself.
+    * Cumulative sums are exact longs.
     *
     * Token source: the chars/4 heuristic keeps this query
     * oracle-checkable end-to-end; the machinery is token-source-
@@ -289,16 +307,20 @@ object PipelineOps {
     "q_text_pack",
     (s, d) => {
       val nTokens = ceil(col("n_chars").cast("double") / 4.0).cast("long")
-      val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
-        .rowsBetween(Window.unboundedPreceding, -1)
-      Tables.documents(s, d)
+      val chunkDocs =
+        s.conf.get("spark.graft.pack.chunkDocs", PackChunkDocs.toString).toLong
+      val base = Tables.documents(s, d)
         .select(col("doc_id"), col("source"), nTokens.as("n_tokens"))
-        .withColumn("start_offset",
-          coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      graft.engine.Skew.chunkedRunning(
+          base, "source", expr(s"doc_id div $chunkDocs"),
+          Seq("doc_id"), col("n_tokens"))
+        .withColumn("start_offset", col("running_sum") - col("n_tokens"))
         .withColumn("bin_id",
           expr(s"start_offset div $PackBudget"))
         .withColumn("bin_offset",
           col("start_offset") - col("bin_id") * PackBudget)
+        .select("doc_id", "source", "n_tokens", "start_offset",
+          "bin_id", "bin_offset")
         .orderBy("source", "doc_id")
     },
     Some(s"""WITH t AS (
@@ -321,9 +343,20 @@ object PipelineOps {
     * 20% of documents per language by alphabetic-character ratio, plus
     * all token-degenerate docs — the percentile-threshold corpus
     * selection shape (absolute thresholds live in q_text_quality).
-    * percent_rank over (ratio, doc_id) is rank arithmetic on exact
-    * inputs (one int division for the ratio) — deterministic in both
-    * engines. One window shuffle on lang. */
+    *
+    * percent_rank is computed WITHOUT a per-lang window sort: `lang` is
+    * a FIXED-CARDINALITY key (~5-10 values at any corpus size — the
+    * cliff-6 pattern, SCALE.md), so `percent_rank().over(lang)` sorts
+    * each language's ENTIRE corpus slice in one task at 100×. Instead:
+    * the ratio order is a total order (ties broken by doc_id), so
+    * percent_rank ≡ (row_number − 1) / (n_lang − 1); row_number is
+    * engine.Skew.chunkedRunning's running COUNT, chunked on 64 ratio
+    * buckets (monotone in the sort key → exact), and n_lang is a tiny
+    * per-lang aggregate broadcast back. Both operands are exact longs,
+    * so the one double division is bit-identical to the oracle's
+    * percent_rank (DuckDB defines the 1-row partition as 0 — the guard
+    * mirrors it). The oracle stays the PLAIN percent_rank form: the
+    * rewrite is cross-checked end-to-end, not against itself. */
   val textQualityFilter: Q = Q(
     "q_text_quality_filter",
     (s, d) => {
@@ -332,12 +365,19 @@ object PipelineOps {
       val alphaRatio =
         length(regexp_replace(col("text"), "[^a-z]", "")).cast("double") /
           col("n_chars")
-      val w = Window.partitionBy(col("lang"))
-        .orderBy(col("alpha_ratio"), col("doc_id"))
-      Tables.documents(s, d)
+      val base = Tables.documents(s, d)
         .select(col("doc_id"), col("lang"), nTok.as("n_tokens"),
           alphaRatio.as("alpha_ratio"))
-        .withColumn("lang_pctile", percent_rank().over(w))
+      val counts = base.groupBy(col("lang"))
+        .agg(count(lit(1)).as("__n_lang"))
+      graft.engine.Skew.chunkedRunning(
+          base, "lang", floor(col("alpha_ratio") * 64).cast("long"),
+          Seq("alpha_ratio", "doc_id"), lit(1L))
+        .join(broadcast(counts), Seq("lang"))
+        .withColumn("lang_pctile",
+          when(col("__n_lang") === 1L, lit(0.0))
+            .otherwise((col("running_n") - 1).cast("double") /
+              (col("__n_lang") - 1).cast("double")))
         .where(col("lang_pctile") >= 0.2 && col("n_tokens") > 0)
         .select("doc_id", "lang", "n_tokens", "alpha_ratio", "lang_pctile")
         .orderBy("doc_id")

@@ -281,6 +281,45 @@ class SkewSpec extends SparkSpec {
     assert(chunked.count() == plain.count())
   }
 
+  test("de-cliffed q_text_pack / q_text_quality_filter match plain windows") {
+    import org.apache.spark.sql.expressions.Window
+    // r10: both queries route their fixed-cardinality-key window through
+    // chunkedRunning / two-pass rank arithmetic; these pins re-derive the
+    // PLAIN window form inline so a refactor that breaks equivalence
+    // fails here, not only at the driver's sf0.01 oracle.
+    val docs = Tables.documents(spark, sf)
+    val nTokens = ceil(col("n_chars").cast("double") / 4.0).cast("long")
+    val wp = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val packPlain = docs
+      .select(col("doc_id"), col("source"), nTokens.as("n_tokens"))
+      .withColumn("start_offset",
+        coalesce(sum(col("n_tokens")).over(wp), lit(0L)))
+      .select("doc_id", "source", "n_tokens", "start_offset")
+    assert(q("q_text_pack")
+      .select("doc_id", "source", "n_tokens", "start_offset")
+      .exceptAll(packPlain).isEmpty)
+    assert(q("q_text_pack").count() == packPlain.count())
+
+    val nTok = size(filter(split(lower(col("text")), " "), t => t =!= ""))
+      .cast("long")
+    val alphaRatio =
+      length(regexp_replace(col("text"), "[^a-z]", "")).cast("double") /
+        col("n_chars")
+    val wq = Window.partitionBy(col("lang"))
+      .orderBy(col("alpha_ratio"), col("doc_id"))
+    val qfPlain = docs
+      .select(col("doc_id"), col("lang"), nTok.as("n_tokens"),
+        alphaRatio.as("alpha_ratio"))
+      .withColumn("lang_pctile", percent_rank().over(wq))
+      .where(col("lang_pctile") >= 0.2 && col("n_tokens") > 0)
+      .select("doc_id", "lang", "n_tokens", "alpha_ratio", "lang_pctile")
+    assert(q("q_text_quality_filter")
+      .select("doc_id", "lang", "n_tokens", "alpha_ratio", "lang_pctile")
+      .exceptAll(qfPlain).isEmpty)
+    assert(q("q_text_quality_filter").count() == qfPlain.count())
+  }
+
   test("salted join equals direct join") {
     val li = Tables.lineitem(spark, sf)
       .withColumnRenamed("l_orderkey", "o_orderkey")
