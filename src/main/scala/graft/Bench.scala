@@ -166,8 +166,13 @@ object Bench {
         res.map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")
       },"failed":$flJson$warmupJson$extra,"sf":"$sfDir"}"""
     }
+    // Tag is explicit about the limitation (r9 advice): the median is
+    // drawn from three back-to-back schedules in ONE warm JVM/session,
+    // which tames intra-session draw but does NOT sample the ±6%
+    // inter-session (forked-JVM, page-cache, ambient) variance the r8
+    // spread measured — cross-session comparison is the driver's job.
     val full = fullJson(results, failed,
-      if (canonical) s""","canonical":"median-of-3"""" else "")
+      if (canonical) s""","canonical":"median-of-3-intra-jvm"""" else "")
     val out = args.filterNot(_ == "--canonical").headOption
       .orElse(sys.env.get("SPARK_GRAFT_BENCH_OUT"))
       .getOrElse("bench.json")

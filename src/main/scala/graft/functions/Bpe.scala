@@ -150,13 +150,23 @@ object Bpe {
     require(in != null,
       "graft_bpe_merges.txt missing from classpath — run graft.TrainBpe")
     val src = scala.io.Source.fromInputStream(in, "UTF-8")
-    try src.getLines().filter(l => l.nonEmpty && !l.startsWith("#"))
-      .zipWithIndex.map { case (l, i) =>
-        val cut = l.indexOf(' ')
-        require(cut > 0, s"malformed merge line: '$l'")
-        (l.substring(0, cut), l.substring(cut + 1)) -> i
-      }.toMap
-    finally src.close()
+    try {
+      val entries = src.getLines()
+        .filter(l => l.nonEmpty && !l.startsWith("#"))
+        .zipWithIndex.map { case (l, i) =>
+          val cut = l.indexOf(' ')
+          require(cut > 0, s"malformed merge line: '$l'")
+          (l.substring(0, cut), l.substring(cut + 1)) -> i
+        }.toList
+      val ranks = entries.toMap
+      // a duplicated pair line would otherwise silently keep only the
+      // LAST rank (.toMap) — a hand-edited/corrupted table must fail as
+      // loudly as a malformed line, not degrade tokenization quietly
+      require(ranks.size == entries.length,
+        s"duplicate merge pairs in graft_bpe_merges.txt: " +
+          s"${entries.length} lines, ${ranks.size} distinct pairs")
+      ranks
+    } finally src.close()
   }
 }
 

@@ -22,14 +22,26 @@ import org.apache.spark.sql.catalyst.rules.Rule
   * is order-preserving so the output is bit-identical (every such
   * query stays oracle-checked).
   *
-  * The trade: the exchange moves the child's columns (e.g. the text
-  * payload) instead of the projected output. That loses only when the
-  * projection is both cheap and strongly reducing — exactly the case
-  * the `expensive` gate excludes.
+  * The trade, stated honestly: the exchange now moves the CHILD's
+  * columns (e.g. the full text payload) instead of the projected
+  * output — and that cost is paid even when the projection is
+  * expensive AND strongly reducing, the rule's own target case. On one
+  * box (local[32]) the exchange is a memory/local-disk copy, so the
+  * sampler's re-execution dominates and the swap measured a pure win
+  * at every scale point (SCALE.md). On a real cluster the exchange is
+  * NETWORK bytes: an ORDER BY over a wide text column at 100 TB can
+  * make exchange volume the dominant term, and the swap can regress —
+  * there is no logical-plan stat that reliably prices a string column
+  * (defaultSize treats all strings alike), so rather than a fake width
+  * gate the rule carries a kill switch:
+  * `spark.graft.sortBelowProject.enabled=false` restores the planner's
+  * default shape for wide-payload clusters. SCALE.md rows the caveat.
   *
   * Registered via GraftExtensions.injectOptimizerRule.
   */
 object SortBelowExpensiveProject extends Rule[LogicalPlan] {
+
+  private val EnabledConf = "spark.graft.sortBelowProject.enabled"
 
   /** Expensive = per-row cost comparable to or above a shuffle write:
     * regex evaluation, interpreted higher-order functions, Scala UDFs,
@@ -41,11 +53,13 @@ object SortBelowExpensiveProject extends Rule[LogicalPlan] {
     case other => other.getClass.getName.startsWith("graft.functions.")
   }
 
-  override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
-    case Sort(order, true, Project(exprs, child), hint)
-        if exprs.exists(expensive)
-          && exprs.forall(_.deterministic)
-          && order.forall(_.references.subsetOf(child.outputSet)) =>
-      Project(exprs, Sort(order, global = true, child, hint))
-  }
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    if (!conf.getConfString(EnabledConf, "true").toBoolean) plan
+    else plan.transform {
+      case Sort(order, true, Project(exprs, child), hint)
+          if exprs.exists(expensive)
+            && exprs.forall(_.deterministic)
+            && order.forall(_.references.subsetOf(child.outputSet)) =>
+        Project(exprs, Sort(order, global = true, child, hint))
+    }
 }

@@ -61,14 +61,22 @@ class ExpressionSpec extends SparkSpec {
       .where(col("bpe_real_tokens") < col("pieces")
         || col("bpe_real_tokens") > col("nsc"))
     assert(bad.isEmpty, bad.take(3).mkString(","))
-    // and the vocabulary actually compresses this corpus: strictly
-    // fewer tokens than characters overall
     val agg = q("q_text_bpe_tokens")
       .agg(sum("pieces"), sum("bpe_real_tokens")).head()
     assert(agg.getLong(1) < agg.getLong(0) * 8,
       "BPE output implausibly large")
     assert(agg.getLong(1) >= agg.getLong(0),
       "BPE can never produce fewer tokens than pre-tokenizer pieces")
+    // and the committed merge table actually MERGES on this corpus:
+    // strictly fewer tokens than non-space characters overall (a
+    // merge-nothing table would sit at exactly sum(chars) and fail —
+    // r9 advice: the *8 bound above is anti-blowup, not compression)
+    val nscTotal = Tables.documents(spark, sf)
+      .agg(sum(length(regexp_replace(col("text"), " ", "")).cast("long")))
+      .head().getLong(0)
+    assert(agg.getLong(1) < nscTotal,
+      s"BPE ${agg.getLong(1)} tokens !< $nscTotal non-space chars — " +
+        "the merge table merged nothing")
   }
 
   test("fused cosine_sim is bit-identical to the composed form") {
