@@ -117,6 +117,71 @@ object GramSketch {
     }
     sig
   }
+
+  // --- Dialect-portable minhash family (q_dedup_minhash's oracle
+  // path): gram hash g = the RollingHash polynomial (h·31 + byte)
+  // mod P over the gram's lowercased text (k tokens joined by one
+  // space), P = 1e9+7; permutation s maps g → (A(s)·g + B(s)) mod P.
+  // Every step is exact BIGINT arithmetic in DuckDB too (A·g < 2^60),
+  // so signatures are bit-identical cross-engine BY CONSTRUCTION —
+  // including the family's ~2^-30 per-pair gram collisions, which both
+  // engines then share. The production banding family above keeps the
+  // 64-bit XXH64 chain (stronger, not SQL-expressible); DedupSpec's
+  // recall/precision floors validate that one empirically instead.
+  val PortableP = 1000000007L
+  def portableA(s: Int): Long = (2654435769L * (2L * s + 1)) % PortableP
+  def portableB(s: Int): Long = (2246822507L * (s + 1L)) % PortableP
+
+  /** → [n_distinct_grams, sig_0 .. sig_{perms-1}]; a doc with fewer
+    * than k tokens yields [0, MaxValue...] (same convention as
+    * [[minhashSig]]). One pass, exact long arithmetic throughout. */
+  def minhashPortable(text: UTF8String, k: Int, perms: Int): Array[Long] = {
+    val parts = text.toLowerCase.split(Space, -1)
+    val toks = new Array[UTF8String](parts.length)
+    var nt = 0
+    var pi = 0
+    while (pi < parts.length) {
+      if (parts(pi).numBytes > 0) { toks(nt) = parts(pi); nt += 1 }
+      pi += 1
+    }
+    val out = new Array[Long](perms + 1)
+    java.util.Arrays.fill(out, Long.MaxValue)
+    out(0) = 0L
+    val n = nt - k + 1
+    if (n <= 0) return out
+    val as = Array.tabulate(perms)(portableA)
+    val bs = Array.tabulate(perms)(portableB)
+    val gs = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      var h = 0L
+      var j = 0
+      while (j < k) {
+        if (j > 0) h = (h * 31 + 32) % PortableP // the joining space
+        val t = toks(i + j)
+        var m = 0
+        while (m < t.numBytes) {
+          h = (h * 31 + (t.getByte(m) & 0xff)) % PortableP
+          m += 1
+        }
+        j += 1
+      }
+      gs(i) = h
+      var s = 0
+      while (s < perms) {
+        val v = (h * as(s) + bs(s)) % PortableP
+        if (v < out(s + 1)) out(s + 1) = v
+        s += 1
+      }
+      i += 1
+    }
+    java.util.Arrays.sort(gs)
+    var d = 1
+    var qi = 1
+    while (qi < n) { if (gs(qi) != gs(qi - 1)) d += 1; qi += 1 }
+    out(0) = d.toLong
+    out
+  }
 }
 
 /** `gram_hashes(text, k)` → sorted distinct 64-bit k-gram hashes. */
@@ -190,6 +255,53 @@ object MinHashSig {
   val builder: Seq[Expression] => Expression = {
     case Seq(t, Literal(k: Int, IntegerType), Literal(p: Int, IntegerType)) =>
       MinHashSig(t, k, p)
+    case other => throw new IllegalArgumentException(
+      s"$name expects (text, k literal int, perms literal int), got ${other.size} args")
+  }
+  def register(spark: SparkSession): Unit =
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier(name), info, builder)
+  def apply(spark: SparkSession, text: Column, k: Int, perms: Int): Column = {
+    register(spark)
+    call_function(name, text, org.apache.spark.sql.functions.lit(k),
+      org.apache.spark.sql.functions.lit(perms))
+  }
+}
+
+/** `minhash_portable(text, k, perms)` → array<bigint> of length
+  * perms+1: [n_distinct_grams, sig_0 .. sig_{perms-1}] under the
+  * dialect-portable family (GramSketch.minhashPortable) — the
+  * oracle-checkable minhash surface. */
+case class MinHashPortable(child: Expression, k: Int, perms: Int)
+    extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType && k >= 1 && perms >= 1)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects (string, k>=1, perms>=1), got " +
+        s"${child.dataType.simpleString}, k=$k, perms=$perms")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = MinHashPortable.name
+
+  def kernel(t: UTF8String): ArrayData =
+    new GenericArrayData(GramSketch.minhashPortable(t, k, perms))
+
+  override def nullSafeEval(t: Any): Any = kernel(t.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val obj = ctx.addReferenceObj("minhashPortable", this)
+    nullSafeCodeGen(ctx, ev, t => s"${ev.value} = $obj.kernel($t);")
+  }
+  override protected def withNewChildInternal(c: Expression): MinHashPortable =
+    copy(child = c)
+}
+
+object MinHashPortable {
+  val name = "minhash_portable"
+  val info = new ExpressionInfo(classOf[MinHashPortable].getName, name)
+  val builder: Seq[Expression] => Expression = {
+    case Seq(t, Literal(k: Int, IntegerType), Literal(p: Int, IntegerType)) =>
+      MinHashPortable(t, k, p)
     case other => throw new IllegalArgumentException(
       s"$name expects (text, k literal int, perms literal int), got ${other.size} args")
   }

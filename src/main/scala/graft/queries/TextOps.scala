@@ -460,27 +460,101 @@ object TextOps {
       JOIN sizes sb ON pairs.src_b = sb.source
     ORDER BY src_a, src_b"""))
 
-  /** EXT: identifier redaction — the PII-masking shape (emails, phone
-    * numbers, account ids) as a pure regexp_replace pass, shown on the
-    * customer table's embedded numeric ids. Narrow, codegen'd, no
-    * shuffle: at 100 TB this runs at scan speed. The digit-run pattern
-    * is deliberately dialect-portable (identical in Java regex and
-    * RE2). */
+  /** EXT: PII redaction — the corpus-hygiene masking pass a training
+    * pipeline runs before anything ships: emails, IPv4 addresses,
+    * phone-shaped numbers, then residual long digit runs (account
+    * ids), each replaced by a typed mask token. A FIXED cascade order
+    * (email → ip → phone → id) makes the composition deterministic —
+    * the broader patterns run first so the digit-run catch-all only
+    * sees what the typed classes left behind.
+    *
+    * The fixture's customer rows carry no natural PII, so each row is
+    * extended with key-derived synthetic PII (the q_text_normalize
+    * fixture-prefix discipline): every third row an email, every
+    * fourth an IPv4, every fifth a phone — rows therefore vary across
+    * all 8 presence combinations and the per-class flags are a real
+    * signal, not constants. All four patterns are dialect-portable
+    * (identical semantics in Java regex and RE2 — \b is an ASCII word
+    * boundary in both, no backreferences). Narrow, codegen'd, no
+    * shuffle: at 100 TB this runs at scan speed.
+    *
+    * RedactSpec additionally pins each pattern class on literal rows
+    * (true-positive AND near-miss negatives). */
+  /** The redaction cascade itself, reusable on any string column —
+    * email → IPv4 → phone → residual 3+-digit runs, each to a typed
+    * mask. Fixed order; every pattern dialect-portable (Java ≡ RE2). */
+  private[graft] def redactCascade(c: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Column = {
+    val r1 = regexp_replace(c,
+      "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>")
+    val r2 = regexp_replace(r1,
+      "\\b([0-9]{1,3}\\.){3}[0-9]{1,3}\\b", "<IP>")
+    val r3 = regexp_replace(r2,
+      "\\b[0-9]{2}-[0-9]{3}-[0-9]{3}-[0-9]{4}\\b", "<PHONE>")
+    regexp_replace(r3, "[0-9]{3,}", "<ID>")
+  }
+
   val textRedact: Q = Q(
     "q_text_redact",
-    (s, d) =>
+    (s, d) => {
+      val key = col("c_custkey")
+      def str(c: org.apache.spark.sql.Column) = c.cast("string")
+      val email = when(key % 3 === 0,
+        concat(lit(" email user"), str(key), lit("@mail.example.com")))
+        .otherwise("")
+      val ip = when(key % 4 === 0,
+        concat(lit(" ip 10."), str(key % 256), lit("."),
+          str((key * 7) % 256), lit("."), str((key * 13) % 256)))
+        .otherwise("")
+      val tel = when(key % 5 === 0,
+        concat(lit(" tel "), str(key % 90 + 10), lit("-"),
+          lpad(str(key % 1000), 3, "0"), lit("-"),
+          lpad(str((key * 3) % 1000), 3, "0"), lit("-"),
+          lpad(str((key * 7) % 10000), 4, "0")))
+        .otherwise("")
+      val pii = concat(col("c_name"), email, ip, tel)
+      val r4 = redactCascade(pii)
       Tables.customer(s, d)
         .select(
           col("c_custkey"),
-          regexp_replace(col("c_name"), "[0-9]{3,}", "<ID>").as("redacted"),
-          (col("c_name") =!= regexp_replace(col("c_name"), "[0-9]{3,}", "<ID>"))
-            .as("was_redacted"))
-        .orderBy("c_custkey"),
-    Some("""SELECT c_custkey,
-      regexp_replace(c_name, '[0-9]{3,}', '<ID>', 'g') AS redacted,
-      c_name != regexp_replace(c_name, '[0-9]{3,}', '<ID>', 'g')
-        AS was_redacted
-    FROM customer ORDER BY c_custkey"""))
+          r4.as("redacted"),
+          r4.contains("<EMAIL>").as("had_email"),
+          r4.contains("<IP>").as("had_ip"),
+          r4.contains("<PHONE>").as("had_phone"),
+          (pii =!= r4).as("was_redacted"))
+        .orderBy("c_custkey")
+    },
+    Some("""WITH pii AS (
+      SELECT c_custkey, c_name
+        || CASE WHEN c_custkey % 3 = 0 THEN ' email user'
+             || CAST(c_custkey AS VARCHAR) || '@mail.example.com'
+           ELSE '' END
+        || CASE WHEN c_custkey % 4 = 0 THEN ' ip 10.'
+             || CAST(c_custkey % 256 AS VARCHAR) || '.'
+             || CAST((c_custkey * 7) % 256 AS VARCHAR) || '.'
+             || CAST((c_custkey * 13) % 256 AS VARCHAR)
+           ELSE '' END
+        || CASE WHEN c_custkey % 5 = 0 THEN ' tel '
+             || CAST(c_custkey % 90 + 10 AS VARCHAR) || '-'
+             || lpad(CAST(c_custkey % 1000 AS VARCHAR), 3, '0') || '-'
+             || lpad(CAST((c_custkey * 3) % 1000 AS VARCHAR), 3, '0') || '-'
+             || lpad(CAST((c_custkey * 7) % 10000 AS VARCHAR), 4, '0')
+           ELSE '' END AS t
+      FROM customer),
+    r AS (
+      SELECT c_custkey, t,
+        regexp_replace(regexp_replace(regexp_replace(regexp_replace(t,
+          '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+          '\b([0-9]{1,3}\.){3}[0-9]{1,3}\b', '<IP>', 'g'),
+          '\b[0-9]{2}-[0-9]{3}-[0-9]{3}-[0-9]{4}\b', '<PHONE>', 'g'),
+          '[0-9]{3,}', '<ID>', 'g') AS redacted
+      FROM pii)
+    SELECT c_custkey, redacted,
+      contains(redacted, '<EMAIL>') AS had_email,
+      contains(redacted, '<IP>') AS had_ip,
+      contains(redacted, '<PHONE>') AS had_phone,
+      t != redacted AS was_redacted
+    FROM r ORDER BY c_custkey"""))
 
   /** EXT: Unicode normalization — NFC composition + diacritic
     * stripping via the native kernels (functions.TextNormalize),
