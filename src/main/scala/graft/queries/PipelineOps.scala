@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.Q
 import graft.engine.Tables
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -309,6 +309,11 @@ object PipelineOps {
       val nTokens = ceil(col("n_chars").cast("double") / 4.0).cast("long")
       val chunkDocs =
         s.conf.get("spark.graft.pack.chunkDocs", PackChunkDocs.toString).toLong
+      // 0 would make `doc_id div chunkDocs` null for every row and
+      // chunkedRunning's inner join on __chunk would silently return an
+      // EMPTY result; negative widths break chunk monotonicity. Fail loud.
+      require(chunkDocs > 0,
+        s"spark.graft.pack.chunkDocs must be positive: $chunkDocs")
       val base = Tables.documents(s, d)
         .select(col("doc_id"), col("source"), nTokens.as("n_tokens"))
       graft.engine.Skew.chunkedRunning(
@@ -357,6 +362,19 @@ object PipelineOps {
     * percent_rank (DuckDB defines the 1-row partition as 0 — the guard
     * mirrors it). The oracle stays the PLAIN percent_rank form: the
     * rewrite is cross-checked end-to-end, not against itself. */
+  /** NaN-safe 64-bucket chunk key over a [0,1] ratio, for
+    * [[graft.engine.Skew.chunkedRunning]]. An empty doc (n_chars = 0)
+    * has alpha_ratio = 0.0/0 = NaN; `floor(NaN*64).cast(long)` is NULL,
+    * and chunkedRunning's inner join on __chunk would silently DROP the
+    * row — violating its "result ≡ plain window" contract. NaN sorts
+    * AFTER every finite double in both Spark and DuckDB ascending
+    * order, so mapping it to a max sentinel chunk keeps the chunk key
+    * monotone in the (ratio, tiebreak) total order (pinned in SkewSpec
+    * with explicit NaN rows). */
+  private[graft] def ratioChunk64(ratio: Column): Column =
+    when(isnan(ratio), lit(Long.MaxValue))
+      .otherwise(floor(ratio * 64).cast("long"))
+
   val textQualityFilter: Q = Q(
     "q_text_quality_filter",
     (s, d) => {
@@ -371,7 +389,7 @@ object PipelineOps {
       val counts = base.groupBy(col("lang"))
         .agg(count(lit(1)).as("__n_lang"))
       graft.engine.Skew.chunkedRunning(
-          base, "lang", floor(col("alpha_ratio") * 64).cast("long"),
+          base, "lang", ratioChunk64(col("alpha_ratio")),
           Seq("alpha_ratio", "doc_id"), lit(1L))
         .join(broadcast(counts), Seq("lang"))
         .withColumn("lang_pctile",

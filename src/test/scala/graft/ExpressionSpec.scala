@@ -328,6 +328,41 @@ class SkewSpec extends SparkSpec {
     assert(q("q_text_quality_filter").count() == qfPlain.count())
   }
 
+  test("NaN-safe ratio chunk keeps chunkedRunning ≡ plain window on empty docs") {
+    import org.apache.spark.sql.expressions.Window
+    // r11 (ADVICE): alpha_ratio is NaN for an empty doc (0.0/0);
+    // floor(NaN*64) is NULL and chunkedRunning's inner join on __chunk
+    // silently dropped the row. The fixture never emits empty docs, so
+    // this pin feeds explicit NaN rows through the SAME chunk helper
+    // the query uses and asserts full row retention + plain-window
+    // equality (NaN sorts last, ties broken by id — both engines).
+    val df = spark.range(0, 200).select(
+      col("id"),
+      (col("id") % 3).cast("string").as("lang"),
+      when(col("id") % 50 === 0, lit(Double.NaN))
+        .otherwise((col("id") % 97).cast("double") / 97.0).as("ratio"))
+    val chunked = graft.engine.Skew.chunkedRunning(
+      df, "lang", graft.queries.PipelineOps.ratioChunk64(col("ratio")),
+      Seq("ratio", "id"), lit(1L))
+    val w = Window.partitionBy(col("lang")).orderBy(col("ratio"), col("id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val plain = df.withColumn("running_n", count(lit(1)).over(w))
+    assert(chunked.count() == 200) // no silent NaN-row drop
+    assert(chunked.select("id", "lang", "ratio", "running_n")
+      .exceptAll(plain.select("id", "lang", "ratio", "running_n"))
+      .isEmpty)
+  }
+
+  test("q_text_pack rejects a non-positive chunkDocs conf loudly") {
+    // r11 (ADVICE): chunkDocs=0 made `doc_id div 0` null everywhere and
+    // the query silently returned EMPTY instead of failing.
+    spark.conf.set("spark.graft.pack.chunkDocs", "0")
+    try {
+      val e = intercept[IllegalArgumentException] { q("q_text_pack") }
+      assert(e.getMessage.contains("chunkDocs"))
+    } finally spark.conf.unset("spark.graft.pack.chunkDocs")
+  }
+
   test("salted join equals direct join") {
     val li = Tables.lineitem(spark, sf)
       .withColumnRenamed("l_orderkey", "o_orderkey")
