@@ -118,30 +118,49 @@ object GramSketch {
     sig
   }
 
-  // --- Dialect-portable minhash family (q_dedup_minhash's oracle
-  // path): gram hash g = the RollingHash polynomial (h·31 + byte)
-  // mod P over the gram's lowercased text (k tokens joined by one
-  // space), P = 1e9+7; permutation s maps g → (A(s)·g + B(s)) mod P.
-  // Every step is exact BIGINT arithmetic in DuckDB too (A·g < 2^60),
-  // so signatures are bit-identical cross-engine BY CONSTRUCTION —
-  // including the family's ~2^-30 per-pair gram collisions, which both
-  // engines then share. The production banding family above keeps the
-  // 64-bit XXH64 chain (stronger, not SQL-expressible); DedupSpec's
+  // --- Dialect-portable minhash family (q_dedup_minhash's declared
+  // oracle path — wired in queries/DedupOps.dedupMinhashSig): gram
+  // hash g = the polynomial (h·31 + codepoint) mod P over the gram's
+  // lowercased text (k tokens joined by one space), P = 1e9+7;
+  // permutation s maps g → (A(s)·g + B(s)) mod P. CODE POINTS, not
+  // UTF-8 bytes: DuckDB's ord(substr(gram, i, 1)) is a code point, so
+  // hashing the same unit makes every step exact BIGINT arithmetic in
+  // both engines (h < 2^30, h·31 + cp < 2^35; A·g < 2^60) and the
+  // signatures bit-identical cross-engine BY CONSTRUCTION — including
+  // the family's ~2^-30 per-pair gram collisions, which both engines
+  // then share. The production banding family above keeps the 64-bit
+  // XXH64 chain (stronger, not SQL-expressible); DedupSpec's
   // recall/precision floors validate that one empirically instead.
   val PortableP = 1000000007L
   def portableA(s: Int): Long = (2654435769L * (2L * s + 1)) % PortableP
   def portableB(s: Int): Long = (2246822507L * (s + 1L)) % PortableP
+
+  /** Unicode code points of a token, decoded once per doc so the
+    * per-gram loop rolls over int arrays, never re-decodes UTF-8. */
+  private def codePoints(t: UTF8String): Array[Int] = {
+    val s = t.toString
+    val out = new Array[Int](s.codePointCount(0, s.length))
+    var ci = 0
+    var si = 0
+    while (si < s.length) {
+      val cp = s.codePointAt(si)
+      out(ci) = cp
+      ci += 1
+      si += Character.charCount(cp)
+    }
+    out
+  }
 
   /** → [n_distinct_grams, sig_0 .. sig_{perms-1}]; a doc with fewer
     * than k tokens yields [0, MaxValue...] (same convention as
     * [[minhashSig]]). One pass, exact long arithmetic throughout. */
   def minhashPortable(text: UTF8String, k: Int, perms: Int): Array[Long] = {
     val parts = text.toLowerCase.split(Space, -1)
-    val toks = new Array[UTF8String](parts.length)
+    val toks = new Array[Array[Int]](parts.length)
     var nt = 0
     var pi = 0
     while (pi < parts.length) {
-      if (parts(pi).numBytes > 0) { toks(nt) = parts(pi); nt += 1 }
+      if (parts(pi).numBytes > 0) { toks(nt) = codePoints(parts(pi)); nt += 1 }
       pi += 1
     }
     val out = new Array[Long](perms + 1)
@@ -160,8 +179,8 @@ object GramSketch {
         if (j > 0) h = (h * 31 + 32) % PortableP // the joining space
         val t = toks(i + j)
         var m = 0
-        while (m < t.numBytes) {
-          h = (h * 31 + (t.getByte(m) & 0xff)) % PortableP
+        while (m < t.length) {
+          h = (h * 31 + t(m)) % PortableP
           m += 1
         }
         j += 1

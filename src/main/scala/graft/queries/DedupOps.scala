@@ -54,20 +54,66 @@ object DedupOps {
           .cast("long").as("n_shingles"),
         graft.functions.MinHashSig(s, col("text"), 3, Perms).as("sig"))
 
-  /** B33a: per-document MinHash signatures (head of the signature shown;
-    * not SQL-expressible — covered by DedupSpec property tests). */
+  /** Permutations exposed by q_dedup_minhash's portable signature (the
+    * oracle mirrors each one as its own min-aggregate, so keep it small;
+    * the 32-perm production banding family is exercised by q_dedup_near). */
+  private val PortablePerms = 4
+
+  /** B33a: per-document MinHash signatures under the dialect-portable
+    * family (functions.GramSketch.minhashPortable): gram hash = the
+    * (h·31 + codepoint) mod 1e9+7 polynomial over the 3-token shingle,
+    * permutations (A(s)·g + B(s)) mod 1e9+7 — every step exact BIGINT
+    * in DuckDB too, so the oracle reproduces the signatures BIT-EXACTLY
+    * (r11: this flipped q_dedup_minhash from spec-only to
+    * oracle-checked). The banding pipeline (q_dedup_near) keeps the
+    * stronger 64-bit XXH64 family, validated by DedupSpec's
+    * recall/precision floors; this query pins the minhash SEMANTICS
+    * (min over gram permutations) cross-engine. Narrow one-pass
+    * projection — scan-speed at 100 TB. */
   val dedupMinhashSig: Q = Q(
     "q_dedup_minhash",
-    (s, d) =>
-      signatures(s, d)
+    (s, d) => {
+      val sig = graft.functions.MinHashPortable(
+        s, col("text"), 3, PortablePerms)
+      Tables.documents(s, d)
+        .select(col("doc_id"), sig.as("sig"))
+        .where(element_at(col("sig"), 1) > 0) // < 3 tokens: no grams
         .select(
-          col("doc_id"), col("n_shingles"),
-          element_at(col("sig"), 1).as("mh0"),
-          element_at(col("sig"), 2).as("mh1"),
-          element_at(col("sig"), 3).as("mh2"),
-          element_at(col("sig"), 4).as("mh3"))
-        .orderBy("doc_id"),
-    None)
+          col("doc_id"),
+          element_at(col("sig"), 1).as("n_grams"),
+          element_at(col("sig"), 2).as("mh0"),
+          element_at(col("sig"), 3).as("mh1"),
+          element_at(col("sig"), 4).as("mh2"),
+          element_at(col("sig"), 5).as("mh3"))
+        .orderBy("doc_id")
+    },
+    Some {
+      val P = graft.functions.GramSketch.PortableP
+      val mins = (0 until PortablePerms).map { s =>
+        val a = graft.functions.GramSketch.portableA(s)
+        val b = graft.functions.GramSketch.portableB(s)
+        s"min((g * $a + $b) % $P) AS mh$s"
+      }.mkString(",\n        ")
+      s"""WITH toks AS (
+      SELECT doc_id,
+        list_filter(string_split(lower(text), ' '), t -> t != '') AS t
+      FROM documents),
+    grams AS (
+      SELECT doc_id, unnest(list_transform(
+        generate_series(1, len(t) - 2),
+        i -> array_to_string(t[i : i + 2], ' '))) AS gram
+      FROM toks WHERE len(t) >= 3),
+    gh AS (
+      SELECT doc_id, list_reduce(
+        list_prepend(CAST(0 AS BIGINT),
+          list_transform(range(1, length(gram) + 1),
+            i -> CAST(ord(substr(gram, i, 1)) AS BIGINT))),
+        (h, c) -> (h * 31 + c) % $P) AS g
+      FROM grams)
+    SELECT doc_id, count(DISTINCT g) AS n_grams,
+        $mins
+    FROM gh GROUP BY doc_id ORDER BY doc_id"""
+    })
 
   /** B33b: banded-LSH candidate pairs with estimated Jaccard ≥ 0.5.
     * Candidates come only from band-key collisions (the scale path);

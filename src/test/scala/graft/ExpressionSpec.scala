@@ -79,6 +79,49 @@ class ExpressionSpec extends SparkSpec {
         "the merge table merged nothing")
   }
 
+  test("minhash_portable kernel equals an independent driver-side reference") {
+    import graft.functions.GramSketch
+    // Independent re-derivation from the family's DEFINITION (plain
+    // String/BigInt ops, no shared code with the kernel's hot loop):
+    // catches a kernel refactor that silently changes the hash unit —
+    // the oracle would then also fail, but this pins it at unit scope.
+    def ref(text: String, k: Int, perms: Int): Seq[Long] = {
+      val toks = text.toLowerCase.split(" ", -1).filter(_.nonEmpty)
+      val grams = toks.sliding(k).filter(_.size == k).map(_.mkString(" ")).toSeq
+      if (toks.length < k) Seq.fill(perms + 1)(Long.MaxValue).updated(0, 0L)
+      else {
+        val P = GramSketch.PortableP
+        val gh = grams.map(g =>
+          g.codePoints().toArray.foldLeft(0L)((h, c) => (h * 31 + c) % P))
+        (gh.distinct.size.toLong +:
+          (0 until perms).map(s => gh.map(g =>
+            (g * GramSketch.portableA(s) + GramSketch.portableB(s)) % P).min))
+      }
+    }
+    val samples = Seq(
+      "the quick brown fox jumps over the lazy dog",
+      "the the the the",                 // repeated grams → distinct < raw
+      "  double  spaces   everywhere ",  // empty-token stripping
+      "UPPER Case MiXeD tokens here",    // lowercase parity
+      "only two",                        // < k tokens → sentinel
+      "")                                // empty → sentinel
+    import org.apache.spark.unsafe.types.UTF8String
+    samples.foreach { t =>
+      val kernel = GramSketch.minhashPortable(UTF8String.fromString(t), 3, 4)
+      assert(kernel.toSeq == ref(t, 3, 4), s"text='$t'")
+    }
+    // and the Expression surface (codegen path) agrees with direct eval
+    import spark.implicits._
+    val viaExpr = samples.toDF("text")
+      .select(col("text"),
+        graft.functions.MinHashPortable(spark, col("text"), 3, 4).as("sig"))
+      .collect()
+    viaExpr.foreach { r =>
+      assert(r.getSeq[Long](1) == ref(r.getString(0), 3, 4),
+        s"codegen mismatch for '${r.getString(0)}'")
+    }
+  }
+
   test("fused cosine_sim is bit-identical to the composed form") {
     val e = Tables.embeddings(spark, sf).limit(100)
     val a = e.select(col("vec_id").as("a_id"), col("embedding").as("av"))
