@@ -105,6 +105,28 @@ object AnnOps {
         }
     }
 
+  /** Bounded deterministic fit sample for k-means training (the
+    * dedupSemantic SemFitCap pattern, r11 applied to the IVF/IVF-PQ
+    * index-absent path — VERDICT r10 #2): k-means needs ~tens of
+    * points per cell to place centroids (FAISS warns below 39·K);
+    * beyond that each Lloyd pass is an O(rows·K) assignment scan that
+    * buys nothing. Every ~(n/target)-th vector by xxhash64(vec_id) — a
+    * narrow pushed-down predicate, no sort, deterministic under any
+    * partitioning — so training cost is O(sample·K·iters), independent
+    * of corpus size, instead of `iters` FULL-corpus scans per
+    * index-absent query. The one count() here is a column-pruned
+    * metadata-cheap scan, paid only when actually training (the
+    * index-present path never calls this). Corpora at or under the
+    * target fit exactly (sample == corpus), so small-scale results are
+    * unchanged. */
+  private[graft] def fitSample(emb: DataFrame, k: Int): DataFrame = {
+    val n = emb.agg(count(lit(1))).head().getLong(0)
+    val target = math.min(math.max(SemFitPerK * k, 8192L), SemFitCap)
+    if (n <= target) emb
+    else emb.where(pmod(xxhash64(col("vec_id"), lit(31L)),
+      lit(math.max(1L, n / target))) === 0L)
+  }
+
   /** Nearest-centroid id, via the native one-pass kernel
     * (functions.NearestCells — the composed HOF fold form hit the
     * Generate-inlining re-evaluation cliff: 34 s at sf0.1). */
@@ -277,7 +299,7 @@ object AnnOps {
       val emb = Tables.embeddings(s, d)
         .select(col("vec_id"), col("embedding"))
       val cents = centroidsFor(s, emb, "ivf_centroids",
-        () => trainCentroids(emb))
+        () => trainCentroids(fitSample(emb, K)))
       val corpus = emb.select(
         col("vec_id"), col("embedding"),
         cellOf(s, col("embedding"), cents).as("cell"))
@@ -454,7 +476,7 @@ object AnnOps {
       // parameters, so the shared artifacts are exactly what inline
       // training would produce
       val coarse = centroidsFor(s, emb, "ivf_centroids",
-        () => trainCentroids(emb))
+        () => trainCentroids(fitSample(emb, K)))
       val books = codebooksFor(s, "pq_codebooks",
         () => trainPqCodebooks(emb))
       val sub = books.head.head.length

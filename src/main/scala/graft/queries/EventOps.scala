@@ -170,33 +170,42 @@ object EventOps {
 
   /** EXT: OHLC bar aggregation — open/high/low/close of `value` per
     * (event_type, day), the time-series downsampling shape (market
-    * bars, metric rollups). Open/close are picked by row_number over
-    * the total (ts, event_id) order — first/last on a float column via
-    * MIN/MAX-of-flagged-row, never an order-dependent float aggregate,
-    * so the result is bit-deterministic under any partitioning
-    * (Det.scala rule). High/low are plain MIN/MAX (exact, no
-    * accumulation). One window + one keyed agg on (event_type, day) —
-    * scales with bars × bar width, no self-join. */
+    * bars, metric rollups). Open/close are ORDER-FREE aggregates:
+    * min/max of struct(ts, event_id, value) — struct comparison is
+    * field-lexicographic, so the min struct is exactly the row the old
+    * row_number-over-(ts, event_id) form flagged, with the same tie
+    * rule, and `value` rides along as payload (copied, never
+    * accumulated — floats stay bit-exact under any partitioning,
+    * Det.scala rule). High/low are plain MIN/MAX.
+    *
+    * r11 de-cliff (VERDICT r10 #3): the previous two row_number windows
+    * partitioned by (event_type, day) — key cardinality grows with the
+    * time span, but partition SIZE grows with per-day traffic, so one
+    * hot day × one hot type serialized its whole slice through a single
+    * task at 100×. Now the query is ONE partial-aggregating groupBy:
+    * map-side combine shrinks each partition to one row per bar before
+    * the shuffle. Struct-ordered min/max plans as SortAggregate (struct
+    * buffers aren't hash-agg compatible) — the sort is a LOCAL per-map-
+    * split sort by the group key, parallel everywhere, nothing like the
+    * window's one-task slice sort (PlanSpec pins window-free +
+    * partial/final; the DuckDB oracle keeps the plain row_number form,
+    * so the rewrite is verified end-to-end). */
   val eventOhlc: Q = Q(
     "q_event_ohlc",
     (s, d) => {
-      import org.apache.spark.sql.expressions.Window
       val ev = Tables.events(s, d)
         .select(col("event_type"), to_date(col("ts")).as("day"),
           col("ts"), col("event_id"), col("value"))
-      val wAsc = Window.partitionBy(col("event_type"), col("day"))
-        .orderBy(col("ts").asc, col("event_id").asc)
-      val wDesc = Window.partitionBy(col("event_type"), col("day"))
-        .orderBy(col("ts").desc, col("event_id").desc)
-      ev.withColumn("rn_o", row_number().over(wAsc))
-        .withColumn("rn_c", row_number().over(wDesc))
-        .groupBy(col("event_type"), col("day"))
+      ev.groupBy(col("event_type"), col("day"))
         .agg(
-          max(when(col("rn_o") === 1, col("value"))).as("open"),
+          min(struct(col("ts"), col("event_id"), col("value"))).as("__o"),
           max(col("value")).as("high"),
           min(col("value")).as("low"),
-          max(when(col("rn_c") === 1, col("value"))).as("close"),
+          max(struct(col("ts"), col("event_id"), col("value"))).as("__c"),
           count(lit(1)).as("n_events"))
+        .select(col("event_type"), col("day"),
+          col("__o.value").as("open"), col("high"), col("low"),
+          col("__c.value").as("close"), col("n_events"))
         .orderBy("event_type", "day")
     },
     Some("""WITH e AS (

@@ -230,6 +230,42 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("TakeOrderedAndProject"), plan.take(800))
   }
 
+  test("OHLC bars plan window-free and match the row_number form") {
+    // r11 de-cliff: open/close via min/max of struct(ts, event_id,
+    // value) — one partial-aggregating groupBy, no per-(type, day)
+    // window sort that a hot day would serialize through one task.
+    val plan = executed("q_event_ohlc")
+    assert(!plan.contains("Window"),
+      "OHLC must not sort (event_type, day) slices:\n" + plan.take(1200))
+    // struct-ordered min/max can't use hash-agg buffers, so the plan is
+    // SortAggregate — still TWO-PHASE (partial_min/max before the
+    // exchange, each map split locally sorted in parallel), which is
+    // the property that scales; assert it explicitly
+    assert(plan.contains("partial_min") && plan.contains("partial_max"),
+      "OHLC groupBy must partial-aggregate map-side:\n" + plan.take(1200))
+    // equivalence vs the old explicit row_number form (the DuckDB
+    // oracle keeps that shape too; this pins it at unit scope)
+    import org.apache.spark.sql.expressions.Window
+    val ev = engine.Tables.events(spark, sf)
+      .select(col("event_type"), to_date(col("ts")).as("day"),
+        col("ts"), col("event_id"), col("value"))
+    val wAsc = Window.partitionBy(col("event_type"), col("day"))
+      .orderBy(col("ts").asc, col("event_id").asc)
+    val wDesc = Window.partitionBy(col("event_type"), col("day"))
+      .orderBy(col("ts").desc, col("event_id").desc)
+    val windowed = ev.withColumn("rn_o", row_number().over(wAsc))
+      .withColumn("rn_c", row_number().over(wDesc))
+      .groupBy(col("event_type"), col("day"))
+      .agg(
+        max(when(col("rn_o") === 1, col("value"))).as("open"),
+        max(col("value")).as("high"),
+        min(col("value")).as("low"),
+        max(when(col("rn_c") === 1, col("value"))).as("close"),
+        count(lit(1)).as("n_events"))
+      .orderBy("event_type", "day")
+    assert(q("q_event_ohlc").collect().toSeq == windowed.collect().toSeq)
+  }
+
   test("stream-stream join's batch form is an equi join with a range residual") {
     val plan = executed("q_stream_join")
     // user_id must be the shuffle key; the time range stays a residual —
