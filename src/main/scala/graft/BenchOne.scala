@@ -1,15 +1,26 @@
 package graft
 
-/** Time one named query (repeatable): `runMain graft.BenchOne <name> [n]`.
+/** Time one named query (repeatable):
+  * `runMain graft.BenchOne <name> [n] [key=value ...]`.
   * Uses the same session shape as Bench; prints per-iteration seconds.
+  * Trailing key=value args become session conf (e.g.
+  * `spark.graft.dedup.indexDir=/tmp/idx` to bench the index-probe path
+  * — its iter1 then includes the one-time build+publish, iter2+ the
+  * steady-state load+probe).
   */
 object BenchOne {
   def main(args: Array[String]): Unit = {
     val name = args(0)
-    val iters = if (args.length > 1) args(1).toInt else 2
+    val (confArgs, posArgs) = args.drop(1).partition(_.contains("="))
+    val iters = posArgs.headOption.map(_.toInt).getOrElse(2)
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = Sessions.local(cpus, "graft-benchone")
+    confArgs.foreach { kv =>
+      val Array(k, v) = kv.split("=", 2)
+      spark.conf.set(k, v)
+      println(s"[benchone] conf $k=$v")
+    }
     (1 to iters).foreach { i =>
       val t0 = System.nanoTime()
       // Same full-materialization metric as Bench (noop sink): count()

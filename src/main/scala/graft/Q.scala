@@ -38,6 +38,7 @@ object Registry {
       queries.TextOps.all ++
       queries.Similarity.all ++
       queries.DedupOps.all ++
+      queries.IncrementalDedup.all ++
       queries.StreamingOps.all ++
       queries.MultimodalOps.all ++
       queries.SqlQueries.all ++

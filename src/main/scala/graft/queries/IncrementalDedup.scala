@@ -1,0 +1,253 @@
+package graft.queries
+
+import graft.Q
+import graft.engine.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Incremental NEAR-duplicate detection against a PERSISTED postings
+  * index (r11, VERDICT r10 "What's missing" #1).
+  *
+  * The production dedup loop is incremental: today's crawl batch is
+  * checked against the existing corpus, and the corpus's own pairs were
+  * already found yesterday. Every other n-gram query here recomputes
+  * full-corpus postings per run — at 100 TB, re-sharding yesterday's
+  * ~10⁸-posting table daily is the single biggest avoidable cost in the
+  * pipeline (the reference's whole design is incremental snapshots
+  * against a persistent store: backup.sh:76 timestamped dumps). This
+  * module publishes the BASE corpus's 5-gram postings once (an atomic,
+  * manifest-carrying generation — the same C110 publish-once pattern as
+  * the ANN index), and the batch query probes that artifact:
+  *
+  *  - `q_dedup_incremental_near`: exact global (cross-source) 5-gram
+  *    Jaccard pairs INVOLVING at least one batch doc (batch×base and
+  *    batch×batch). The base corpus's text is never re-read, its grams
+  *    never re-hashed, its postings never re-sharded: candidate
+  *    generation joins the batch's ranked prefix grams against the
+  *    index postings scan, and the re-score fetches gram arrays for
+  *    the output-bound candidate set only.
+  *
+  * Exactness of the probe (Bayardo prefix filter, batch side): a pair
+  * with jaccard ≥ t has n_common ≥ t·max(na, nb) ≥ t·n_batch, so its
+  * shared grams cannot all sit in the batch doc's ceil(t·n)−1 tail —
+  * some shared gram lies in the first n − ceil(t·n) + 1 grams under
+  * ANY fixed total order of the doc's grams. The kernel emits gram
+  * hashes SORTED ascending, so `posexplode` position IS the rank: the
+  * prefix is a narrow per-row slice, no window, no df pass anywhere in
+  * the probe. (The full-recompute queries rank df-ascending as a
+  * fan-out heuristic; hash order probes hot grams with the same worst
+  * case the global query documents — 5-gram df stays 1–3 on measured
+  * corpora, and a persisted per-posting df column is the upgrade knob
+  * if a corpus's gram distribution says otherwise.) The size filter
+  * keeps a pair iff its maximum possible score passes: min(n) ≥
+  * t·max(n) is implied by jaccard ≥ t.
+  *
+  * At 100 TB: the index postings land as a partitioned generation; a
+  * cluster deployment buckets them by `g` so the candidate join
+  * co-locates without re-sharding the index, and only the batch side
+  * shuffles. Locally the probe streams the postings scan once behind
+  * the broadcast key semi-filter ([[ProbeKeyBroadcastConf]]).
+  * Measured sf20 (BenchOne iter2+, 8g): probe 3.8–4.8 s vs 15.6 s
+  * from-scratch global recompute, plus a one-time ~11 s index
+  * build+publish — and the probe's scaling term is the batch, not the
+  * corpus (SCALE.md r11).
+  *
+  * Oracle: the q_dedup_ngram_global SQL restricted to pairs with a
+  * batch side — the incremental path is verified against the
+  * from-scratch global recompute, not against itself.
+  */
+object IncrementalDedup {
+  /** Batch membership: doc_id % 10 == 0 — the SAME "today's crawl"
+    * slice q_dedup_incremental (exact dedup) uses; base = the rest. */
+  private[graft] val BatchMod = 10L
+
+  /** Conf key: when set, the base-corpus gram index PUBLISHES under
+    * this directory on first use (two atomic generations: `ngram_docs`
+    * with per-doc sorted gram arrays for re-scoring, `ngram_postings`
+    * exploded per gram for candidate generation) and later invocations
+    * LOAD it instead of rebuilding. Unset (the default, and what the
+    * driver's Verify runs): the index tables are computed inline —
+    * the probe plan downstream is identical either way, and
+    * IncrementalDedupSpec proves load ≡ inline bit-identically. */
+  private[graft] val IndexDirConf = "spark.graft.dedup.indexDir"
+
+  private def jt = DedupOps.NgramJaccardT
+
+  /** Base-corpus index tables: (docs, postings).
+    * docs = (doc_id, n, bg sorted-distinct 5-gram hashes);
+    * postings = (g, doc_id, n). */
+  private[graft] def buildIndex(s: SparkSession, d: String)
+      : (DataFrame, DataFrame) = {
+    val docs = DedupOps.ngramGrams(s, d)
+      .where(col("doc_id") % BatchMod =!= 0)
+      .where(size(col("bg")) > 0)
+      .select(col("doc_id"), size(col("bg")).cast("long").as("n"), col("bg"))
+    val postings = docs
+      .select(explode(col("bg")).as("g"), col("doc_id"), col("n"))
+    (docs, postings)
+  }
+
+  /** Load-or-publish-or-inline, keyed by [[IndexDirConf]] (the
+    * AnnOps.centroidsFor contract): racing publishers — exactly one
+    * wins per table; losers load the winner's generation, which is
+    * bit-identical anyway (gram hashing is deterministic). */
+  private[graft] def indexFor(s: SparkSession, d: String)
+      : (DataFrame, DataFrame) =
+    s.conf.get(IndexDirConf, "") match {
+      case "" => buildIndex(s, d)
+      case dir =>
+        val conf = s.sparkContext.hadoopConfiguration
+        def publishIfAbsent(df: DataFrame, dest: String): Unit = {
+          val p = new org.apache.hadoop.fs.Path(dest)
+          if (!p.getFileSystem(conf).exists(p)) {
+            try graft.engine.Snapshot.publishAtomic(s, df, dest)
+            catch {
+              case _: graft.engine.Snapshot.SnapshotExistsException => ()
+            }
+          }
+        }
+        val (docsDest, postDest) = (s"$dir/ngram_docs", s"$dir/ngram_postings")
+        val need = Seq(docsDest, postDest).exists { dest =>
+          val p = new org.apache.hadoop.fs.Path(dest)
+          !p.getFileSystem(conf).exists(p)
+        }
+        if (need) {
+          val (docs, postings) = buildIndex(s, d)
+          publishIfAbsent(docs, docsDest)
+          publishIfAbsent(postings, postDest)
+        }
+        // a generation is never visible without its manifest
+        // (publishAtomic renames data + manifest as one unit), so a
+        // missing manifest means a hand-built / torn directory
+        Seq(docsDest, postDest).foreach { dest =>
+          require(graft.engine.Snapshot.readManifest(s, dest).nonEmpty,
+            s"index generation $dest has no manifest — not a published " +
+              "generation")
+        }
+        (s.read.parquet(docsDest), s.read.parquet(postDest))
+    }
+
+  /** The batch's gram view: (doc_id, n, bg), batch docs only. */
+  private def batchGrams(s: SparkSession, d: String): DataFrame =
+    DedupOps.ngramGrams(s, d)
+      .where(col("doc_id") % BatchMod === 0)
+      .where(size(col("bg")) > 0)
+      .select(col("doc_id"), size(col("bg")).cast("long").as("n"), col("bg"))
+
+  /** Conf kill-switch for the probe's broadcast semi-filter (default
+    * on): the batch's DISTINCT prefix gram keys broadcast against the
+    * postings union, so non-matching index postings die at the scan
+    * instead of entering the candidate join's exchange (measured −20%
+    * on the sf20 probe). The keys are 8-byte hashes of ~⅕ of the
+    * batch's grams — for any daily-batch-vs-corpus deployment they
+    * broadcast comfortably; a batch approaching corpus scale flips
+    * this off (the same honesty rule as q_dedup_ngram_global's no-hint
+    * note: output-bound ≠ provably small). */
+  private[graft] val ProbeKeyBroadcastConf =
+    "spark.graft.dedup.probeKeyBroadcast"
+
+  val dedupIncrementalNear: Q = Q(
+    "q_dedup_incremental_near",
+    (s, d) => {
+      val batch = batchGrams(s, d)
+      val (idxDocs, idxPostings) = indexFor(s, d)
+
+      // UNIFIED probe for both pair classes (batch×base AND
+      // batch×batch): the batch doc's Bayardo prefix (positional — bg
+      // is sorted, so posexplode's pos is the rank) joins the union of
+      // index postings and the batch's own postings. Exact for both
+      // classes: a qualifying pair has a shared gram in the batch
+      // side's prefix (for batch×batch, in EITHER side's prefix — both
+      // are in prefixG), and the partner's full postings are in the
+      // union. base×base never enters (base docs have no prefix rows).
+      // This replaces running the full df-window machinery over the
+      // batch for the batch×batch class — measured at sf20 it halves
+      // the probe (SCALE.md r11).
+      val prefixG = batch
+        .select(col("doc_id").as("new_id"), col("n").as("new_n"),
+          posexplode(col("bg")).as(Seq("pos", "g")))
+        .where(col("pos") + 1 <=
+          col("new_n") - ceil(lit(jt) * col("new_n") - lit(1e-9)) + 1)
+      val postAll = idxPostings.select("g", "doc_id", "n")
+        .unionByName(batch.select(explode(col("bg")).as("g"),
+          col("doc_id"), col("n")))
+      val probed =
+        if (s.conf.get(ProbeKeyBroadcastConf, "true").toBoolean)
+          postAll.join(broadcast(prefixG.select(col("g")).distinct()),
+            Seq("g"), "leftsemi")
+        else postAll
+      val cand = prefixG
+        .join(probed.select(col("g"),
+          col("doc_id").as("o_id"), col("n").as("o_n")), Seq("g"))
+        .where(col("o_id") =!= col("new_id"))
+        // max-possible-score test: jaccard >= t forces min(n) >= t*max(n)
+        .where(least(col("new_n"), col("o_n")).cast("double")
+          / greatest(col("new_n"), col("o_n")) >= jt)
+        .select(least(col("new_id"), col("o_id")).as("a_id"),
+          greatest(col("new_id"), col("o_id")).as("b_id"))
+        .distinct()
+      // exact merge-count re-score on the candidate-bound arrays; the
+      // array lookup table is the index docs plus the batch (disjoint)
+      val allDocs = idxDocs.select("doc_id", "bg")
+        .unionByName(batch.select("doc_id", "bg"))
+      val pairs = cand
+        .join(allDocs.select(col("doc_id").as("a_id"),
+          col("bg").as("a_bg")), Seq("a_id"))
+        .join(allDocs.select(col("doc_id").as("b_id"),
+          col("bg").as("b_bg")), Seq("b_id"))
+        .select(col("a_id"), col("b_id"),
+          graft.functions.SortedIntersectCount(
+            s, col("a_bg"), col("b_bg")).as("n_common"),
+          size(col("a_bg")).cast("long").as("na"),
+          size(col("b_bg")).cast("long").as("nb"))
+        .withColumn("jaccard", col("n_common").cast("double")
+          / (col("na") + col("nb") - col("n_common")))
+        .where(col("jaccard") >= jt)
+
+      val src = Tables.documents(s, d).select(col("doc_id"), col("source"))
+      pairs
+        .join(src.select(col("doc_id").as("a_id"),
+          col("source").as("a_source")), Seq("a_id"))
+        .join(src.select(col("doc_id").as("b_id"),
+          col("source").as("b_source")), Seq("b_id"))
+        .select(col("a_id"), col("b_id"), col("a_source"), col("b_source"),
+          col("n_common"), col("jaccard"))
+        .orderBy("a_id", "b_id")
+    },
+    Some(s"""WITH t AS (
+      SELECT doc_id, source,
+        list_filter(string_split(lower(text), ' '), x -> x != '') AS toks
+      FROM documents),
+    d AS (
+      SELECT doc_id, source,
+        list_distinct(list_transform(
+          generate_series(1, len(toks) - 4),
+          i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+            || ' ' || toks[i+3] || ' ' || toks[i+4]))
+          AS bg
+      FROM t WHERE len(toks) >= 5),
+    g AS (
+      SELECT doc_id, len(bg) AS n, unnest(bg) AS gram FROM d),
+    pairs AS (
+      -- from-scratch global recompute, restricted to pairs with a
+      -- batch side: the incremental probe is verified against the
+      -- full recompute, never against itself
+      SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+        count(*) AS n_common,
+        any_value(a.n) AS na, any_value(b.n) AS nb
+      FROM g a JOIN g b
+        ON a.gram = b.gram AND a.doc_id < b.doc_id
+      WHERE a.doc_id % ${BatchMod} = 0 OR b.doc_id % ${BatchMod} = 0
+      GROUP BY a.doc_id, b.doc_id)
+    SELECT p.a_id, p.b_id,
+      sa.source AS a_source, sb.source AS b_source, p.n_common,
+      CAST(p.n_common AS DOUBLE) / (p.na + p.nb - p.n_common) AS jaccard
+    FROM pairs p
+    JOIN documents sa ON sa.doc_id = p.a_id
+    JOIN documents sb ON sb.doc_id = p.b_id
+    WHERE CAST(p.n_common AS DOUBLE) / (p.na + p.nb - p.n_common)
+      >= ${DedupOps.NgramJaccardT}
+    ORDER BY p.a_id, p.b_id"""))
+
+  val all: Seq[Q] = Seq(dedupIncrementalNear)
+}
