@@ -94,6 +94,49 @@ object MultimodalOps {
     FROM f WHERE block_idx % 4 = 0
     ORDER BY media_id, frame_idx"""))
 
+  /** EXT (r11, VERDICT r10 missing #3): batch embedding-inference
+    * boundary — run an "external model" over the text column in
+    * bounded per-partition batches (graft.multimodal.Inference, the
+    * mapInPandas shape natively typed). The model is the deliberate
+    * deterministic fake ([[graft.multimodal.Inference.PortableHashModel]]):
+    * dimension j = ((h·A(j)+B(j)) mod 1e9+7) / 1e9+7 over the portable
+    * text polynomial — exact BIGINT in DuckDB too, so the WHOLE
+    * pipeline (batched iteration, order preservation, schema, the
+    * double→float round) hash-checks end-to-end. A real model swap
+    * keeps every line but the model object and drops the oracle to
+    * rows-only + InferenceSpec. */
+  val embedInference: Q = Q(
+    "q_embed_inference",
+    (s, d) => {
+      val emb = graft.multimodal.Inference.embedDocuments(
+        Tables.documents(s, d), graft.multimodal.Inference.PortableHashModel)
+      emb.toDF()
+        .select(col("doc_id"),
+          element_at(col("embedding"), 1).as("e0"),
+          element_at(col("embedding"), 2).as("e1"),
+          element_at(col("embedding"), 3).as("e2"),
+          element_at(col("embedding"), 4).as("e3"))
+        .orderBy("doc_id")
+    },
+    Some {
+      val P = graft.functions.GramSketch.PortableP
+      val dims = (0 until 4).map { j =>
+        val a = graft.functions.GramSketch.portableA(j)
+        val b = graft.functions.GramSketch.portableB(j)
+        s"CAST(CAST((h * $a + $b) % $P AS DOUBLE) / $P AS REAL) AS e$j"
+      }.mkString(",\n        ")
+      s"""WITH h AS (
+      SELECT doc_id, list_reduce(
+        list_prepend(CAST(0 AS BIGINT),
+          list_transform(range(1, length(text) + 1),
+            i -> CAST(ord(substr(text, i, 1)) AS BIGINT))),
+        (h, c) -> (h * 31 + c) % $P) AS h
+      FROM documents)
+    SELECT doc_id,
+        $dims
+    FROM h ORDER BY doc_id"""
+    })
+
   val all: Seq[Q] = Seq(multimodalBinary, multimodalFeatures,
-    multimodalFrames)
+    multimodalFrames, embedInference)
 }
