@@ -87,44 +87,84 @@ object IncrementalDedup {
     (docs, postings)
   }
 
+  /** The index is LOG-STRUCTURED: each of `ngram_docs/` and
+    * `ngram_postings/` holds atomic generation dirs `gen_<label>`
+    * (base build = `gen_base`; each [[advanceIndex]] adds one), and a
+    * reader unions all generations. That is what makes the APPEND step
+    * batch-sized: folding today's processed batch into the index
+    * publishes only the batch's own rows — yesterday's ~10⁸ postings
+    * are never rewritten or re-sharded (the LSM append discipline;
+    * Iceberg/Delta do the same at the file-manifest level). Labels are
+    * the dedup against double-folding: a generation per batch label,
+    * publish-once, racing publishers lose cleanly. A compactor (union
+    * all gens → one, swap via a live-set manifest) is the documented
+    * follow-on once generation COUNT matters; at a daily cadence that
+    * is ~365 parquet dirs/year — a trivial union for a reader. */
+  private val GenPrefix = "gen_"
+
+  private def genDirs(s: SparkSession, root: String): Seq[String] = {
+    val p = new org.apache.hadoop.fs.Path(root)
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) Seq.empty
+    else fs.listStatus(p).toSeq
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith(GenPrefix))
+      .map(_.getPath.toString).sorted
+  }
+
+  private def publishGen(
+      s: SparkSession, df: DataFrame, root: String, label: String): Unit = {
+    try graft.engine.Snapshot.publishAtomic(s, df, s"$root/$GenPrefix$label")
+    catch {
+      case _: graft.engine.Snapshot.SnapshotExistsException => ()
+    }
+  }
+
+  /** Fold an already-processed batch INTO the index as one new
+    * generation per table — the daily index-maintenance step that
+    * closes the incremental loop (probe today, fold tonight, tomorrow
+    * probes base+today without recomputing either). `docs` is the
+    * batch's gram view (doc_id, n, bg); cost is batch-sized.
+    * Publish-once per `label`: a second fold under the same label is
+    * a no-op (exactly-once maintenance even under retries), so pick
+    * labels that name the batch (a date, a crawl id). */
+  def advanceIndex(
+      s: SparkSession, dir: String, label: String, docs: DataFrame): Unit = {
+    require(label.matches("[A-Za-z0-9_-]+"), s"unsafe label: $label")
+    require(label != "base", "label 'base' is reserved for the base build")
+    val d = docs.select(col("doc_id"), col("n"), col("bg"))
+    publishGen(s, d, s"$dir/ngram_docs", label)
+    publishGen(s, d.select(explode(col("bg")).as("g"),
+      col("doc_id"), col("n")), s"$dir/ngram_postings", label)
+  }
+
   /** Load-or-publish-or-inline, keyed by [[IndexDirConf]] (the
     * AnnOps.centroidsFor contract): racing publishers — exactly one
-    * wins per table; losers load the winner's generation, which is
+    * wins per generation; losers load the winner's, which is
     * bit-identical anyway (gram hashing is deterministic). */
   private[graft] def indexFor(s: SparkSession, d: String)
       : (DataFrame, DataFrame) =
     s.conf.get(IndexDirConf, "") match {
       case "" => buildIndex(s, d)
       case dir =>
-        val conf = s.sparkContext.hadoopConfiguration
-        def publishIfAbsent(df: DataFrame, dest: String): Unit = {
-          val p = new org.apache.hadoop.fs.Path(dest)
-          if (!p.getFileSystem(conf).exists(p)) {
-            try graft.engine.Snapshot.publishAtomic(s, df, dest)
-            catch {
-              case _: graft.engine.Snapshot.SnapshotExistsException => ()
-            }
-          }
-        }
-        val (docsDest, postDest) = (s"$dir/ngram_docs", s"$dir/ngram_postings")
-        val need = Seq(docsDest, postDest).exists { dest =>
-          val p = new org.apache.hadoop.fs.Path(dest)
-          !p.getFileSystem(conf).exists(p)
-        }
-        if (need) {
+        val (docsRoot, postRoot) = (s"$dir/ngram_docs", s"$dir/ngram_postings")
+        if (genDirs(s, docsRoot).isEmpty || genDirs(s, postRoot).isEmpty) {
           val (docs, postings) = buildIndex(s, d)
-          publishIfAbsent(docs, docsDest)
-          publishIfAbsent(postings, postDest)
+          publishGen(s, docs, docsRoot, "base")
+          publishGen(s, postings, postRoot, "base")
         }
-        // a generation is never visible without its manifest
-        // (publishAtomic renames data + manifest as one unit), so a
-        // missing manifest means a hand-built / torn directory
-        Seq(docsDest, postDest).foreach { dest =>
-          require(graft.engine.Snapshot.readManifest(s, dest).nonEmpty,
-            s"index generation $dest has no manifest — not a published " +
-              "generation")
+        def readAll(root: String): DataFrame = {
+          val gens = genDirs(s, root)
+          // a generation is never visible without its manifest
+          // (publishAtomic renames data + manifest as one unit), so a
+          // missing manifest means a hand-built / torn directory
+          gens.foreach { g =>
+            require(graft.engine.Snapshot.readManifest(s, g).nonEmpty,
+              s"index generation $g has no manifest — not a published " +
+                "generation")
+          }
+          s.read.parquet(gens: _*)
         }
-        (s.read.parquet(docsDest), s.read.parquet(postDest))
+        (readAll(docsRoot), readAll(postRoot))
     }
 
   /** The batch's gram view: (doc_id, n, bg), batch docs only. */

@@ -32,8 +32,8 @@ class IncrementalDedupSpec extends SparkSpec {
       assert(first == inline, "publish-first invocation changed results")
       for (t <- Seq("ngram_docs", "ngram_postings"))
         assert(java.nio.file.Files.exists(
-          dir.resolve(t).resolve("_graft_manifest.json")),
-          s"$t must be a manifest-carrying generation")
+          dir.resolve(t).resolve("gen_base").resolve("_graft_manifest.json")),
+          s"$t/gen_base must be a manifest-carrying generation")
       // second invocation loads (no rebuild) and is identical
       assert(q("q_dedup_incremental_near").collect().toSeq == inline)
 
@@ -48,9 +48,10 @@ class IncrementalDedupSpec extends SparkSpec {
       val dir2 = java.nio.file.Files.createTempDirectory("graft-gramidx2")
       try {
         graft.engine.Snapshot.publishAtomic(spark,
-          docs.where(col("doc_id") =!= victim), s"$dir2/ngram_docs")
+          docs.where(col("doc_id") =!= victim), s"$dir2/ngram_docs/gen_base")
         graft.engine.Snapshot.publishAtomic(spark,
-          postings.where(col("doc_id") =!= victim), s"$dir2/ngram_postings")
+          postings.where(col("doc_id") =!= victim),
+          s"$dir2/ngram_postings/gen_base")
         spark.conf.set(IncrementalDedup.IndexDirConf, dir2.toString)
         val planted = q("q_dedup_incremental_near").collect().toSeq
         assert(planted.forall(r =>
@@ -68,11 +69,12 @@ class IncrementalDedupSpec extends SparkSpec {
       // 4: torn generation — manifest stripped — must fail loudly
       val dir3 = java.nio.file.Files.createTempDirectory("graft-gramidx3")
       try {
-        graft.engine.Snapshot.publishAtomic(spark, docs, s"$dir3/ngram_docs")
+        graft.engine.Snapshot.publishAtomic(spark, docs,
+          s"$dir3/ngram_docs/gen_base")
         graft.engine.Snapshot.publishAtomic(spark, postings,
-          s"$dir3/ngram_postings")
+          s"$dir3/ngram_postings/gen_base")
         java.nio.file.Files.delete(java.nio.file.Paths.get(
-          s"$dir3/ngram_docs/_graft_manifest.json"))
+          s"$dir3/ngram_docs/gen_base/_graft_manifest.json"))
         spark.conf.set(IncrementalDedup.IndexDirConf, dir3.toString)
         val e = intercept[IllegalArgumentException] {
           q("q_dedup_incremental_near").collect()
@@ -80,6 +82,54 @@ class IncrementalDedupSpec extends SparkSpec {
         assert(e.getMessage.contains("manifest"))
       } finally {
         org.apache.commons.io.FileUtils.deleteDirectory(dir3.toFile)
+      }
+    } finally {
+      spark.conf.unset(IncrementalDedup.IndexDirConf)
+      org.apache.commons.io.FileUtils.deleteDirectory(dir.toFile)
+    }
+  }
+
+  test("advanceIndex folds a batch as a delta generation, exactly once") {
+    // the daily maintenance step: probe today, fold tonight — the fold
+    // publishes ONLY the batch's rows (a new gen_<label> dir), and the
+    // reader unions generations, so tomorrow's index covers base+today
+    // without rewriting yesterday's postings
+    val dir = java.nio.file.Files.createTempDirectory("graft-gramidx-adv")
+    try {
+      spark.conf.set(IncrementalDedup.IndexDirConf, dir.toString)
+      // first use publishes gen_base (base corpus only)
+      q("q_dedup_incremental_near").collect()
+      // today's batch gram view — same shape buildIndex emits
+      val batch = engine.Tables.documents(spark, sf)
+        .where(col("doc_id") % 10 === 0)
+        .select(col("doc_id"),
+          graft.functions.GramHashes(spark, col("text"), 5).as("bg"))
+        .where(size(col("bg")) > 0)
+        .select(col("doc_id"), size(col("bg")).cast("long").as("n"), col("bg"))
+      IncrementalDedup.advanceIndex(spark, dir.toString, "day1", batch)
+      // the same label folds exactly once (retry-safe no-op)
+      IncrementalDedup.advanceIndex(spark, dir.toString, "day1", batch)
+      assert(java.nio.file.Files.exists(
+        dir.resolve("ngram_docs").resolve("gen_day1")
+          .resolve("_graft_manifest.json")))
+      // the unioned index now equals a from-scratch index over the
+      // WHOLE corpus: every doc exactly once
+      val (idxDocs, idxPost) = IncrementalDedup.indexFor(spark, sf)
+      val expectDocs = engine.Tables.documents(spark, sf)
+        .select(col("doc_id"),
+          graft.functions.GramHashes(spark, col("text"), 5).as("bg"))
+        .where(size(col("bg")) > 0)
+      assert(idxDocs.count() == expectDocs.count(), "every doc exactly once")
+      assert(idxDocs.select("doc_id").distinct().count() == idxDocs.count(),
+        "no doc folded twice")
+      assert(idxPost.count() ==
+        expectDocs.select(explode(col("bg"))).count())
+      // reserved/unsafe labels refuse loudly
+      intercept[IllegalArgumentException] {
+        IncrementalDedup.advanceIndex(spark, dir.toString, "base", batch)
+      }
+      intercept[IllegalArgumentException] {
+        IncrementalDedup.advanceIndex(spark, dir.toString, "../evil", batch)
       }
     } finally {
       spark.conf.unset(IncrementalDedup.IndexDirConf)
