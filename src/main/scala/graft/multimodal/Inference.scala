@@ -80,7 +80,9 @@ object Inference {
       : Dataset[Embedded] = {
     require(batchSize > 0, s"batchSize must be positive: $batchSize")
     import docs.sparkSession.implicits._
-    docs.select(col("doc_id").cast("long"), col("text"))
+    // null text → empty string BEFORE the model (a null would NPE the
+    // seam mid-batch; the oracle mirrors with coalesce(text, ''))
+    docs.select(col("doc_id").cast("long"), coalesce(col("text"), lit("")))
       .as[(Long, String)]
       .mapPartitions { rows =>
         rows.grouped(batchSize).flatMap { batch =>

@@ -137,6 +137,98 @@ object IncrementalDedup {
       col("doc_id"), col("n")), s"$dir/ngram_postings", label)
   }
 
+  /** Compaction bookkeeping: `<root>/_superseded.json` lists
+    * generation names whose CONTENT lives on inside a compacted
+    * generation — readers subtract them from the listing. Written by
+    * atomic tmp+rename swap (a reader never sees a torn list); merged
+    * with the previous list on every write, so repeated compactions
+    * accumulate. */
+  private val SupersededFile = "_superseded.json"
+
+  private def superseded(
+      s: SparkSession, root: String): Set[String] = {
+    val p = new org.apache.hadoop.fs.Path(root, SupersededFile)
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) Set.empty
+    else {
+      val in = fs.open(p)
+      val body =
+        try new String(org.apache.commons.io.IOUtils.toByteArray(in),
+          java.nio.charset.StandardCharsets.UTF_8)
+        finally in.close()
+      body.split("\n").map(_.trim).filter(_.nonEmpty).toSet
+    }
+  }
+
+  private def markSuperseded(
+      s: SparkSession, root: String, gens: Set[String]): Unit = {
+    val conf = s.sparkContext.hadoopConfiguration
+    val dest = new org.apache.hadoop.fs.Path(root, SupersededFile)
+    val fs = dest.getFileSystem(conf)
+    val all = (superseded(s, root) ++ gens).toSeq.sorted
+    val tmp = new org.apache.hadoop.fs.Path(root,
+      s".$SupersededFile.${java.util.UUID.randomUUID.toString.take(8)}")
+    val out = fs.create(tmp, true)
+    try out.write(all.mkString("", "\n", "\n")
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    val fc = org.apache.hadoop.fs.FileContext.getFileContext(fs.getUri, conf)
+    fc.rename(tmp, dest, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+  }
+
+  /** Live generations of one index table: the listing minus
+    * compaction-superseded names. */
+  private def liveGens(s: SparkSession, root: String): Seq[String] = {
+    val dead = superseded(s, root)
+    genDirs(s, root).filterNot(g =>
+      dead.contains(new org.apache.hadoop.fs.Path(g).getName))
+  }
+
+  /** Compact one table's live generations into a single new
+    * generation, then mark the inputs superseded. Safe against a
+    * CONCURRENT [[advanceIndex]]: a generation published after the
+    * listing was taken is not in the superseded set, so readers keep
+    * it alongside the compacted one. The compacted name derives from
+    * the input set (publish-once), so a retried compaction of the
+    * same inputs is a no-op; run ONE compactor at a time (the
+    * standard maintenance-job constraint — two compactors that read
+    * DIFFERENT listings could both go live with overlapping content).
+    * Input dirs stay on disk for in-flight readers; [[pruneIndex]]
+    * deletes them once no reader can hold the old listing. */
+  private def compactTable(s: SparkSession, root: String): Unit = {
+    val inputs = liveGens(s, root)
+    if (inputs.size <= 1) return // nothing to fold
+    val names = inputs.map(p => new org.apache.hadoop.fs.Path(p).getName)
+    val digest = java.security.MessageDigest.getInstance("SHA-1")
+      .digest(names.sorted.mkString("\n").getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString.take(12)
+    publishGen(s, s.read.parquet(inputs: _*), root, s"zcompact-$digest")
+    markSuperseded(s, root, names.toSet)
+  }
+
+  /** The index maintenance compactor: fold all live generations of
+    * both tables into one each. At a daily fold cadence this runs
+    * weekly/monthly — bounding reader fan-in while [[advanceIndex]]
+    * keeps the hot path batch-sized. */
+  def compactIndex(s: SparkSession, dir: String): Unit = {
+    compactTable(s, s"$dir/ngram_docs")
+    compactTable(s, s"$dir/ngram_postings")
+  }
+
+  /** Delete superseded generation dirs (compaction garbage). Run only
+    * once in-flight readers of the pre-compaction listing are done —
+    * the same grace-period discipline as snapshot retention. */
+  def pruneIndex(s: SparkSession, dir: String): Unit =
+    for (root <- Seq(s"$dir/ngram_docs", s"$dir/ngram_postings")) {
+      val dead = superseded(s, root)
+      genDirs(s, root).foreach { g =>
+        val p = new org.apache.hadoop.fs.Path(g)
+        if (dead.contains(p.getName))
+          p.getFileSystem(s.sparkContext.hadoopConfiguration)
+            .delete(p, true)
+      }
+    }
+
   /** Load-or-publish-or-inline, keyed by [[IndexDirConf]] (the
     * AnnOps.centroidsFor contract): racing publishers — exactly one
     * wins per generation; losers load the winner's, which is
@@ -147,13 +239,13 @@ object IncrementalDedup {
       case "" => buildIndex(s, d)
       case dir =>
         val (docsRoot, postRoot) = (s"$dir/ngram_docs", s"$dir/ngram_postings")
-        if (genDirs(s, docsRoot).isEmpty || genDirs(s, postRoot).isEmpty) {
+        if (liveGens(s, docsRoot).isEmpty || liveGens(s, postRoot).isEmpty) {
           val (docs, postings) = buildIndex(s, d)
           publishGen(s, docs, docsRoot, "base")
           publishGen(s, postings, postRoot, "base")
         }
         def readAll(root: String): DataFrame = {
-          val gens = genDirs(s, root)
+          val gens = liveGens(s, root)
           // a generation is never visible without its manifest
           // (publishAtomic renames data + manifest as one unit), so a
           // missing manifest means a hand-built / torn directory

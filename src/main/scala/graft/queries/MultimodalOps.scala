@@ -128,8 +128,8 @@ object MultimodalOps {
       s"""WITH h AS (
       SELECT doc_id, list_reduce(
         list_prepend(CAST(0 AS BIGINT),
-          list_transform(range(1, length(text) + 1),
-            i -> CAST(ord(substr(text, i, 1)) AS BIGINT))),
+          list_transform(range(1, length(coalesce(text, '')) + 1),
+            i -> CAST(ord(substr(coalesce(text, ''), i, 1)) AS BIGINT))),
         (h, c) -> (h * 31 + c) % $P) AS h
       FROM documents)
     SELECT doc_id,

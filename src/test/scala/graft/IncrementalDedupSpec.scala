@@ -137,6 +137,52 @@ class IncrementalDedupSpec extends SparkSpec {
     }
   }
 
+  test("compaction folds live generations without changing any reader result") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-gramidx-cmp")
+    try {
+      spark.conf.set(IncrementalDedup.IndexDirConf, dir.toString)
+      val baseline = q("q_dedup_incremental_near").collect().toSeq // gen_base
+      // two delta folds: half of the batch docs each, disjoint
+      val batch = engine.Tables.documents(spark, sf)
+        .where(col("doc_id") % 10 === 0)
+        .select(col("doc_id"),
+          graft.functions.GramHashes(spark, col("text"), 5).as("bg"))
+        .where(size(col("bg")) > 0)
+        .select(col("doc_id"), size(col("bg")).cast("long").as("n"), col("bg"))
+      IncrementalDedup.advanceIndex(spark, dir.toString, "day1",
+        batch.where(col("doc_id") % 20 === 0))
+      IncrementalDedup.advanceIndex(spark, dir.toString, "day2",
+        batch.where(col("doc_id") % 20 =!= 0))
+      val (d3, p3) = IncrementalDedup.indexFor(spark, sf)
+      val (docsBefore, postsBefore) = (d3.count(), p3.count())
+      val advanced = q("q_dedup_incremental_near").collect().toSeq
+
+      IncrementalDedup.compactIndex(spark, dir.toString)
+      // one live compacted gen replaces the three inputs; dirs remain
+      // until pruned, and the reader subtracts them
+      val (d4, p4) = IncrementalDedup.indexFor(spark, sf)
+      assert(d4.count() == docsBefore && p4.count() == postsBefore,
+        "compaction changed index content")
+      assert(q("q_dedup_incremental_near").collect().toSeq == advanced,
+        "compaction changed query results")
+      // compaction is retry-safe: same live set → publish-once no-op
+      IncrementalDedup.compactIndex(spark, dir.toString)
+      assert(IncrementalDedup.indexFor(spark, sf)._1.count() == docsBefore)
+
+      // prune deletes the superseded dirs; results still identical
+      IncrementalDedup.pruneIndex(spark, dir.toString)
+      assert(!java.nio.file.Files.exists(
+        dir.resolve("ngram_docs").resolve("gen_base")),
+        "prune must delete superseded generations")
+      assert(q("q_dedup_incremental_near").collect().toSeq == advanced,
+        "prune changed query results")
+      assert(baseline.size <= advanced.size) // folds only add index docs
+    } finally {
+      spark.conf.unset(IncrementalDedup.IndexDirConf)
+      org.apache.commons.io.FileUtils.deleteDirectory(dir.toFile)
+    }
+  }
+
   test("batch prefix probe is exact: pairs match a brute-force batch check") {
     // independent truth: brute-force jaccard over (batch x all) pairs
     // via the same gram kernel, no prefix filter, no index machinery
