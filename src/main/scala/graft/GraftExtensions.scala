@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 
-import graft.functions.{AdcScore, CmsEstimate, CosineSimilarity, GramHashes, HyperplaneSig, MinHashSig, NearestCells, NfcNormalize, RollingHash, SimHash64, SortedIntersectCount, StripAccents, ZOrder64}
+import graft.functions.{AdcScore, CmsEstimate, CosineSimilarity, GramHashes, HyperplaneSig, MinHashSig, NearestCells, NfcNormalize, RollingHash, SimHashPortable, SortedIntersectCount, StripAccents, ZOrder64}
 
 /** SparkSessionExtensions entry point: registers the engine's native
   * functions for any session built with
@@ -27,8 +27,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       HyperplaneSig.info, HyperplaneSig.builder))
     e.injectFunction((FunctionIdentifier(RollingHash.name),
       RollingHash.info, RollingHash.builder))
-    e.injectFunction((FunctionIdentifier(SimHash64.name),
-      SimHash64.info, SimHash64.builder))
+    e.injectFunction((FunctionIdentifier(SimHashPortable.name),
+      SimHashPortable.info, SimHashPortable.builder))
     e.injectFunction((FunctionIdentifier(ZOrder64.name),
       ZOrder64.info, ZOrder64.builder))
     e.injectFunction((FunctionIdentifier(AdcScore.name),

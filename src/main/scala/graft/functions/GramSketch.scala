@@ -151,6 +151,70 @@ object GramSketch {
     out
   }
 
+  /** Portable polynomial hash of each non-empty lowercased token —
+    * the single-token analog of the gram hash above: g = fold of
+    * (h·31 + codepoint) mod P, seed 0. Feeds [[simhashPortable]]. */
+  def portableTokenHashes(text: UTF8String): Array[Long] = {
+    val parts = text.toLowerCase.split(Space, -1)
+    val out = new Array[Long](parts.length)
+    var n = 0
+    var i = 0
+    while (i < parts.length) {
+      val p = parts(i)
+      if (p.numBytes > 0) {
+        val cps = codePoints(p)
+        var h = 0L
+        var m = 0
+        while (m < cps.length) { h = (h * 31 + cps(m)) % PortableP; m += 1 }
+        out(n) = h
+        n += 1
+      }
+      i += 1
+    }
+    if (n == out.length) out else java.util.Arrays.copyOf(out, n)
+  }
+
+  /** Dialect-portable SimHash (Charikar random-hyperplane fingerprint):
+    * bit b of the result is the tf-weighted majority vote of the
+    * per-token pseudo-random sign `((g·A(b) + B(b)) mod P)·2 ≥ P`
+    * — each bit its own affine permutation of the portable token hash,
+    * so the hyperplane family is exact BIGINT arithmetic that DuckDB
+    * reproduces bit-identically (g, A, B < 2³⁰ → products < 2⁶⁰; the
+    * bit rule is `vote > 0`, ties → 0, same in both engines). `bits`
+    * must stay ≤ 62 so the assembled fingerprint never touches the
+    * sign bit — signed-overflow semantics are where engines diverge.
+    * Zero-token docs → 0 (callers filter them, as with [[minhashSig]]).
+    * Votes are linear in tf, so summing per token INSTANCE (what the
+    * SQL oracle does) equals the tf-merged loop here. */
+  def simhashPortable(
+      text: UTF8String, bits: Int, as: Array[Long], bs: Array[Long]): Long = {
+    val hs = portableTokenHashes(text)
+    if (hs.isEmpty) return 0L
+    java.util.Arrays.sort(hs)
+    val sums = new Array[Long](bits)
+    var i = 0
+    while (i < hs.length) {
+      val h = hs(i)
+      var j = i
+      while (j < hs.length && hs(j) == h) j += 1
+      val tf = (j - i).toLong
+      var b = 0
+      while (b < bits) {
+        if (((h * as(b) + bs(b)) % PortableP) * 2 >= PortableP) sums(b) += tf
+        else sums(b) -= tf
+        b += 1
+      }
+      i = j
+    }
+    var out = 0L
+    var b = 0
+    while (b < bits) {
+      if (sums(b) > 0L) out |= (1L << b)
+      b += 1
+    }
+    out
+  }
+
   /** → [n_distinct_grams, sig_0 .. sig_{perms-1}]; a doc with fewer
     * than k tokens yields [0, MaxValue...] (same convention as
     * [[minhashSig]]). One pass, exact long arithmetic throughout. */

@@ -167,27 +167,129 @@ object DedupOps {
     },
     None)
 
-  /** Mandated EXT: SimHash fingerprints — 64-bit bitwise-majority
-    * sketch over tf-weighted token hashes; near-dups differ in few bits
-    * (DedupSpec asserts the hamming properties).
+  // Portable SimHash geometry: 60 bits (sign bit untouched in both
+  // engines), split into 4 blocks of 15 bits for the Manku-style
+  // hamming-ball candidate join — any pair within hamming distance 3
+  // agrees exactly on at least one block (pigeonhole: 3 flipped bits
+  // touch at most 3 of the 4 blocks).
+  private val SimBits = 60
+  private val SimBlocks = 4
+  private val SimBlockBits = SimBits / SimBlocks
+  private val SimHamT = SimBlocks - 1
+
+  /** Mandated EXT: SimHash fingerprints — tf-weighted bit-majority
+    * sketch over token hashes; near-dups differ in few bits (DedupSpec
+    * asserts the hamming properties).
     *
-    * One-pass native kernel (functions.SimHash64): the previous
-    * composed form shuffled the corpus at TOKEN granularity twice
-    * (explode → groupBy(doc,token) → 64 bit-sum aggregates) — at 100 TB
-    * that moves ~100× the corpus through two shuffles to produce one
-    * long per doc. The kernel is a narrow scan-speed projection,
+    * One-pass native kernel (functions.SimHashPortable): the composed
+    * form shuffles the corpus at TOKEN granularity twice (explode →
+    * groupBy(doc,token) → per-bit conditional-sum aggregates) — at
+    * 100 TB that moves ~100× the corpus through two shuffles to produce
+    * one long per doc. The kernel is a narrow scan-speed projection,
     * bit-identical to the composed form (DedupSpec proves it). The
-    * token-less-doc filter preserves the old output surface (explode
-    * dropped those rows). */
+    * token-less-doc filter preserves the explode-form output surface.
+    *
+    * r11 flip to oracle-checked: the hyperplane family is per-bit
+    * affine permutations of the portable polynomial token hash — every
+    * step exact BIGINT arithmetic DuckDB reproduces, so the
+    * fingerprints (not just their properties) are verified
+    * cross-engine, the same move `minhash_portable` made for
+    * q_dedup_minhash. */
   val dedupSimhash: Q = Q(
     "q_dedup_simhash",
     (s, d) =>
       Tables.documents(s, d)
         .where(size(TextHash.tokens(col("text"))) > 0)
         .select(col("doc_id"),
-          graft.functions.SimHash64(s, col("text")).as("simhash"))
+          graft.functions.SimHashPortable(s, col("text"), SimBits)
+            .as("simhash"))
         .orderBy("doc_id"),
-    None)
+    Some(s"$simhashOracleCtes\n    SELECT doc_id, simhash FROM sh ORDER BY doc_id"))
+
+  /** EXT: SimHash near-dup PAIRS via the Manku block-LSH shape (Manku,
+    * Jain & Sarma, WWW'07 §3): explode each fingerprint into
+    * [[SimBlocks]] (block_idx, block_val) keys, equi-join on them, keep
+    * pairs within hamming distance [[SimHamT]]. The block split makes
+    * recall EXACT at this threshold (pigeonhole above) while the join
+    * touches only block-collision candidates — never the doc×doc cross
+    * product. Candidate volume per block value is |bucket|²; 15-bit
+    * blocks give 32k buckets per index, and the hot-bucket overflow
+    * pattern of q_dedup_near (BucketCap + star pairs) is the documented
+    * escalation if a degenerate corpus (millions of identical docs)
+    * concentrates one value — exact dedup upstream removes exactly that
+    * mass. Both join branches shuffle the SAME (block_idx, block_val)
+    * projection, so the exchange is computed once and reused. */
+  val dedupSimhashPairs: Q = Q(
+    "q_dedup_simhash_pairs",
+    (s, d) => {
+      val sh = Tables.documents(s, d)
+        .where(size(TextHash.tokens(col("text"))) > 0)
+        .select(col("doc_id"),
+          graft.functions.SimHashPortable(s, col("text"), SimBits)
+            .as("simhash"))
+      val blocks = sh.select(col("doc_id"), col("simhash"),
+        posexplode(array((0 until SimBlocks).map(i =>
+          shiftrightunsigned(col("simhash"), i * SimBlockBits)
+            .bitwiseAND(lit((1L << SimBlockBits) - 1))): _*))
+          .as(Seq("block_idx", "block_val")))
+      val a = blocks.select(col("block_idx"), col("block_val"),
+        col("doc_id").as("a_id"), col("simhash").as("a_sh"))
+      val b = blocks.select(col("block_idx"), col("block_val"),
+        col("doc_id").as("b_id"), col("simhash").as("b_sh"))
+      a.join(b, Seq("block_idx", "block_val"))
+        .where(col("a_id") < col("b_id"))
+        .select(col("a_id"), col("b_id"),
+          TextHash.hamming(col("a_sh"), col("b_sh")).as("hamming"))
+        .where(col("hamming") <= SimHamT)
+        .distinct()
+        .orderBy("a_id", "b_id")
+    },
+    Some(s"""$simhashOracleCtes,
+    blocks AS (
+      SELECT doc_id, simhash, bl AS block_idx,
+        (simhash >> (bl * $SimBlockBits)) & ${(1L << SimBlockBits) - 1}
+          AS block_val
+      FROM sh CROSS JOIN (SELECT unnest(range($SimBlocks)) AS bl) bs)
+    SELECT DISTINCT x.doc_id AS a_id, y.doc_id AS b_id,
+      CAST(bit_count(xor(x.simhash, y.simhash)) AS BIGINT) AS hamming
+    FROM blocks x JOIN blocks y
+      ON x.block_idx = y.block_idx AND x.block_val = y.block_val
+    WHERE x.doc_id < y.doc_id
+      AND bit_count(xor(x.simhash, y.simhash)) <= $SimHamT
+    ORDER BY a_id, b_id"""))
+
+  /** Shared oracle CTEs: per-doc portable SimHash, bit-exact vs the
+    * kernel (GramSketch.simhashPortable — same token split, same
+    * polynomial, same per-bit affine hyperplane signs, same `vote > 0`
+    * rule; per-instance ±1 votes equal the kernel's tf-merged loop
+    * because votes are linear in tf). */
+  private def simhashOracleCtes: String = {
+    val p = graft.functions.GramSketch.PortableP
+    s"""WITH toks AS (
+      SELECT doc_id,
+        unnest(list_filter(string_split(lower(text), ' '), t -> t != ''))
+          AS tok
+      FROM documents),
+    th AS (
+      SELECT doc_id, list_reduce(
+        list_prepend(CAST(0 AS BIGINT),
+          list_transform(range(1, length(tok) + 1),
+            i -> CAST(ord(substr(tok, i, 1)) AS BIGINT))),
+        (h, c) -> (h * 31 + c) % $p) AS g
+      FROM toks),
+    votes AS (
+      SELECT doc_id, b,
+        sum(CASE WHEN ((g * ((2654435769 * (2 * b + 1)) % $p)
+            + ((2246822507 * (b + 1)) % $p)) % $p) * 2 >= $p
+          THEN 1 ELSE -1 END) AS v
+      FROM th CROSS JOIN (SELECT unnest(range($SimBits)) AS b) bits
+      GROUP BY doc_id, b),
+    sh AS (
+      SELECT doc_id,
+        CAST(sum(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << b)
+          ELSE 0 END) AS BIGINT) AS simhash
+      FROM votes GROUP BY doc_id)"""
+  }
 
   /** Mandated EXT: exact n-gram (token 5-gram — see ngramGrams) Jaccard
     * near-dup pairs, blocked by source. Fully SQL-expressible →
@@ -1016,7 +1118,8 @@ object DedupOps {
     GROUP BY 1 ORDER BY canonical_url"""))
 
   val all: Seq[Q] = Seq(
-    dedupMinhashSig, dedupMinhashPairs, dedupSimhash, dedupNgramJaccard,
+    dedupMinhashSig, dedupMinhashPairs, dedupSimhash, dedupSimhashPairs,
+    dedupNgramJaccard,
     dedupNgramGlobal, dedupContainGlobal, simLshTopk, dedupFuzzyName,
     dedupContainment, dedupUrl)
 }

@@ -57,20 +57,39 @@ class DedupSpec extends SparkSpec {
   test("simhash: identical text -> hamming 0; unrelated -> large distance") {
     val sims = Registry.byName("q_dedup_simhash").fn(spark, sf)
     assert(sims.count() > 0)
-    // use the synthetic frame through the same expression pipeline
-    val tok = nearDupDocs
-      .select(col("doc_id"), explode(TextHash.tokens(col("text"))).as("token"))
-      .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
-      .withColumn("th", xxhash64(col("token")))
-    val bitSums = TextHash.simhashBitSums(col("th"), col("tf"))
-    val hashes = tok.groupBy(col("doc_id"))
-      .agg(bitSums.head, bitSums.tail: _*)
-      .select(col("doc_id"), TextHash.simhashFromBitSums(
-        (0 until 64).map(i => col(s"_bit$i"))).as("sh"))
+    // the synthetic frame through the native kernel
+    val hashes = nearDupDocs
+      .select(col("doc_id"),
+        functions.SimHashPortable(spark, col("text"), 60).as("sh"))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
     assert(ham(hashes(1L), hashes(2L)) == 0)
     assert(ham(hashes(1L), hashes(3L)) < ham(hashes(1L), hashes(4L)))
+  }
+
+  test("simhash pairs: exact dups pair at hamming 0; unrelated never pair") {
+    val pairs = Registry.byName("q_dedup_simhash_pairs").fn(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(pairs.nonEmpty, "fixture exact dups must collide")
+    // every reported pair is within the declared threshold, and the
+    // block guarantee holds: re-derive hamming from the fingerprints
+    val sh = Registry.byName("q_dedup_simhash").fn(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    pairs.foreach { case ((a, b), h) =>
+      assert(h <= 3, s"pair ($a,$b) above threshold: $h")
+      assert(java.lang.Long.bitCount(sh(a) ^ sh(b)) == h,
+        s"pair ($a,$b) hamming mismatch")
+    }
+    // completeness at the guaranteed radius: brute-force all pairs
+    // within hamming <= 3 over the fingerprints and compare sets
+    val ids = sh.keys.toSeq.sorted
+    val brute = (for {
+      i <- ids.indices.iterator
+      j <- (i + 1 until ids.size).iterator
+      if java.lang.Long.bitCount(sh(ids(i)) ^ sh(ids(j))) <= 3
+    } yield (ids(i), ids(j))).toSet
+    assert(pairs.keySet == brute,
+      s"missing=${brute -- pairs.keySet} extra=${pairs.keySet -- brute}")
   }
 
   test("LSH top-k candidates rank by the same cosine as brute force") {
@@ -404,25 +423,30 @@ class DedupSpec extends SparkSpec {
     grams.unpersist()
   }
 
-  test("native simhash64 equals the composed explode/groupBy form bit for bit") {
-    val docs = nearDupDocs
+  test("native portable simhash equals the composed explode/groupBy form bit for bit") {
+    // real fixture docs, not just the synthetic frame — covers unicode,
+    // repeated tokens and long texts through both paths
+    val docs = graft.engine.Tables.documents(spark, sf)
+      .where(size(TextHash.tokens(col("text"))) > 0)
     val composed = {
       val tok = docs
         .select(col("doc_id"), explode(TextHash.tokens(col("text"))).as("token"))
         .groupBy(col("doc_id"), col("token"))
         .agg(count(lit(1)).as("tf"))
-        .withColumn("th", xxhash64(col("token")))
-      val bitSums = TextHash.simhashBitSums(col("th"), col("tf"))
+        .withColumn("th", functions.RollingHash(spark, col("token")))
+      val bitSums = TextHash.simhashBitSums(col("th"), col("tf"), 60)
       tok.groupBy(col("doc_id"))
         .agg(bitSums.head, bitSums.tail: _*)
         .select(col("doc_id"),
           TextHash.simhashFromBitSums(
-            (0 until 64).map(b => col(s"_bit$b"))).as("simhash"))
+            (0 until 60).map(b => col(s"_bit$b"))).as("simhash"))
         .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     }
     val native = docs
-      .select(col("doc_id"), functions.SimHash64(spark, col("text")).as("sh"))
+      .select(col("doc_id"),
+        functions.SimHashPortable(spark, col("text"), 60).as("sh"))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(native.keySet == composed.keySet)
     composed.foreach { case (id, v) =>
       assert(native(id) == v, s"doc $id: native ${native(id)} != composed $v")
     }
