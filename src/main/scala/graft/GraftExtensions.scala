@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 
-import graft.functions.{AdcScore, CmsEstimate, CosineSimilarity, GramHashes, HyperplaneSig, MinHashSig, NearestCells, NfcNormalize, RollingHash, SimHashPortable, SortedIntersectCount, StripAccents, ZOrder64}
+import graft.functions.{AdcScore, CosineSimilarity, GramHashes, HyperplaneSig, MinHashSig, NearestCells, NfcNormalize, RollingHash, SimHashPortable, SortedIntersectCount, StripAccents, ZOrder64}
 
 /** SparkSessionExtensions entry point: registers the engine's native
   * functions for any session built with
@@ -37,8 +37,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       NfcNormalize.info, NfcNormalize.builder))
     e.injectFunction((FunctionIdentifier(StripAccents.name),
       StripAccents.info, StripAccents.builder))
-    e.injectFunction((FunctionIdentifier(CmsEstimate.name),
-      CmsEstimate.info, CmsEstimate.builder))
     e.injectOptimizerRule(_ => graft.plans.ThresholdLevenshtein)
     e.injectOptimizerRule(_ => graft.plans.SortBelowExpensiveProject)
     e.injectPlannerStrategy(_ => graft.plans.AsofJoinStrategy)

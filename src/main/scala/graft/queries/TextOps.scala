@@ -2,6 +2,7 @@ package graft.queries
 
 import graft.Q
 import graft.engine.Tables
+import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators over the documents table (SURVEY.md §2B
@@ -322,38 +323,97 @@ object TextOps {
       FROM (SELECT list_filter($sqlTokens, x -> x != '') AS t FROM documents))
     GROUP BY bigram ORDER BY n DESC, bigram ASC LIMIT 100"""))
 
+  // Portable CMS geometry: depth 4 hash rows (the affine-permutation
+  // family of GramSketch.portableA/B over the RollingHash token hash),
+  // width 2048 buckets — eps = e/w ≈ 1.3e-3, delta = e^-4 ≈ 1.8%.
+  private val CmsDepth = 4
+  private val CmsWidth = 2048L
+
   /** EXT: Count-Min-Sketch heavy hitters — the frequency-sketch
     * companion to the HLL cardinality family (q_agg_hll_sketch): exact
     * top-10 token counts beside their CMS estimates and the
     * never-underestimates invariant (Cormode & Muthukrishnan 2005).
-    * The 100 TB story is the sketch's shape, proven in
-    * AggregatesSpec: states are fixed-size (depth × width counters)
-    * and merge by elementwise addition, so the build is one map-side-
-    * combined aggregate, bit-identical under any partitioning (the
-    * property tie-order-dependent SpaceSaving summaries lack), and
-    * re-aggregation (per-shard sketches → global) needs no corpus
-    * re-scan. Lookups probe a broadcast sketch on candidate rows only.
-    * No oracle: the sketch binary is Spark-specific (seeded Murmur3);
-    * the exact column doubles as the in-row ground truth. */
+    * The 100 TB story is the sketch's shape, proven in AggregatesSpec:
+    * the sketch is a RELATIONAL fixed-size structure — at most
+    * depth × width (r, bucket, cnt) rows from one map-side-combined
+    * aggregate — that merges by elementwise addition, so per-shard
+    * sketches re-aggregate to the global one bit-identically under any
+    * partitioning (the property tie-order-dependent SpaceSaving
+    * summaries lack) with no corpus re-scan. Estimates probe the
+    * broadcast counter table on candidate rows only: min over the
+    * depth rows of the bucket counts.
+    *
+    * r10 verdict's last flippable spec-only query, flipped r11: the
+    * previous build used Spark's opaque `count_min_sketch` binary
+    * (seeded Murmur3 — engine-specific, so no oracle could exist);
+    * this one hashes with the portable polynomial + affine-permutation
+    * family, every counter and estimate exact BIGINT arithmetic DuckDB
+    * reproduces — the sketch CONTENT is now verified cross-engine, not
+    * just its error bounds. */
   val textCmsTopk: Q = Q(
     "q_text_cms_topk",
     (s, d) => {
+      val p = graft.functions.GramSketch.PortableP
+      def bucketOf(g: Column, r: Int): Column =
+        ((g * lit(graft.functions.GramSketch.portableA(r))
+          + lit(graft.functions.GramSketch.portableB(r))) % p) % CmsWidth
       val tok = Tables.documents(s, d)
         .select(explode(tokens).as("token"))
         .where(col("token") =!= "")
+      // counters: ≤ depth×width rows no matter the corpus size
+      val counters = tok
+        .select(graft.functions.RollingHash(s, col("token")).as("g"))
+        .select(posexplode(array((0 until CmsDepth).map(r =>
+          bucketOf(col("g"), r)): _*)).as(Seq("r", "bucket")))
+        .groupBy(col("r"), col("bucket"))
+        .agg(count(lit(1)).as("cnt"))
       val exact = tok.groupBy(col("token")).agg(count(lit(1)).as("n_exact"))
       val top = exact.orderBy(col("n_exact").desc, col("token").asc)
         .limit(10)
-      val sk = tok.agg(
-        expr("count_min_sketch(token, 0.0001d, 0.99d, 42)").as("sk"))
-      top.crossJoin(broadcast(sk))
-        .select(col("token"), col("n_exact"),
-          graft.functions.CmsEstimate(s, col("sk"), col("token"))
-            .as("n_cms"))
+        .withColumn("g", graft.functions.RollingHash(s, col("token")))
+      val probes = top.select(col("token"), col("n_exact"),
+        posexplode(array((0 until CmsDepth).map(r =>
+          bucketOf(col("g"), r)): _*)).as(Seq("r", "bucket")))
+      // broadcast the FIXED-SIZE side (counters), never the corpus
+      probes.join(broadcast(counters), Seq("r", "bucket"))
+        .groupBy(col("token"), col("n_exact"))
+        .agg(min(col("cnt")).as("n_cms"))
         .withColumn("overestimate", col("n_cms") >= col("n_exact"))
         .orderBy(col("n_exact").desc, col("token").asc)
     },
-    None)
+    Some {
+      val p = graft.functions.GramSketch.PortableP
+      val bucketSql =
+        s"((g * ((2654435769 * (2 * r + 1)) % $p) + ((2246822507 * (r + 1)) % $p)) % $p) % $CmsWidth"
+      s"""WITH tok AS (
+      SELECT unnest(list_filter(string_split(lower(text), ' '), t -> t != ''))
+        AS token
+      FROM documents),
+    gh AS (
+      SELECT token, list_reduce(
+        list_prepend(CAST(0 AS BIGINT),
+          list_transform(range(1, length(token) + 1),
+            i -> CAST(ord(substr(token, i, 1)) AS BIGINT))),
+        (h, c) -> (h * 31 + c) % $p) AS g
+      FROM (SELECT DISTINCT token FROM tok)),
+    rs AS (SELECT unnest(range($CmsDepth)) AS r),
+    counters AS (
+      SELECT r, $bucketSql AS bucket, count(*) AS cnt
+      FROM tok JOIN gh USING (token) CROSS JOIN rs
+      GROUP BY r, bucket),
+    exact AS (SELECT token, count(*) AS n_exact FROM tok GROUP BY token),
+    top AS (
+      SELECT token, n_exact FROM exact
+      ORDER BY n_exact DESC, token ASC LIMIT 10),
+    probes AS (
+      SELECT t.token, t.n_exact, r, $bucketSql AS bucket
+      FROM top t JOIN gh USING (token) CROSS JOIN rs)
+    SELECT p.token, p.n_exact, min(c.cnt) AS n_cms,
+      min(c.cnt) >= p.n_exact AS overestimate
+    FROM probes p JOIN counters c ON p.r = c.r AND p.bucket = c.bucket
+    GROUP BY p.token, p.n_exact
+    ORDER BY n_exact DESC, token ASC"""
+    })
 
   /** EXT: repetition-based quality signals (the Gopher repetition
     * rules, Rae et al. 2021 §A1.1): per-document duplicate-word

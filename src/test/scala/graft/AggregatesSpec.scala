@@ -118,25 +118,43 @@ class AggregatesSpec extends SparkSpec {
       .select(explode(split(lower(col("text")), " ")).as("token"))
       .where(col("token") =!= "")
     val n = tok.count()
+    // eps = e / width for the classic CMS bound (width 2048)
+    val epsN = (math.E / 2048 * n).ceil.toLong
     rows.foreach { r =>
       val (exact, cms) = (r.getLong(1), r.getLong(2))
       assert(r.getBoolean(3) && cms >= exact,
         s"${r.getString(0)}: cms $cms underestimates exact $exact")
-      // standard CMS bound: overcount <= eps * totalCount (eps = 1e-4)
-      assert(cms - exact <= (1e-4 * n).ceil.toLong,
-        s"${r.getString(0)}: overcount ${cms - exact} breaks eps*N=${1e-4 * n}")
+      assert(cms - exact <= epsN,
+        s"${r.getString(0)}: overcount ${cms - exact} breaks eps*N=$epsN")
     }
-    // counter merges are elementwise sums -> the sketch (and every
-    // estimate) is bit-identical under any partitioning; this is the
+    // the sketch is a FIXED-SIZE relational structure (<= depth*width
+    // counter rows regardless of corpus size), built by a keyed count
+    // -> merges are elementwise sums, so the counters (and every
+    // estimate) are bit-identical under any partitioning; this is the
     // property that makes the build safe as a map-side-combined agg
-    def est(parts: Int) = tok.repartition(parts)
-      .agg(expr("count_min_sketch(token, 0.0001d, 0.99d, 42)").as("sk"))
-      .select(graft.functions.CmsEstimate(spark, col("sk"),
-        lit(rows.head.getString(0))).as("e"))
+    // and per-shard sketches re-aggregable without a corpus re-scan
+    val p = graft.functions.GramSketch.PortableP
+    def counters(parts: Int) = tok.repartition(parts)
+      .select(graft.functions.RollingHash(spark, col("token")).as("g"))
+      .select(posexplode(array((0 until 4).map(r =>
+        ((col("g") * lit(graft.functions.GramSketch.portableA(r))
+          + lit(graft.functions.GramSketch.portableB(r))) % p) % 2048L): _*))
+        .as(Seq("r", "bucket")))
+      .groupBy(col("r"), col("bucket")).agg(count(lit(1)).as("cnt"))
+      .collect().map(x => (x.getInt(0), x.getLong(1)) -> x.getLong(2)).toMap
+    val c3 = counters(3)
+    assert(c3.size <= 4 * 2048, "sketch must stay fixed-size")
+    assert(c3 == counters(11), "CMS counters changed under repartitioning")
+    // the declared query's estimate equals a hand-probe of the counters
+    val g0 = tok.where(col("token") === rows.head.getString(0))
+      .select(graft.functions.RollingHash(spark, col("token")))
       .head().getLong(0)
-    assert(est(3) == est(11),
-      "CMS estimate changed under repartitioning")
-    assert(est(3) == rows.head.getLong(2),
-      "repartitioned sketch disagrees with the declared query")
+    val hand = (0 until 4).map { r =>
+      val b = ((g0 * graft.functions.GramSketch.portableA(r)
+        + graft.functions.GramSketch.portableB(r)) % p) % 2048L
+      c3((r, b))
+    }.min
+    assert(hand == rows.head.getLong(2),
+      "declared query estimate disagrees with a hand-probe of the counters")
   }
 }
