@@ -1,0 +1,87 @@
+package graft.engine
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Publish-once BUCKETED table layout — the co-located-join data
+  * organization for joins that repeat against the same key at 100 TB.
+  *
+  * A fact⋈fact equi join (q_join_inner_equi's shape) shuffles BOTH
+  * inputs on every run; for a join that production runs daily against
+  * the same key, that is the single largest recurring exchange in the
+  * pipeline. Bucketing pays the shuffle ONCE at layout time: each side
+  * is written hash-clustered on the join key into the same bucket
+  * count, and every subsequent join plans with `ShuffledHashJoin`/
+  * `SortMergeJoin` over the EXISTING bucket layout — zero shuffle
+  * exchanges under the join (BucketedSpec pins the plan), and
+  * equality filters on the bucket key prune to 1/n of the files at
+  * scan time (`SelectedBucketsCount`, also pinned). This is the same
+  * pay-once-read-many discipline as the engine's persisted indexes
+  * (AnnOps C110, IncrementalDedup): the layout is an artifact keyed by
+  * (source, key, n), not per-query work.
+  *
+  * Mechanics: first use writes the copy via `bucketBy(n, key)` +
+  * `saveAsTable` (files land under `spark.graft.bucket.dir`, bucket id
+  * encoded in each file name); a FRESH session that finds the
+  * published files re-registers them with `CREATE TABLE … CLUSTERED
+  * BY … LOCATION` — no rewrite, the catalog entry just re-attaches
+  * the bucket spec the file names already carry. The input is
+  * re-shuffled to `n` partitions on the bucket key before the write so
+  * bucket files stay one-per-task (no small-file explosion at high
+  * writer parallelism). Like every published artifact here, the copy
+  * snapshots its source at layout time — static fixtures locally;
+  * production would version generations via the Snapshot machinery.
+  *
+  * Local `n` default is 8 (fixture-sized); a cluster would use
+  * hundreds–thousands via `spark.graft.bucket.n` so each bucket stays
+  * executor-memory-sized at the target data scale.
+  */
+object Bucketed {
+  /** Root directory for published bucketed layouts. */
+  val DirConf = "spark.graft.bucket.dir"
+  /** Bucket count for newly published layouts. */
+  val NConf = "spark.graft.bucket.n"
+
+  private def digest(parts: String): String =
+    java.security.MessageDigest.getInstance("SHA-1")
+      .digest(parts.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString.take(12)
+
+  /** The bucketed copy of `df`, clustered on `key` — published on
+    * first use, re-registered from the published files on a fresh
+    * catalog, returned from the catalog otherwise. The identifier is
+    * keyed by (sfDir, table, key, n), so different scale factors and
+    * layouts coexist. Concurrent first-publishers race on
+    * `saveAsTable` (ErrorIfExists — one wins, the loser throws and
+    * retries into the re-register branch on its next call); that is
+    * the layout-job constraint, not a query-path hazard. */
+  def table(
+      s: SparkSession, sfDir: String, name: String,
+      df: => DataFrame, key: String): DataFrame = {
+    val n = s.conf.getOption(NConf).map(_.toInt).getOrElse(8)
+    require(n > 0, s"$NConf must be positive: $n")
+    val root = s.conf.getOption(DirConf).getOrElse(
+      sys.props("java.io.tmpdir").stripSuffix("/") + "/graft_buckets")
+    val ident = s"graft_bkt_${name}_${digest(s"$sfDir|$name|$key|$n")}"
+    val path = s"$root/$ident"
+    if (!s.catalog.tableExists(ident)) {
+      val p = new org.apache.hadoop.fs.Path(path, "_SUCCESS")
+      val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (fs.exists(p)) {
+        // published by an earlier session: re-attach the bucket spec
+        // to the existing files (no data movement)
+        s.sql(s"""CREATE TABLE $ident (${df.schema.toDDL})
+          USING PARQUET CLUSTERED BY ($key) INTO $n BUCKETS
+          LOCATION '$path'""")
+      } else {
+        // pay the layout shuffle once; repartition on the bucket key
+        // so each task holds whole buckets → one file per bucket
+        df.repartition(n, org.apache.spark.sql.functions.col(key))
+          .write.format("parquet")
+          .bucketBy(n, key)
+          .option("path", path)
+          .saveAsTable(ident)
+      }
+    }
+    s.table(ident)
+  }
+}

@@ -706,11 +706,42 @@ object Relational {
     GROUP BY b_order, b.k IS NULL
     ORDER BY b_order"""))
 
+  /** EXT (r11): the co-located ZERO-EXCHANGE fact⋈fact join over the
+    * publish-once bucketed layout (engine/Bucketed — design doc
+    * there). Same join as q_join_inner_equi, but both inputs read from
+    * copies hash-clustered on the join key, so the join plans with NO
+    * shuffle exchange under it (BucketedSpec pins the plan and the
+    * 1/n bucket pruning on key-equality filters): the repeated-join
+    * shuffle is paid once at layout time, not per run. The aggregate
+    * groups by o_orderstatus — a different output surface than
+    * q_join_inner_equi's priority rollup, so the two queries also
+    * cross-check the join content two ways. Oracle reads the RAW
+    * parquet: content equality proves the bucketed copy is faithful. */
+  val joinBucketed: Q = Q(
+    "q_join_bucketed",
+    (s, d) => {
+      val l = graft.engine.Bucketed.table(
+        s, d, "lineitem", Tables.lineitem(s, d), "l_orderkey")
+      val o = graft.engine.Bucketed.table(
+        s, d, "orders", Tables.orders(s, d), "o_orderkey")
+      l.join(o, l("l_orderkey") === o("o_orderkey"))
+        .groupBy(col("o_orderstatus"))
+        .agg(
+          Det.dsum(col("l_extendedprice"), 2).as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy("o_orderstatus")
+    },
+    Some(s"""SELECT o_orderstatus,
+      ${Det.sqlSum("l_extendedprice", 2)} AS revenue, count(*) AS n_items
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY o_orderstatus ORDER BY o_orderstatus"""))
+
   val all: Seq[Q] = Seq(
     scanProjectFilter, joinInnerEqui, joinBroadcast, joinLeftOuter,
     joinRightOuter, joinFullOuter, joinSemi, joinAnti, joinThetaRange,
     joinAsof, joinAsofNative, joinAsofForward, joinAsofNearest,
     joinAsofTolerance, joinAsofSql,
     joinInterval, joinNonEqui, joinSkewSalt, sortLimit, unionAll,
-    unionDistinct, intersectQ, exceptQ, dateSpine, joinNullSafe)
+    unionDistinct, intersectQ, exceptQ, dateSpine, joinNullSafe,
+    joinBucketed)
 }
