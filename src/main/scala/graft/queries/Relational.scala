@@ -709,8 +709,8 @@ object Relational {
   /** EXT (r11): the co-located ZERO-EXCHANGE fact⋈fact join over the
     * publish-once bucketed layout (engine/Bucketed — design doc
     * there). Same join as q_join_inner_equi, but both inputs read from
-    * copies hash-clustered on the join key, so the join plans with NO
-    * shuffle exchange under it (BucketedSpec pins the plan and the
+    * copies hash-clustered and pre-sorted on the join key, so the join
+    * plans with NO shuffle exchange and NO per-task sort under it (BucketedSpec pins the plan and the
     * 1/n bucket pruning on key-equality filters): the repeated-join
     * shuffle is paid once at layout time, not per run. The aggregate
     * groups by o_orderstatus — a different output surface than

@@ -8,7 +8,8 @@ import org.apache.spark.sql.functions._
 
 /** engine/Bucketed + q_join_bucketed: the publish-once co-located-join
   * layout. Pins the three claims the design doc makes: zero shuffle
-  * exchanges under the join, 1/n bucket pruning on key-equality
+  * exchanges and zero per-task sorts under the join (pre-sorted
+  * single-file buckets), 1/n bucket pruning on key-equality
   * filters, and publish-once reuse (a fresh catalog re-registers the
   * published files instead of rewriting them). */
 class BucketedSpec extends SparkSpec {
@@ -74,6 +75,13 @@ class BucketedSpec extends SparkSpec {
           collectAll(join.get) { case e: ShuffleExchangeExec => e }
         assert(exchangesBelow.isEmpty,
           s"bucketed join still shuffles:\n${join.get}")
+        // buckets are written pre-sorted, one file each → the scan's
+        // ordering feeds the SMJ directly, no per-task sort either
+        val sortsBelow = collectAll(join.get) {
+          case s: org.apache.spark.sql.execution.SortExec => s
+        }
+        assert(sortsBelow.isEmpty,
+          s"bucketed join still sorts below the join:\n${join.get}")
         val scans =
           collectAll(join.get) { case f: FileSourceScanExec => f }
         assert(scans.size == 2 && scans.forall(_.bucketedScan),
