@@ -1,0 +1,89 @@
+package graft.engine
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Publish-once HIVE-PARTITIONED table layout — the time/category-axis
+  * complement to [[Bucketed]]'s hash layout.
+  *
+  * A fact table a pipeline slices by day (or source, or language) pays
+  * a full scan for every slice unless the files are laid out BY the
+  * slice key. This publishes a copy once via `partitionBy(col)` —
+  * one directory per key value, one file per directory (the input is
+  * pre-clustered on the key so each value is written by one task) —
+  * and reads it back through partition discovery. Two prunings then
+  * come free at planning/run time:
+  *
+  *  - STATIC: a literal predicate on the partition column reads only
+  *    the matching directories (`PartitionFilters`, zero data files
+  *    from other keys touched);
+  *  - DYNAMIC (DPP): a join against a selective dim on the partition
+  *    column prunes at RUN time with the dim's broadcast results —
+  *    the 100 TB pattern where "this week's hot days" are not known
+  *    until another query computes them. PartitionedSpec pins the
+  *    `dynamicpruning` filter in the scan and the pruned file count.
+  *
+  * No catalog entry is needed (unlike [[Bucketed]], whose bucket spec
+  * lives only in the metastore): the layout is self-describing on
+  * disk, so a fresh session just re-reads the path. Like every
+  * published artifact here, the copy snapshots its source at layout
+  * time; production would version generations via Snapshot.
+  *
+  * Partition-count discipline at scale: the key must be LOW-cardinality
+  * (days, sources, languages — thousands, not millions); high-cardinality
+  * keys belong in [[Bucketed]], not here. That is Hive-layout doctrine,
+  * not a local limitation.
+  */
+object Partitioned {
+  /** Root directory for published partitioned layouts. */
+  val DirConf = "spark.graft.part.dir"
+
+  private def digest(parts: String): String =
+    java.security.MessageDigest.getInstance("SHA-1")
+      .digest(parts.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString.take(12)
+
+  /** A publish-once UNPARTITIONED companion artifact (e.g. the daily
+    * rollup a partition-pruning dim filters) — same discipline as
+    * [[table]] but no layout column. Keeping the dim a plain
+    * `Scan + Filter` matters operationally: dynamic partition pruning
+    * reuses the join's broadcast only when the planner's captured dim
+    * subtree and the adaptively re-planned one canonicalize alike,
+    * which a scan-filter always does while an inline agg+window dim
+    * does not (AQE re-plans it into a different-but-equal form and the
+    * runtime prune silently degrades to `true` — found empirically,
+    * PartitionedSpec would catch a regression via the numPartitions
+    * pin). Publishing the rollup is what a production pipeline does
+    * anyway: compute the day stats once, filter them many times. */
+  def artifact(
+      s: SparkSession, sfDir: String, name: String,
+      df: => DataFrame): DataFrame = {
+    val root = s.conf.getOption(DirConf).getOrElse(
+      sys.props("java.io.tmpdir").stripSuffix("/") + "/graft_parts")
+    val path = s"$root/graft_art_${name}_${digest(s"$sfDir|$name")}"
+    val success = new org.apache.hadoop.fs.Path(path, "_SUCCESS")
+    val fs = success.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (!fs.exists(success)) df.write.parquet(path)
+    s.read.parquet(path)
+  }
+
+  /** The partitioned copy of `df`, laid out by `partCol` — published on
+    * first use (keyed by (sfDir, name, partCol), so scale factors
+    * coexist), re-read from the published files afterwards. */
+  def table(
+      s: SparkSession, sfDir: String, name: String,
+      df: => DataFrame, partCol: String): DataFrame = {
+    val root = s.conf.getOption(DirConf).getOrElse(
+      sys.props("java.io.tmpdir").stripSuffix("/") + "/graft_parts")
+    val path = s"$root/graft_prt_${name}_${digest(s"$sfDir|$name|$partCol")}"
+    val success = new org.apache.hadoop.fs.Path(path, "_SUCCESS")
+    val fs = success.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (!fs.exists(success)) {
+      // cluster rows by the partition key first so each key value is
+      // written by exactly one task → one file per partition dir (the
+      // same small-file discipline as Bucketed's one-file-per-bucket)
+      df.repartition(org.apache.spark.sql.functions.col(partCol))
+        .write.partitionBy(partCol).parquet(path)
+    }
+    s.read.parquet(path)
+  }
+}

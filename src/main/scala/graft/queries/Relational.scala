@@ -736,6 +736,64 @@ object Relational {
     FROM lineitem JOIN orders ON l_orderkey = o_orderkey
     GROUP BY o_orderstatus ORDER BY o_orderstatus"""))
 
+  /** EXT (r11): DYNAMIC PARTITION PRUNING over the publish-once
+    * date-partitioned layout (engine/Partitioned — design doc there).
+    * The fact is the events table laid out one directory per
+    * `event_day`; the dim is the top-8 "hot" days by exact-decimal
+    * daily value (rank with a day tiebreak, so the set is
+    * deterministic at every scale). Joining on the partition column
+    * lets Spark prune fact directories at RUN time with the dim's
+    * broadcast results — the scan carries a `dynamicpruning` filter
+    * and reads 8 of the 30 day directories (PartitionedSpec pins
+    * both, plus static literal pruning to exactly one directory).
+    * At 100 TB this is the difference between scanning the corpus
+    * and scanning the qualifying days; the dim is not known until
+    * its own aggregate runs, so STATIC pruning can't express it.
+    * Oracle reads the RAW parquet: content equality proves the
+    * partitioned copy faithful. */
+  val joinPartitionPruned: Q = Q(
+    "q_join_partition_pruned",
+    (s, d) => {
+      val ev = graft.engine.Partitioned.table(
+        s, d, "events_by_day",
+        Tables.events(s, d).withColumn("event_day", to_date(col("ts"))),
+        "event_day")
+      // the daily rollup publishes once (Partitioned.artifact — see
+      // its doc for why the dim must be a plain scan+filter for the
+      // runtime prune to survive adaptive re-planning); the query's
+      // dim is then a rank filter over the artifact
+      val stats = graft.engine.Partitioned.artifact(
+        s, d, "day_stats",
+        Tables.events(s, d)
+          .groupBy(to_date(col("ts")).as("day"))
+          .agg(Det.dsum(col("value"), 2).as("day_value"))
+          .withColumn("rn", row_number().over(
+            Window.orderBy(col("day_value").desc, col("day")))))
+      val hot = stats.filter(col("rn") <= 8).select("day")
+      // ≤ |days| rows — broadcast so the join is BHJ and DPP reuses
+      // its broadcast for the runtime prune
+      ev.join(broadcast(hot), ev("event_day") === hot("day"))
+        .groupBy(col("event_type"))
+        .agg(
+          count(lit(1)).as("n_events"),
+          Det.dsum(col("value"), 2).as("sum_value"),
+          countDistinct(col("event_day")).as("n_days"))
+        .orderBy("event_type")
+    },
+    Some(s"""WITH daily AS (
+      SELECT cast(ts AS date) AS day,
+             ${Det.sqlSum("value", 2)} AS day_value
+      FROM events GROUP BY 1),
+    hot AS (
+      SELECT day FROM (
+        SELECT day, row_number() OVER (ORDER BY day_value DESC, day) AS rn
+        FROM daily) WHERE rn <= 8)
+    SELECT event_type, count(*) AS n_events,
+           ${Det.sqlSum("value", 2)} AS sum_value,
+           count(DISTINCT cast(ts AS date)) AS n_days
+    FROM events JOIN hot ON cast(ts AS date) = hot.day
+    GROUP BY event_type ORDER BY event_type"""))
+
   val all: Seq[Q] = Seq(
     scanProjectFilter, joinInnerEqui, joinBroadcast, joinLeftOuter,
     joinRightOuter, joinFullOuter, joinSemi, joinAnti, joinThetaRange,
@@ -743,5 +801,5 @@ object Relational {
     joinAsofTolerance, joinAsofSql,
     joinInterval, joinNonEqui, joinSkewSalt, sortLimit, unionAll,
     unionDistinct, intersectQ, exceptQ, dateSpine, joinNullSafe,
-    joinBucketed)
+    joinBucketed, joinPartitionPruned)
 }
