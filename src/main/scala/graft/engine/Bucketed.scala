@@ -16,7 +16,10 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * one pre-sorted file, so the scan's output ordering satisfies the
   * SMJ directly; BucketedSpec pins the plan), and equality filters on
   * the bucket key prune to 1/n of the files at scan time
-  * (`SelectedBucketsCount`, also pinned). Measured sf5 (n=32): the
+  * (`SelectedBucketsCount`, also pinned). Aggregations keyed on the
+  * bucket column are exchange-free too — the scan's hash-clustered
+  * output already satisfies the aggregate's distribution (pinned).
+  * Measured sf5 (n=32): the
   * steady-state join runs 1.8 s vs 3.4 s for the same join shuffled
   * from raw parquet — 1.9x — with the one-time layout build ~38 s
   * (one shuffle+sort+write of both sides). This is the same

@@ -90,6 +90,29 @@ class BucketedSpec extends SparkSpec {
     } finally cleanup(dir)
   }
 
+  test("aggregation on the bucket key needs no exchange either") {
+    val dir = bucketDir
+    try {
+      val l = graft.engine.Bucketed.table(
+        spark, sf, "lineitem",
+        graft.engine.Tables.lineitem(spark, sf), "l_orderkey")
+      // the scan's hash-clustered output already satisfies the
+      // aggregate's required distribution: one single-pass
+      // HashAggregate per bucket, zero shuffles anywhere
+      val agg = l.groupBy(col("l_orderkey"))
+        .agg(sum(col("l_quantity")).as("qty"))
+      val plan = executed(agg)
+      val exchanges = collectAll(plan) { case e: ShuffleExchangeExec => e }
+      assert(exchanges.isEmpty,
+        s"bucket-key aggregation still shuffles:\n$plan")
+      // same totals as aggregating the raw table
+      val raw = graft.engine.Tables.lineitem(spark, sf)
+        .groupBy(col("l_orderkey")).agg(sum(col("l_quantity")).as("qty"))
+      assert(agg.orderBy("l_orderkey").collect().toSeq ==
+        raw.orderBy("l_orderkey").collect().toSeq)
+    } finally cleanup(dir)
+  }
+
   test("key-equality filters prune to 1/n of the buckets at scan time") {
     val dir = bucketDir
     try {
