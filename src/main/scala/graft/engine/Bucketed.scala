@@ -75,7 +75,10 @@ object Bucketed {
     s.conf.set("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
     val root = s.conf.getOption(DirConf).getOrElse(
       sys.props("java.io.tmpdir").stripSuffix("/") + "/graft_buckets")
-    val ident = s"graft_bkt_${name}_${digest(s"$sfDir|$name|$key|$n")}"
+    // schema participates in the identity so a reader/schema change
+    // can never silently reuse a stale published copy
+    val ident =
+      s"graft_bkt_${name}_${digest(s"$sfDir|$name|$key|$n|${df.schema.toDDL}")}"
     val path = s"$root/$ident"
     if (!s.catalog.tableExists(ident)) {
       val p = new org.apache.hadoop.fs.Path(path, "_SUCCESS")

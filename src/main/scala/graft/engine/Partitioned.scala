@@ -59,7 +59,8 @@ object Partitioned {
       df: => DataFrame): DataFrame = {
     val root = s.conf.getOption(DirConf).getOrElse(
       sys.props("java.io.tmpdir").stripSuffix("/") + "/graft_parts")
-    val path = s"$root/graft_art_${name}_${digest(s"$sfDir|$name")}"
+    val path = s"$root/graft_art_${name}_" +
+      digest(s"$sfDir|$name|${df.schema.toDDL}")
     val success = new org.apache.hadoop.fs.Path(path, "_SUCCESS")
     val fs = success.getFileSystem(s.sparkContext.hadoopConfiguration)
     if (!fs.exists(success)) df.write.parquet(path)
@@ -74,7 +75,10 @@ object Partitioned {
       df: => DataFrame, partCol: String): DataFrame = {
     val root = s.conf.getOption(DirConf).getOrElse(
       sys.props("java.io.tmpdir").stripSuffix("/") + "/graft_parts")
-    val path = s"$root/graft_prt_${name}_${digest(s"$sfDir|$name|$partCol")}"
+    // schema participates in the identity so a reader/schema change
+    // can never silently reuse a stale published copy
+    val path = s"$root/graft_prt_${name}_" +
+      digest(s"$sfDir|$name|$partCol|${df.schema.toDDL}")
     val success = new org.apache.hadoop.fs.Path(path, "_SUCCESS")
     val fs = success.getFileSystem(s.sparkContext.hadoopConfiguration)
     if (!fs.exists(success)) {
