@@ -25,8 +25,18 @@ object DiagIncr {
       .where(size(col("bg")) > 0)
       .select(col("doc_id"), size(col("bg")).cast("long").as("n"), col("bg"))
     time("batch_grams")(batch.count())
-    val idxPostings = spark.read.parquet(s"$idxDir/ngram_postings")
-    val idxDocs = spark.read.parquet(s"$idxDir/ngram_docs")
+    // read through the index API: the index is log-structured
+    // (gen_* subdirs, replaces-lists) — a flat parquet read of the
+    // roots would miss all of that
+    val (idxDocsAll, idxPostingsAll) = IncrementalDedup.indexFor(spark, sfDir)
+    // mirror the query's disjointness rule: the batch is authoritative
+    // for its doc_ids
+    val idxPostings = idxPostingsAll
+      .join(broadcast(batch.select("doc_id")), Seq("doc_id"), "left_anti")
+      .select("g", "doc_id", "n")
+    val idxDocs = idxDocsAll
+      .join(broadcast(batch.select("doc_id")), Seq("doc_id"), "left_anti")
+      .select("doc_id", "n", "bg")
     val prefixG = batch
       .select(col("doc_id").as("new_id"), col("n").as("new_n"),
         posexplode(col("bg")).as(Seq("pos", "g")))

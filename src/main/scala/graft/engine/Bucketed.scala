@@ -55,13 +55,23 @@ object Bucketed {
       .map("%02x".format(_)).mkString.take(12)
 
   /** The bucketed copy of `df`, clustered on `key` — published on
-    * first use, re-registered from the published files on a fresh
+    * first use, registered from the published files on a fresh
     * catalog, returned from the catalog otherwise. The identifier is
-    * keyed by (sfDir, table, key, n), so different scale factors and
-    * layouts coexist. Concurrent first-publishers race on
-    * `saveAsTable` (ErrorIfExists — one wins, the loser throws and
-    * retries into the re-register branch on its next call); that is
-    * the layout-job constraint, not a query-path hazard. */
+    * keyed by (sfDir, table, key, n, schema), so different scale
+    * factors and layouts coexist and a schema change can never reuse
+    * a stale copy.
+    *
+    * Crash-safe publish: the bucketBy write lands in a STAGING
+    * directory under a throwaway catalog ident, then one atomic
+    * rename commits it to the final path — a visible path is always
+    * a complete layout (a publish killed mid-write leaves only
+    * staging garbage, never a poisoned final dir whose orphan part
+    * files a retry would merge with). Concurrent first-publishers
+    * race on the commit rename: exactly one wins, losers read the
+    * winner's identical copy. Catalog registration is a single
+    * `CREATE TABLE … CLUSTERED BY … SORTED BY … LOCATION` over the
+    * committed path — metadata only, the same statement whether this
+    * session published or an earlier one did. */
   def table(
       s: SparkSession, sfDir: String, name: String,
       df: => DataFrame, key: String): DataFrame = {
@@ -69,39 +79,54 @@ object Bucketed {
     require(n > 0, s"$NConf must be positive: $n")
     // Honor the written per-bucket sortBy order at scan time, so a
     // sort-merge join over two layouts needs neither exchange NOR
-    // sort. Safe here: the planner only trusts the order when every
-    // bucket is a single file (it checks), which our one-task-per-
-    // bucket writer guarantees.
+    // sort. Session-global, but safe for every bucketed table: with
+    // this flag the planner still trusts a written order only after
+    // checking each bucket is a single file — true for our writer,
+    // and checked per-table for anything else in the session.
     s.conf.set("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
     val root = s.conf.getOption(DirConf).getOrElse(
       sys.props("java.io.tmpdir").stripSuffix("/") + "/graft_buckets")
-    // schema participates in the identity so a reader/schema change
-    // can never silently reuse a stale published copy
     val ident =
       s"graft_bkt_${name}_${digest(s"$sfDir|$name|$key|$n|${df.schema.toDDL}")}"
     val path = s"$root/$ident"
+    val conf = s.sparkContext.hadoopConfiguration
+    val pathP = new org.apache.hadoop.fs.Path(path)
+    val fs = pathP.getFileSystem(conf)
     if (!s.catalog.tableExists(ident)) {
-      val p = new org.apache.hadoop.fs.Path(path, "_SUCCESS")
-      val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
-      if (fs.exists(p)) {
-        // published by an earlier session: re-attach the bucket spec
-        // to the existing files (no data movement)
-        s.sql(s"""CREATE TABLE $ident (${df.schema.toDDL})
-          USING PARQUET CLUSTERED BY ($key) SORTED BY ($key) INTO $n BUCKETS
-          LOCATION '$path'""")
-      } else {
+      if (!fs.exists(pathP)) {
         // pay the layout shuffle once; repartition on the bucket key
         // so each task holds whole buckets → one file per bucket,
         // which is also the condition under which Spark trusts the
         // written sortBy order and drops the per-task sort below a
         // sort-merge join (zero exchange AND zero sort)
-        df.repartition(n, org.apache.spark.sql.functions.col(key))
-          .write.format("parquet")
-          .bucketBy(n, key)
-          .sortBy(key)
-          .option("path", path)
-          .saveAsTable(ident)
+        val tag = java.util.UUID.randomUUID().toString.take(8)
+        val staging = new org.apache.hadoop.fs.Path(
+          s"$path.__staging__$tag")
+        val tmpIdent = s"${ident}_stg_$tag"
+        try {
+          df.repartition(n, org.apache.spark.sql.functions.col(key))
+            .write.format("parquet")
+            .bucketBy(n, key)
+            .sortBy(key)
+            .option("path", staging.toString)
+            .saveAsTable(tmpIdent)
+          val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+            fs.getUri, conf)
+          try fc.rename(staging, pathP,
+            org.apache.hadoop.fs.Options.Rename.NONE)
+          catch {
+            // lost the publish race — the winner's copy is identical
+            case _: org.apache.hadoop.fs.FileAlreadyExistsException => ()
+          }
+        } finally {
+          s.sql(s"DROP TABLE IF EXISTS $tmpIdent") // external: keeps files
+          if (fs.exists(staging)) fs.delete(staging, true)
+        }
       }
+      // attach the bucket spec to the committed files (metadata only)
+      s.sql(s"""CREATE TABLE $ident (${df.schema.toDDL})
+        USING PARQUET CLUSTERED BY ($key) SORTED BY ($key) INTO $n BUCKETS
+        LOCATION '$path'""")
     }
     s.table(ident)
   }

@@ -42,6 +42,35 @@ object Partitioned {
       .digest(parts.getBytes("UTF-8"))
       .map("%02x".format(_)).mkString.take(12)
 
+  /** Crash-safe publish-once: write into a staging dir, commit with
+    * one atomic rename — a visible path is always a complete layout
+    * (a killed publish leaves only staging garbage, never a poisoned
+    * final dir a retry would fail on or merge with). Racing
+    * publishers: exactly one rename wins, losers read the winner's
+    * identical copy. */
+  private def publishOnce(
+      s: SparkSession, path: String)(
+      write: String => Unit): Unit = {
+    val conf = s.sparkContext.hadoopConfiguration
+    val pathP = new org.apache.hadoop.fs.Path(path)
+    val fs = pathP.getFileSystem(conf)
+    if (fs.exists(pathP)) return
+    val staging = new org.apache.hadoop.fs.Path(
+      s"$path.__staging__${java.util.UUID.randomUUID().toString.take(8)}")
+    try {
+      write(staging.toString)
+      val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+        fs.getUri, conf)
+      try fc.rename(staging, pathP,
+        org.apache.hadoop.fs.Options.Rename.NONE)
+      catch {
+        case _: org.apache.hadoop.fs.FileAlreadyExistsException => ()
+      }
+    } finally {
+      if (fs.exists(staging)) fs.delete(staging, true)
+    }
+  }
+
   /** A publish-once UNPARTITIONED companion artifact (e.g. the daily
     * rollup a partition-pruning dim filters) — same discipline as
     * [[table]] but no layout column. Keeping the dim a plain
@@ -61,9 +90,7 @@ object Partitioned {
       sys.props("java.io.tmpdir").stripSuffix("/") + "/graft_parts")
     val path = s"$root/graft_art_${name}_" +
       digest(s"$sfDir|$name|${df.schema.toDDL}")
-    val success = new org.apache.hadoop.fs.Path(path, "_SUCCESS")
-    val fs = success.getFileSystem(s.sparkContext.hadoopConfiguration)
-    if (!fs.exists(success)) df.write.parquet(path)
+    publishOnce(s, path)(df.write.parquet(_))
     s.read.parquet(path)
   }
 
@@ -79,15 +106,12 @@ object Partitioned {
     // can never silently reuse a stale published copy
     val path = s"$root/graft_prt_${name}_" +
       digest(s"$sfDir|$name|$partCol|${df.schema.toDDL}")
-    val success = new org.apache.hadoop.fs.Path(path, "_SUCCESS")
-    val fs = success.getFileSystem(s.sparkContext.hadoopConfiguration)
-    if (!fs.exists(success)) {
-      // cluster rows by the partition key first so each key value is
-      // written by exactly one task → one file per partition dir (the
-      // same small-file discipline as Bucketed's one-file-per-bucket)
+    // cluster rows by the partition key first so each key value is
+    // written by exactly one task → one file per partition dir (the
+    // same small-file discipline as Bucketed's one-file-per-bucket)
+    publishOnce(s, path)(staging =>
       df.repartition(org.apache.spark.sql.functions.col(partCol))
-        .write.partitionBy(partCol).parquet(path)
-    }
+        .write.partitionBy(partCol).parquet(staging))
     s.read.parquet(path)
   }
 }

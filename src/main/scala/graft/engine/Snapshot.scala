@@ -192,7 +192,8 @@ object Snapshot {
     * this with the S3A committers or a manifest-pointer swap (the same
     * caveat every lakehouse table format documents). */
   def publishAtomic(
-      spark: SparkSession, df: DataFrame, dest: String): RoundTrip = {
+      spark: SparkSession, df: DataFrame, dest: String,
+      extras: Map[String, String] = Map.empty): RoundTrip = {
     val destPath = new org.apache.hadoop.fs.Path(dest)
     val conf = spark.sparkContext.hadoopConfiguration
     val fs = destPath.getFileSystem(conf)
@@ -206,6 +207,16 @@ object Snapshot {
       // data + stats as one atomic unit — a generation is never
       // visible without its manifest.
       writeManifest(spark, staging.toString)
+      // Caller metadata (e.g. a compaction's replaces-list) rides the
+      // same atomic rename: visible iff the generation is. Names must
+      // start with '_' or '.' so scans ignore them.
+      extras.foreach { case (name, body) =>
+        require(name.startsWith("_") || name.startsWith("."),
+          s"extra file $name would be read as data — prefix with _ or .")
+        val out = fs.create(new org.apache.hadoop.fs.Path(staging, name), true)
+        try out.write(body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        finally out.close()
+      }
       val rt = verifyContent(spark, df, staging.toString)
         .copy(originalRows = n)
       require(rt.verified,

@@ -112,8 +112,10 @@ object IncrementalDedup {
   }
 
   private def publishGen(
-      s: SparkSession, df: DataFrame, root: String, label: String): Unit = {
-    try graft.engine.Snapshot.publishAtomic(s, df, s"$root/$GenPrefix$label")
+      s: SparkSession, df: DataFrame, root: String, label: String,
+      extras: Map[String, String] = Map.empty): Unit = {
+    try graft.engine.Snapshot.publishAtomic(
+      s, df, s"$root/$GenPrefix$label", extras)
     catch {
       case _: graft.engine.Snapshot.SnapshotExistsException => ()
     }
@@ -137,17 +139,22 @@ object IncrementalDedup {
       col("doc_id"), col("n")), s"$dir/ngram_postings", label)
   }
 
-  /** Compaction bookkeeping: `<root>/_superseded.json` lists
-    * generation names whose CONTENT lives on inside a compacted
-    * generation — readers subtract them from the listing. Written by
-    * atomic tmp+rename swap (a reader never sees a torn list); merged
-    * with the previous list on every write, so repeated compactions
-    * accumulate. */
-  private val SupersededFile = "_superseded.json"
+  /** Compaction bookkeeping: a compacted generation carries
+    * `_replaces.json` (the generation names whose content it folded)
+    * INSIDE its own directory, published by the same atomic rename as
+    * the data — so the compacted copy and the hiding of its inputs
+    * become visible to readers in ONE event. A side-file written after
+    * the publish would open a torn window in which a reader unions
+    * both the inputs and the compacted copy and double-counts every
+    * row. The dead set is the union of every present generation's
+    * replaces-list (a dead compacted gen's own list stays on disk — and
+    * therefore in force — until [[pruneIndex]] deletes the dirs it
+    * names in the same sweep). */
+  private val ReplacesFile = "_replaces.json"
 
-  private def superseded(
-      s: SparkSession, root: String): Set[String] = {
-    val p = new org.apache.hadoop.fs.Path(root, SupersededFile)
+  private def replacesOf(
+      s: SparkSession, gen: String): Set[String] = {
+    val p = new org.apache.hadoop.fs.Path(gen, ReplacesFile)
     val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
     if (!fs.exists(p)) Set.empty
     else {
@@ -160,34 +167,22 @@ object IncrementalDedup {
     }
   }
 
-  private def markSuperseded(
-      s: SparkSession, root: String, gens: Set[String]): Unit = {
-    val conf = s.sparkContext.hadoopConfiguration
-    val dest = new org.apache.hadoop.fs.Path(root, SupersededFile)
-    val fs = dest.getFileSystem(conf)
-    val all = (superseded(s, root) ++ gens).toSeq.sorted
-    val tmp = new org.apache.hadoop.fs.Path(root,
-      s".$SupersededFile.${java.util.UUID.randomUUID.toString.take(8)}")
-    val out = fs.create(tmp, true)
-    try out.write(all.mkString("", "\n", "\n")
-      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    finally out.close()
-    val fc = org.apache.hadoop.fs.FileContext.getFileContext(fs.getUri, conf)
-    fc.rename(tmp, dest, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
-  }
+  private def deadGens(s: SparkSession, root: String): Set[String] =
+    genDirs(s, root).flatMap(replacesOf(s, _)).toSet
 
-  /** Live generations of one index table: the listing minus
-    * compaction-superseded names. */
+  /** Live generations of one index table: the listing minus every
+    * present generation's replaces-list. */
   private def liveGens(s: SparkSession, root: String): Seq[String] = {
-    val dead = superseded(s, root)
+    val dead = deadGens(s, root)
     genDirs(s, root).filterNot(g =>
       dead.contains(new org.apache.hadoop.fs.Path(g).getName))
   }
 
   /** Compact one table's live generations into a single new
-    * generation, then mark the inputs superseded. Safe against a
+    * generation whose `_replaces.json` names the inputs — one atomic
+    * publish swaps both facts in for every reader. Safe against a
     * CONCURRENT [[advanceIndex]]: a generation published after the
-    * listing was taken is not in the superseded set, so readers keep
+    * listing was taken is not in the replaces-list, so readers keep
     * it alongside the compacted one. The compacted name derives from
     * the input set (publish-once), so a retried compaction of the
     * same inputs is a no-op; run ONE compactor at a time (the
@@ -202,8 +197,8 @@ object IncrementalDedup {
     val digest = java.security.MessageDigest.getInstance("SHA-1")
       .digest(names.sorted.mkString("\n").getBytes("UTF-8"))
       .map("%02x".format(_)).mkString.take(12)
-    publishGen(s, s.read.parquet(inputs: _*), root, s"zcompact-$digest")
-    markSuperseded(s, root, names.toSet)
+    publishGen(s, s.read.parquet(inputs: _*), root, s"zcompact-$digest",
+      Map(ReplacesFile -> names.sorted.mkString("", "\n", "\n")))
   }
 
   /** The index maintenance compactor: fold all live generations of
@@ -215,17 +210,33 @@ object IncrementalDedup {
     compactTable(s, s"$dir/ngram_postings")
   }
 
-  /** Delete superseded generation dirs (compaction garbage). Run only
+  /** Delete replaced generation dirs (compaction garbage). Run only
     * once in-flight readers of the pre-compaction listing are done —
-    * the same grace-period discipline as snapshot retention. */
+    * the same grace-period discipline as snapshot retention. Deletes
+    * LEAF-FIRST: a dead compacted gen goes only after every gen its
+    * own replaces-list names is gone, so a prune that crashes midway
+    * leaves every still-present input hidden by a still-present list
+    * — no torn state resurrects replaced content for readers. */
   def pruneIndex(s: SparkSession, dir: String): Unit =
     for (root <- Seq(s"$dir/ngram_docs", s"$dir/ngram_postings")) {
-      val dead = superseded(s, root)
-      genDirs(s, root).foreach { g =>
-        val p = new org.apache.hadoop.fs.Path(g)
-        if (dead.contains(p.getName))
+      var present = genDirs(s, root)
+      var progress = true
+      while (progress) {
+        val names = present.map(p =>
+          new org.apache.hadoop.fs.Path(p).getName).toSet
+        val dead = present.flatMap(replacesOf(s, _)).toSet
+        val deletable = present.filter { g =>
+          val p = new org.apache.hadoop.fs.Path(g)
+          dead.contains(p.getName) &&
+            replacesOf(s, g).forall(!names.contains(_))
+        }
+        progress = deletable.nonEmpty
+        deletable.foreach { g =>
+          val p = new org.apache.hadoop.fs.Path(g)
           p.getFileSystem(s.sparkContext.hadoopConfiguration)
             .delete(p, true)
+        }
+        present = present.filterNot(deletable.toSet)
       }
     }
 
@@ -282,7 +293,19 @@ object IncrementalDedup {
     "q_dedup_incremental_near",
     (s, d) => {
       val batch = batchGrams(s, d)
-      val (idxDocs, idxPostings) = indexFor(s, d)
+      val (idxDocsRaw, idxPostingsRaw) = indexFor(s, d)
+      // The probe treats the BATCH as authoritative for its doc_ids:
+      // index copies of batch docs (present after advanceIndex folded
+      // this same batch) are excluded, enforcing the disjointness the
+      // union below assumes — otherwise a post-fold run would join
+      // each batch doc twice and emit duplicated pair rows. The
+      // exclusion is a broadcast anti-join on the batch's ids
+      // (batch-sized), streamed through both index scans.
+      val batchIds = batch.select("doc_id")
+      val idxDocs = idxDocsRaw
+        .join(broadcast(batchIds), Seq("doc_id"), "left_anti")
+      val idxPostings = idxPostingsRaw
+        .join(broadcast(batchIds), Seq("doc_id"), "left_anti")
 
       // UNIFIED probe for both pair classes (batch×base AND
       // batch×batch): the batch doc's Bayardo prefix (positional — bg
@@ -319,7 +342,8 @@ object IncrementalDedup {
           greatest(col("new_id"), col("o_id")).as("b_id"))
         .distinct()
       // exact merge-count re-score on the candidate-bound arrays; the
-      // array lookup table is the index docs plus the batch (disjoint)
+      // array lookup table is the index docs plus the batch (disjoint
+      // by the anti-join above, so each doc_id appears exactly once)
       val allDocs = idxDocs.select("doc_id", "bg")
         .unionByName(batch.select("doc_id", "bg"))
       val pairs = cand

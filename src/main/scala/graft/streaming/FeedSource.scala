@@ -65,6 +65,9 @@ object FeedSource {
     val d = Paths.get(dir)
     Files.createDirectories(d)
     val start = FeedLog.endOffsets(dir).getOrElse(partition, 0L)
+    // an empty append is a no-op: a zero-record segment would still
+    // serialize as one blank line and mint a phantom offset
+    if (records.isEmpty) return start
     val body = records.map { case (ts, k, v) =>
       require(!k.contains(",") && !v.contains("\n") && !k.contains("\n"),
         "key must be comma-free; key/value newline-free")
@@ -96,6 +99,16 @@ private[streaming] object FeedLog {
 
   private val SegName = "segment-(\\d+)-(\\d+)\\.csv".r
 
+  // Segments are immutable, so a counted length never changes — cache
+  // line counts keyed by (path, byte size) on the driver, otherwise
+  // every trigger re-reads the WHOLE log's bytes just to recount
+  // (latestOffset + per-partition planning each call segments()),
+  // and trigger latency grows with total log size instead of batch
+  // size. The size key makes a same-name re-create (tests recreating
+  // a dir) self-invalidate.
+  private val countCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, Long), Long]()
+
   def segments(dir: String): Seq[Segment] = {
     val d = Paths.get(dir)
     if (!Files.exists(d)) return Seq.empty
@@ -105,10 +118,14 @@ private[streaming] object FeedLog {
       finally listing.close()
     named.flatMap {
       case name @ SegName(part, start) =>
-        // segments are immutable: a counted length never changes
-        val lines = Files.lines(d.resolve(name))
-        val n = try lines.count() finally lines.close()
-        Some(Segment(d.resolve(name).toString, part.toInt, start.toLong, n))
+        val f = d.resolve(name)
+        val n = countCache.computeIfAbsent(
+          (f.toString, Files.size(f)),
+          _ => {
+            val lines = Files.lines(f)
+            try lines.count() finally lines.close()
+          })
+        Some(Segment(f.toString, part.toInt, start.toLong, n))
       case _ => None
     }.sortBy(s => (s.partition, s.start))
   }
@@ -205,12 +222,13 @@ private[streaming] class FeedMicroBatchStream(
       : Array[InputPartition] = {
     val from = start.asInstanceOf[FeedOffset].offsets
     val until = end.asInstanceOf[FeedOffset].offsets
+    val all = FeedLog.segments(path) // one listing for every partition
     until.toSeq.sortBy(_._1).flatMap { case (p, hi) =>
       val lo = from.getOrElse(p, 0L)
       if (hi <= lo) None
       else {
-        val segs = FeedLog.segments(path)
-          .filter(s => s.partition == p && s.end > lo && s.start < hi)
+        val segs =
+          all.filter(s => s.partition == p && s.end > lo && s.start < hi)
         Some(FeedInputPartition(p, lo, hi, segs.toArray))
       }
     }.toArray

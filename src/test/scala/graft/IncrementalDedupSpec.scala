@@ -176,7 +176,15 @@ class IncrementalDedupSpec extends SparkSpec {
         "prune must delete superseded generations")
       assert(q("q_dedup_incremental_near").collect().toSeq == advanced,
         "prune changed query results")
-      assert(baseline.size <= advanced.size) // folds only add index docs
+      // folding the PROBED batch into the index must not change the
+      // probe at all: the query treats the batch as authoritative for
+      // its doc_ids and excludes their index copies — without that, a
+      // post-fold run double-joins every batch doc and emits
+      // duplicated pair rows (r11 review finding)
+      assert(advanced == baseline,
+        "post-fold probe diverged from pre-fold (duplicate join paths?)")
+      val ids = advanced.map(r => (r.getLong(0), r.getLong(1)))
+      assert(ids.distinct.size == ids.size, "duplicated pair rows")
     } finally {
       spark.conf.unset(IncrementalDedup.IndexDirConf)
       org.apache.commons.io.FileUtils.deleteDirectory(dir.toFile)
