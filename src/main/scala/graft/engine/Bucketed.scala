@@ -39,9 +39,11 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * snapshots its source at layout time — static fixtures locally;
   * production would version generations via the Snapshot machinery.
   *
-  * Local `n` default is 8 (fixture-sized); a cluster would use
-  * hundreds–thousands via `spark.graft.bucket.n` so each bucket stays
-  * executor-memory-sized at the target data scale.
+  * `n` defaults to the session's shuffle-partition count (the bucket
+  * count is both the layout's write parallelism and every later
+  * join's task count); a cluster sets hundreds–thousands via
+  * `spark.graft.bucket.n` so each bucket stays executor-memory-sized
+  * at the target data scale.
   */
 object Bucketed {
   /** Root directory for published bucketed layouts. */
@@ -75,7 +77,14 @@ object Bucketed {
   def table(
       s: SparkSession, sfDir: String, name: String,
       df: => DataFrame, key: String): DataFrame = {
-    val n = s.conf.getOption(NConf).map(_.toInt).getOrElse(8)
+    // Default the bucket count to the session's shuffle parallelism:
+    // the bucket count IS the layout's write parallelism and every
+    // later join's task count, so a small fixed default strangles both
+    // at scale (measured: the sf20 layout build took 360 s through 8
+    // writer tasks vs ~90 s at 32). A cluster still sets the conf so
+    // each bucket stays executor-memory-sized at its data scale.
+    val n = s.conf.getOption(NConf).map(_.toInt)
+      .getOrElse(s.conf.get("spark.sql.shuffle.partitions").toInt)
     require(n > 0, s"$NConf must be positive: $n")
     // Honor the written per-bucket sortBy order at scan time, so a
     // sort-merge join over two layouts needs neither exchange NOR
