@@ -19,10 +19,10 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * (`SelectedBucketsCount`, also pinned). Aggregations keyed on the
   * bucket column are exchange-free too — the scan's hash-clustered
   * output already satisfies the aggregate's distribution (pinned).
-  * Measured sf5 (n=32): the
-  * steady-state join runs 1.8 s vs 3.4 s for the same join shuffled
-  * from raw parquet — 1.9x — with the one-time layout build ~38 s
-  * (one shuffle+sort+write of both sides). This is the same
+  * Measured (n=32, steady-state): sf5 1.8 s vs 3.4 s raw-shuffle
+  * (1.9x, build ~38 s); sf20 3.6 s vs 8.0 s (2.2x, build ~337 s
+  * disk-bound) — the ratio grows with data because the avoided
+  * exchange is O(|fact|) (SCALE.md r11). This is the same
   * pay-once-read-many discipline as the engine's persisted indexes
   * (AnnOps C110, IncrementalDedup): the layout is an artifact keyed by
   * (source, key, n), not per-query work.
@@ -80,9 +80,11 @@ object Bucketed {
     // Default the bucket count to the session's shuffle parallelism:
     // the bucket count IS the layout's write parallelism and every
     // later join's task count, so a small fixed default strangles both
-    // at scale (measured: the sf20 layout build took 360 s through 8
-    // writer tasks vs ~90 s at 32). A cluster still sets the conf so
-    // each bucket stays executor-memory-sized at its data scale.
+    // at scale. (Locally the sf20 build is disk-write-bound — 360 s at
+    // n=8 vs 337 s at n=32 through one virtual disk — but on a cluster
+    // write parallelism is spindles/objects, and the JOIN side's task
+    // count always tracks n.) A cluster still sets the conf so each
+    // bucket stays executor-memory-sized at its data scale.
     val n = s.conf.getOption(NConf).map(_.toInt)
       .getOrElse(s.conf.get("spark.sql.shuffle.partitions").toInt)
     require(n > 0, s"$NConf must be positive: $n")
