@@ -173,9 +173,18 @@ object Bench {
     // spread measured — cross-session comparison is the driver's job.
     val full = fullJson(results, failed,
       if (canonical) s""","canonical":"median-of-3-intra-jvm"""" else "")
+    // The repo-root bench.json is the CANONICAL published number
+    // (BASELINE.md points at it) and only a --canonical median-of-3 may
+    // write it: three consecutive rounds (r10-r12) the driver's
+    // single-shot fresh-JVM run — an intentionally noisier measurement,
+    // ±11% on identical code — overwrote the canonical file, so the
+    // repo published a single draw as the headline. Single-shot runs
+    // with no explicit output now land in bench_last.json; the
+    // "canonical" stamp above only ever appears on a median-of-3, so a
+    // driver run cannot impersonate one.
     val out = args.filterNot(_ == "--canonical").headOption
       .orElse(sys.env.get("SPARK_GRAFT_BENCH_OUT"))
-      .getOrElse("bench.json")
+      .getOrElse(if (canonical) "bench.json" else "bench_last.json")
     try Files.writeString(Paths.get(out), full + "\n")
     catch { case e: Throwable =>
       System.err.println(s"[bench] file write failed: ${e.getMessage}")
@@ -193,9 +202,11 @@ object Bench {
     // the same file), and each line is appended as ONE byte[] through a
     // FileChannel so a forked-JVM kill mid-run can't leave a torn line
     // (Files.writeString with APPEND may split across syscalls).
-    val isCanonicalOut = Paths.get(out).toAbsolutePath.normalize ==
-      Paths.get("bench.json").toAbsolutePath.normalize
-    if (isCanonicalOut) {
+    val isDefaultOut = Seq("bench.json", "bench_last.json").exists { d =>
+      Paths.get(out).toAbsolutePath.normalize ==
+        Paths.get(d).toAbsolutePath.normalize
+    }
+    if (isDefaultOut) {
       val ts = System.currentTimeMillis()
       val lines = runs.zipWithIndex.map { case ((res, fl), i) =>
         val tag = if (canonical) s""","canonical_iter":${i + 1}""" else ""
@@ -222,7 +233,7 @@ object Bench {
     val omitted = results.size - top.size
     println(s"""{"metric":"total",${headline(3)},"unit":"sec","queries":${
       top.map { case (k, v) => entry(k, v, 3) }.mkString("{", ",", "}")
-    },"queries_omitted":$omitted,"failed":$failedJson$warmupJson,"detail":"bench.json","sf":"$sfDir"}""")
+    },"queries_omitted":$omitted,"failed":$failedJson$warmupJson,"detail":"$out","sf":"$sfDir"}""")
     spark.stop()
   }
 }
