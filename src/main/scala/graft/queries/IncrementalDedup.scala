@@ -102,13 +102,72 @@ object IncrementalDedup {
     * is ~365 parquet dirs/year — a trivial union for a reader. */
   private val GenPrefix = "gen_"
 
+  /** Cross-TABLE atomicity (r11 verdict wrong #1): one fold writes a
+    * generation into BOTH `ngram_docs/` and `ngram_postings/`, but the
+    * two `publishAtomic` renames are two separate visibility events — a
+    * crash between them would leave docs visible with no matching
+    * postings, and a probe in that window silently MISSES pairs
+    * (candidates come from postings; the re-score lookup alone never
+    * creates them). The per-table rename is therefore NOT the reader's
+    * visibility event: a `gen_<label>` in either table is invisible to
+    * every reader (probe, compactor, pruner) until the per-label commit
+    * marker `<indexDir>/_commits/<label>` exists, and the writer
+    * creates that marker only AFTER both tables' generations are down.
+    * The marker is one create-if-absent file — one visibility event for
+    * the pair of tables, the same discipline `_replaces.json` applies
+    * to compaction (one rename swaps copy + hiding in together).
+    * Crash before the marker: both gens invisible; the label's retry
+    * re-runs `advanceIndex`, whose publishes no-op via
+    * SnapshotExistsException and then commit — self-healing,
+    * exactly-once. Crash after: both visible. Never torn. */
+  private val CommitsDir = "_commits"
+
+  private def commitsPath(tableRoot: String): org.apache.hadoop.fs.Path =
+    new org.apache.hadoop.fs.Path(
+      new org.apache.hadoop.fs.Path(tableRoot).getParent, CommitsDir)
+
+  private def committedLabels(s: SparkSession, tableRoot: String)
+      : Set[String] = {
+    val p = commitsPath(tableRoot)
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) Set.empty
+    else fs.listStatus(p).map(_.getPath.getName).toSet
+  }
+
+  private def commitLabel(
+      s: SparkSession, tableRoot: String, label: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(commitsPath(tableRoot), label)
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    fs.mkdirs(p.getParent)
+    try {
+      val out = fs.create(p, false)
+      out.close()
+    } catch {
+      // a marker is content-free; racing committers of the same label
+      // are publishing identical facts, so the loser is a no-op
+      case _: org.apache.hadoop.fs.FileAlreadyExistsException => ()
+      case _: org.apache.hadoop.fs.PathExistsException => ()
+    }
+  }
+
+  /** Present AND committed generations — the single choke point that
+    * makes uncommitted (possibly torn) generations invisible to every
+    * reader path: probe unions, compaction listings, replaces-lists,
+    * prune sweeps. */
   private def genDirs(s: SparkSession, root: String): Seq[String] = {
     val p = new org.apache.hadoop.fs.Path(root)
     val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
     if (!fs.exists(p)) Seq.empty
-    else fs.listStatus(p).toSeq
-      .filter(st => st.isDirectory && st.getPath.getName.startsWith(GenPrefix))
-      .map(_.getPath.toString).sorted
+    else {
+      val committed = committedLabels(s, root)
+      fs.listStatus(p).toSeq
+        .filter { st =>
+          val name = st.getPath.getName
+          st.isDirectory && name.startsWith(GenPrefix) &&
+            committed.contains(name.stripPrefix(GenPrefix))
+        }
+        .map(_.getPath.toString).sorted
+    }
   }
 
   private def publishGen(
@@ -128,7 +187,12 @@ object IncrementalDedup {
     * batch's gram view (doc_id, n, bg); cost is batch-sized.
     * Publish-once per `label`: a second fold under the same label is
     * a no-op (exactly-once maintenance even under retries), so pick
-    * labels that name the batch (a date, a crawl id). */
+    * labels that name the batch (a date, a crawl id).
+    *
+    * The two per-table publishes become VISIBLE as one event: readers
+    * ignore both until the label's commit marker lands (see
+    * [[CommitsDir]]), so a crash between the renames can never serve a
+    * docs generation whose postings are missing. */
   def advanceIndex(
       s: SparkSession, dir: String, label: String, docs: DataFrame): Unit = {
     require(label.matches("[A-Za-z0-9_-]+"), s"unsafe label: $label")
@@ -137,6 +201,7 @@ object IncrementalDedup {
     publishGen(s, d, s"$dir/ngram_docs", label)
     publishGen(s, d.select(explode(col("bg")).as("g"),
       col("doc_id"), col("n")), s"$dir/ngram_postings", label)
+    commitLabel(s, s"$dir/ngram_docs", label)
   }
 
   /** Compaction bookkeeping: a compacted generation carries
@@ -172,7 +237,7 @@ object IncrementalDedup {
 
   /** Live generations of one index table: the listing minus every
     * present generation's replaces-list. */
-  private def liveGens(s: SparkSession, root: String): Seq[String] = {
+  private[graft] def liveGens(s: SparkSession, root: String): Seq[String] = {
     val dead = deadGens(s, root)
     genDirs(s, root).filterNot(g =>
       dead.contains(new org.apache.hadoop.fs.Path(g).getName))
@@ -199,6 +264,14 @@ object IncrementalDedup {
       .map("%02x".format(_)).mkString.take(12)
     publishGen(s, s.read.parquet(inputs: _*), root, s"zcompact-$digest",
       Map(ReplacesFile -> names.sorted.mkString("", "\n", "\n")))
+    // Single-table visibility here: the compacted copy is
+    // content-preserving per table, so the tables need no cross-table
+    // event — but the gen still needs ITS marker to clear the
+    // committed-only listing. The marker may already exist (the sibling
+    // table's compaction of the same label set shares the digest);
+    // then this table's rename was the visibility event, which is safe
+    // for the same content-preserving reason.
+    commitLabel(s, root, s"zcompact-$digest")
   }
 
   /** The index maintenance compactor: fold all live generations of
@@ -254,6 +327,11 @@ object IncrementalDedup {
           val (docs, postings) = buildIndex(s, d)
           publishGen(s, docs, docsRoot, "base")
           publishGen(s, postings, postRoot, "base")
+          // same joint-visibility rule as advanceIndex: base becomes
+          // readable only once both tables are down (a crash in between
+          // self-heals here — the exists-no-op publishes re-run, then
+          // the marker lands)
+          commitLabel(s, docsRoot, "base")
         }
         def readAll(root: String): DataFrame = {
           val gens = liveGens(s, root)

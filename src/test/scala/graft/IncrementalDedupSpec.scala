@@ -191,6 +191,81 @@ class IncrementalDedupSpec extends SparkSpec {
     }
   }
 
+  test("a crash between the fold's two publishes leaves NO torn state: " +
+      "readers see neither table's generation or both, never one") {
+    // r11 verdict wrong #1: advanceIndex publishes ngram_docs and
+    // ngram_postings as two separate atomic renames. A crash between
+    // them used to leave the docs generation VISIBLE with no matching
+    // postings — a probe in that window silently missed pairs
+    // (candidates come from postings). The fix: a generation is
+    // invisible until the per-label commit marker (written only after
+    // BOTH publishes) exists. This test simulates the crash by doing
+    // exactly what a torn advanceIndex left behind: the first publish
+    // without the second, no marker.
+    val dir = java.nio.file.Files.createTempDirectory("graft-gramidx-tear")
+    try {
+      spark.conf.set(IncrementalDedup.IndexDirConf, dir.toString)
+      val baseline = q("q_dedup_incremental_near").collect().toSeq // base
+      val (docsRoot, postRoot) =
+        (s"$dir/ngram_docs", s"$dir/ngram_postings")
+      val (baseDocs, basePosts) = (
+        IncrementalDedup.liveGens(spark, docsRoot).size,
+        IncrementalDedup.liveGens(spark, postRoot).size)
+      assert(baseDocs == 1 && basePosts == 1)
+      val (d0, p0) = IncrementalDedup.indexFor(spark, sf)
+      val (docsCount0, postsCount0) = (d0.count(), p0.count())
+
+      val batch = engine.Tables.documents(spark, sf)
+        .where(col("doc_id") % 10 === 0)
+        .select(col("doc_id"),
+          graft.functions.GramHashes(spark, col("text"), 5).as("bg"))
+        .where(size(col("bg")) > 0)
+        .select(col("doc_id"), size(col("bg")).cast("long").as("n"), col("bg"))
+
+      // CRASH SIMULATION: the fold's first rename landed, the second
+      // (and the marker) never ran
+      graft.engine.Snapshot.publishAtomic(spark, batch,
+        s"$docsRoot/gen_day1")
+      assert(java.nio.file.Files.exists(
+        dir.resolve("ngram_docs").resolve("gen_day1")),
+        "precondition: the torn directory is physically present")
+
+      // the torn generation must be INVISIBLE to every reader path —
+      // not "docs grew, postings didn't"
+      assert(IncrementalDedup.liveGens(spark, docsRoot).size == baseDocs,
+        "torn docs generation leaked into the live listing")
+      val (d1, p1) = IncrementalDedup.indexFor(spark, sf)
+      assert(d1.count() == docsCount0 && p1.count() == postsCount0,
+        "torn fold changed what indexFor serves")
+      assert(q("q_dedup_incremental_near").collect().toSeq == baseline,
+        "torn fold changed probe results")
+
+      // the label's RETRY self-heals: the docs publish no-ops on the
+      // surviving directory, the postings publish lands, the marker
+      // commits — now BOTH are visible, atomically grown
+      IncrementalDedup.advanceIndex(spark, dir.toString, "day1", batch)
+      assert(java.nio.file.Files.exists(
+        dir.resolve("_commits").resolve("day1")),
+        "retry must commit the label")
+      assert(
+        IncrementalDedup.liveGens(spark, docsRoot).size == baseDocs + 1 &&
+          IncrementalDedup.liveGens(spark, postRoot).size == basePosts + 1,
+        "committed fold must be visible in BOTH tables")
+      val (d2, p2) = IncrementalDedup.indexFor(spark, sf)
+      assert(d2.count() == docsCount0 + batch.count(),
+        "docs generation content must be the batch's rows")
+      assert(p2.count() ==
+        postsCount0 + batch.select(explode(col("bg"))).count(),
+        "postings generation content must be the batch's exploded grams")
+      // post-fold probe is pinned unchanged by the compaction test's
+      // batch-authority rule; re-assert here for the committed state
+      assert(q("q_dedup_incremental_near").collect().toSeq == baseline)
+    } finally {
+      spark.conf.unset(IncrementalDedup.IndexDirConf)
+      org.apache.commons.io.FileUtils.deleteDirectory(dir.toFile)
+    }
+  }
+
   test("batch prefix probe is exact: pairs match a brute-force batch check") {
     // independent truth: brute-force jaccard over (batch x all) pairs
     // via the same gram kernel, no prefix filter, no index machinery
