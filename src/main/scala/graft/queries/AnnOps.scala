@@ -79,19 +79,32 @@ object AnnOps {
     rows.map(_.getSeq[Double](1).toSeq).toSeq
   }
 
+  /** Model-artifact destination under the index dir, GENERATION-
+    * VERSIONED by the training source's file fingerprint (r12 verdict
+    * wrong #2): `<dir>/<name>_<fp>`. An in-place change to the
+    * embeddings re-keys the path, so a fresh model is trained and
+    * published instead of the stale one being served forever; the
+    * abandoned dir is maintenance garbage (delete beside
+    * Bucketed/Partitioned.expire), never a read-path hazard. */
+  private[graft] def modelDest(
+      s: SparkSession, emb: DataFrame, dir: String, name: String): String =
+    s"$dir/${name}_${graft.engine.SourceId.fingerprint(s, emb)}"
+
   /** Trained-or-published coarse centroids for `emb`, keyed by the
     * session's [[IndexDirConf]]: unset → inline training; set → load
     * the published generation if present, else train, publish, and
     * serve the published copy (losing a publish race degrades to
     * loading the winner's — deterministic training makes them
-    * bit-identical). */
+    * bit-identical). The destination is source-fingerprinted
+    * ([[modelDest]]), so a mutated corpus can never serve its
+    * predecessor's model. */
   private def centroidsFor(
       s: SparkSession, emb: DataFrame, name: String,
       train: () => Seq[Seq[Double]]): Seq[Seq[Double]] =
     s.conf.get(IndexDirConf, "") match {
       case "" => train()
       case dir =>
-        val dest = s"$dir/$name"
+        val dest = modelDest(s, emb, dir, name)
         val p = new org.apache.hadoop.fs.Path(dest)
         val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
         if (fs.exists(p)) loadCentroids(s, dest)
@@ -266,12 +279,12 @@ object AnnOps {
   }
 
   private def codebooksFor(
-      s: SparkSession, name: String,
+      s: SparkSession, emb: DataFrame, name: String,
       train: () => Seq[Seq[Seq[Double]]]): Seq[Seq[Seq[Double]]] =
     s.conf.get(IndexDirConf, "") match {
       case "" => train()
       case dir =>
-        val dest = s"$dir/$name"
+        val dest = modelDest(s, emb, dir, name)
         val p = new org.apache.hadoop.fs.Path(dest)
         val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
         if (fs.exists(p)) loadCodebooks(s, dest)
@@ -404,7 +417,7 @@ object AnnOps {
     (s, d) => {
       val emb = Tables.embeddings(s, d)
         .select(col("vec_id"), col("embedding"))
-      val books = codebooksFor(s, "pq_codebooks",
+      val books = codebooksFor(s, emb, "pq_codebooks",
         () => trainPqCodebooks(emb))
       val sub = books.head.head.length
       val codeCols = books.zipWithIndex.map { case (cents, mi) =>
@@ -477,7 +490,7 @@ object AnnOps {
       // training would produce
       val coarse = centroidsFor(s, emb, "ivf_centroids",
         () => trainCentroids(fitSample(emb, K)))
-      val books = codebooksFor(s, "pq_codebooks",
+      val books = codebooksFor(s, emb, "pq_codebooks",
         () => trainPqCodebooks(emb))
       val sub = books.head.head.length
       val codeCols = books.zipWithIndex.map { case (cents, mi) =>

@@ -313,6 +313,66 @@ object IncrementalDedup {
       }
     }
 
+  /** Source-identity record, written beside the commit markers at base
+    * publish: one `path|length|mtime` line per file of the documents
+    * source the base build read ([[graft.engine.SourceId.entries]]).
+    * Unlike the derived caches (Bucketed/Partitioned/ANN models), this
+    * index is a MAINTAINED artifact — [[advanceIndex]] folds batches
+    * in, so "rebuild when the source fingerprint changes" would throw
+    * folded generations away, and NEW source files are the expected
+    * arrival of future batches, not staleness. The staleness hazard
+    * here is narrower and is checked at LOAD: a recorded input that
+    * was MUTATED IN PLACE or DELETED means already-indexed grams no
+    * longer describe the corpus — that fails loudly (rebuild in a
+    * fresh dir, or re-derive), never silently serves the stale index
+    * (r12 verdict wrong #2, applied with this artifact's lifecycle). */
+  private val SourceFile = "_source.json"
+
+  private def writeSourceRecord(
+      s: SparkSession, dir: String, d: String): Unit = {
+    val body = graft.engine.SourceId
+      .entries(s, Tables.documents(s, d)).mkString("", "\n", "\n")
+    val p = new org.apache.hadoop.fs.Path(dir, SourceFile)
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    try {
+      val out = fs.create(p, false) // first writer wins; content equal
+      try out.write(body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally out.close()
+    } catch {
+      case _: org.apache.hadoop.fs.FileAlreadyExistsException => ()
+      case _: org.apache.hadoop.fs.PathExistsException => ()
+    }
+  }
+
+  private def verifySourceRecord(s: SparkSession, dir: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(dir, SourceFile)
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) return // pre-record layout: nothing to verify
+    val in = fs.open(p)
+    val recorded =
+      try new String(org.apache.commons.io.IOUtils.toByteArray(in),
+        java.nio.charset.StandardCharsets.UTF_8)
+        .split("\n").map(_.trim).filter(_.nonEmpty).toSeq
+      finally in.close()
+    recorded.foreach { line =>
+      val Array(path, len, mtime) = line.split('|')
+      val fp = new org.apache.hadoop.fs.Path(new java.net.URI(path))
+      val ffs = fp.getFileSystem(s.sparkContext.hadoopConfiguration)
+      val status =
+        if (ffs.exists(fp)) Some(ffs.getFileStatus(fp)) else None
+      val ok = status.exists(st =>
+        st.getLen == len.toLong && st.getModificationTime == mtime.toLong)
+      if (!ok) throw new IllegalStateException(
+        s"gram index at $dir was built from $path ($len bytes, mtime " +
+          s"$mtime), which has been ${
+            if (status.isEmpty) "deleted" else "mutated in place"
+          } — the index no longer describes the corpus. Rebuild it in a " +
+          "fresh directory (or delete this one); new files arriving " +
+          "beside the recorded ones are fine and are folded via " +
+          "advanceIndex, but recorded inputs are immutable.")
+    }
+  }
+
   /** Load-or-publish-or-inline, keyed by [[IndexDirConf]] (the
     * AnnOps.centroidsFor contract): racing publishers — exactly one
     * wins per generation; losers load the winner's, which is
@@ -327,12 +387,17 @@ object IncrementalDedup {
           val (docs, postings) = buildIndex(s, d)
           publishGen(s, docs, docsRoot, "base")
           publishGen(s, postings, postRoot, "base")
+          // the source record lands before the marker so a committed
+          // base is never un-auditable; create-if-absent keeps the
+          // first build's record under retries
+          writeSourceRecord(s, dir, d)
           // same joint-visibility rule as advanceIndex: base becomes
           // readable only once both tables are down (a crash in between
           // self-heals here — the exists-no-op publishes re-run, then
           // the marker lands)
           commitLabel(s, docsRoot, "base")
         }
+        verifySourceRecord(s, dir)
         def readAll(root: String): DataFrame = {
           val gens = liveGens(s, root)
           // a generation is never visible without its manifest

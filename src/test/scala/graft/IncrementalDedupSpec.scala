@@ -266,6 +266,49 @@ class IncrementalDedupSpec extends SparkSpec {
     }
   }
 
+  test("a recorded index input mutated in place fails loudly, never serves stale") {
+    // r12 verdict wrong #2, applied with this artifact's lifecycle: the
+    // gram index is MAINTAINED (advanceIndex folds batches), so source
+    // changes are expected as NEW files — but a recorded input mutated
+    // in place means already-indexed grams no longer describe the
+    // corpus. That must be an error, not a silent stale serve (and not
+    // an auto-rebuild, which would discard folded generations).
+    val srcRoot = java.nio.file.Files.createTempDirectory("graft-docsrc")
+    val dir = java.nio.file.Files.createTempDirectory("graft-gramidx-src")
+    try {
+      // the sf0.001 fixture table is a single parquet file
+      org.apache.commons.io.FileUtils.copyFile(
+        new java.io.File(s"$sf/documents.parquet"),
+        new java.io.File(s"$srcRoot/documents.parquet"))
+      spark.conf.set(IncrementalDedup.IndexDirConf, dir.toString)
+      // first use publishes base and records the source inputs
+      IncrementalDedup.indexFor(spark, srcRoot.toString)._1.count()
+      assert(java.nio.file.Files.exists(dir.resolve("_source.json")),
+        "base publish must record its source inputs")
+      // untouched source: loads fine
+      IncrementalDedup.indexFor(spark, srcRoot.toString)._1.count()
+      // mutate the recorded input IN PLACE (append a byte: same path,
+      // new length/mtime)
+      val part = srcRoot.resolve("documents.parquet")
+      java.nio.file.Files.write(part, Array[Byte](0),
+        java.nio.file.StandardOpenOption.APPEND)
+      val e = intercept[IllegalStateException] {
+        IncrementalDedup.indexFor(spark, srcRoot.toString)
+      }
+      assert(e.getMessage.contains("mutated in place"), e.getMessage)
+      // deleting a recorded input is the same staleness class
+      java.nio.file.Files.delete(part)
+      val e2 = intercept[IllegalStateException] {
+        IncrementalDedup.indexFor(spark, srcRoot.toString)
+      }
+      assert(e2.getMessage.contains("deleted"), e2.getMessage)
+    } finally {
+      spark.conf.unset(IncrementalDedup.IndexDirConf)
+      org.apache.commons.io.FileUtils.deleteDirectory(dir.toFile)
+      org.apache.commons.io.FileUtils.deleteDirectory(srcRoot.toFile)
+    }
+  }
+
   test("batch prefix probe is exact: pairs match a brute-force batch check") {
     // independent truth: brute-force jaccard over (batch x all) pairs
     // via the same gram kernel, no prefix filter, no index machinery

@@ -74,6 +74,45 @@ class PartitionedSpec extends SparkSpec {
     } finally cleanup(dir)
   }
 
+  test("an in-place source change builds a fresh copy for both table and artifact") {
+    // r12 verdict wrong #2, partitioned/artifact side: source content
+    // is in the identity, so mutation re-keys instead of stale-serving
+    val dir = partDir
+    val srcDir = java.nio.file.Files.createTempDirectory("graft-prt-src")
+    try {
+      val srcPath = s"$srcDir/t"
+      spark.range(0, 300).selectExpr("id AS k", "id % 3 AS day")
+        .write.parquet(srcPath)
+      def src = spark.read.parquet(srcPath)
+      val t1 = graft.engine.Partitioned
+        .table(spark, srcDir.toString, "mut", src, "day").count()
+      val a1 = graft.engine.Partitioned
+        .artifact(spark, srcDir.toString, "mutart", src).count()
+      assert(t1 == 300 && a1 == 300)
+      spark.range(0, 500).selectExpr("id AS k", "id % 3 AS day")
+        .write.mode("overwrite").parquet(srcPath)
+      assert(graft.engine.Partitioned
+        .table(spark, srcDir.toString, "mut", src, "day").count() == 500,
+        "stale partitioned layout served after source mutation")
+      assert(graft.engine.Partitioned
+        .artifact(spark, srcDir.toString, "mutart", src).count() == 500,
+        "stale artifact served after source mutation")
+      // retention reclaims the abandoned generation per logical name
+      val root = new java.io.File(spark.conf.get(
+        graft.engine.Partitioned.DirConf))
+      assert(root.listFiles.count(_.getName.startsWith("graft_prt_mut_"))
+        == 2)
+      val deleted = graft.engine.Partitioned.expire(spark, keep = 1)
+      assert(deleted.size == 2, // one prt + one art abandoned
+        s"expire must reclaim the two abandoned layouts: $deleted")
+      assert(graft.engine.Partitioned
+        .table(spark, srcDir.toString, "mut", src, "day").count() == 500)
+    } finally {
+      cleanup(dir)
+      org.apache.commons.io.FileUtils.deleteDirectory(srcDir.toFile)
+    }
+  }
+
   test("publish-once: reuse never rewrites; result equals the raw-parquet join") {
     val dir = partDir
     try {

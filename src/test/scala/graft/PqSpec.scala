@@ -57,26 +57,31 @@ class PqSpec extends SparkSpec {
       .select(col("vec_id"), col("embedding"))
     val inline = q("q_sim_ivf_topk").collect().toSeq
     val dir = java.nio.file.Files.createTempDirectory("graft-annidx")
+    // model paths are source-fingerprinted (r12 wrong #2): a mutated
+    // corpus re-keys the artifact instead of serving the stale model
+    def dest(root: java.nio.file.Path, name: String) =
+      java.nio.file.Paths.get(
+        AnnOps.modelDest(spark, emb, root.toString, name))
     try {
       spark.conf.set(AnnOps.IndexDirConf, dir.toString)
       val first = q("q_sim_ivf_topk").collect().toSeq // trains + publishes
       assert(first == inline, "publish-first invocation changed results")
       assert(java.nio.file.Files.exists(
-        dir.resolve("ivf_centroids").resolve("_graft_manifest.json")),
+        dest(dir, "ivf_centroids").resolve("_graft_manifest.json")),
         "published model must be a manifest-carrying generation")
       // 1: artifact == trained model, bit for bit
       val trained = AnnOps.trainCentroids(emb)
       val loaded = AnnOps.loadCentroids(spark,
-        dir.resolve("ivf_centroids").toString)
+        dest(dir, "ivf_centroids").toString)
       assert(loaded == trained)
       // 2: second invocation serves from the artifact, identical rows
       assert(q("q_sim_ivf_topk").collect().toSeq == inline)
       // PQ path too: publish on first use, stable on second
       val pq1 = q("q_sim_pq_topk").collect().toSeq
       assert(java.nio.file.Files.exists(
-        dir.resolve("pq_codebooks").resolve("_graft_manifest.json")))
+        dest(dir, "pq_codebooks").resolve("_graft_manifest.json")))
       assert(AnnOps.loadCodebooks(spark,
-        dir.resolve("pq_codebooks").toString)
+        dest(dir, "pq_codebooks").toString)
         == AnnOps.trainPqCodebooks(emb))
       assert(q("q_sim_pq_topk").collect().toSeq == pq1)
       // 3: plant a PERMUTED model; the query must follow it (reversed
@@ -84,7 +89,7 @@ class PqSpec extends SparkSpec {
       val dir2 = java.nio.file.Files.createTempDirectory("graft-annidx2")
       try {
         AnnOps.publishCentroids(spark, trained.reverse,
-          dir2.resolve("ivf_centroids").toString)
+          dest(dir2, "ivf_centroids").toString)
         spark.conf.set(AnnOps.IndexDirConf, dir2.toString)
         val planted = q("q_sim_ivf_topk").collect().toSeq
         assert(planted != inline,
