@@ -301,7 +301,7 @@ object DedupOps {
     * Both shapes are EXACT, so this cap picks a physical plan, never
     * the answer — unlike the r5 df-capped path, whose pruning lost
     * pairs at sf1 (measured: 82k of 1.1M qualifying pairs survived). */
-  private val NgramBlockCap = 512
+  private[graft] val NgramBlockCap = 512
 
   /** Near-dup Jaccard threshold — the published LLM-corpus standard
     * (0.8 n-gram Jaccard: Rae et al. 2021 "Gopher" appendix A.1.2;

@@ -770,7 +770,245 @@ object PipelineOps {
         AS psi_contrib
     FROM hist CROSS JOIN tot ORDER BY bucket"""))
 
+  /** EXT (r12 verdict missing #3): the COMPOSED end-to-end curation
+    * pipeline — quality gate → exact dedup → near-dup drop →
+    * decontaminate → mix-weight → pack, as ONE declared DataFrame
+    * chain. Every stage exists as its own oracle-checked operator;
+    * what no per-stage oracle can see is the SEAMS — a lost pushdown,
+    * a redundant exchange, or a semantics drift where stage N+1 reads
+    * the corpus instead of stage N's survivors. This query is the
+    * integration contract: each stage consumes exactly the previous
+    * stage's survivors, the whole chain is verified hash-exact against
+    * a single DuckDB CTE chain, and PlanSpec pins the composed plan's
+    * exchange count so a seam regression is a test failure.
+    *
+    * Stage semantics (deliberately the per-stage operators' rules):
+    *  1. train split (doc_id % 97 != 0 — the eval slice never trains)
+    *     + q_text_quality's absolute keep rule (20 ≤ tokens ≤ 400,
+    *     stopword ratio < 0.5). Narrow scan-speed predicates first —
+    *     at 100 TB this is the stage that must prune BEFORE any
+    *     shuffle, and it does (one scan, filters pushed).
+    *  2. exact dedup, q_dedup_exact's keep-first rule: one hash
+    *     shuffle on lower(trim(text)); min(struct(doc_id, …)) keeps
+    *     the lowest-id copy's whole row (doc_id is unique, so the
+    *     struct min is deterministic).
+    *  3. near-dup drop over the SURVIVORS' grams — the same
+    *     ngramPairs machinery (per-source blocks, Bayardo prefix
+    *     filter, t=0.8) as q_dedup_ngram_jaccard, but fed stage 2's
+    *     output, not the corpus; docs appearing as the HIGHER id of a
+    *     confident pair drop (greedy keep-lowest; cluster-resolution
+    *     via components is q_dedup_components' job, documented there).
+    *  4. decontaminate: q_text_decontaminate's 5-token-gram match
+    *     against the eval slice's grams (eval grams broadcast — the
+    *     benchmark side is thousands of docs, never corpus-scale).
+    *  5. mix weights over the FINAL corpus (per-source token shares of
+    *     what actually ships, not of the raw corpus — the seam the
+    *     per-stage q_text_mix_weights cannot test).
+    *  6. pack: q_text_pack's running-offset bin layout
+    *     (chunkedRunning — no per-source single-task window), with
+    *     each row carrying its source's mix weight.
+    *
+    * Scale shape: stages 1–2 are scan + one keyed shuffle; stage 3 is
+    * the dominant cost and is EXACTLY the measured-linear ngram
+    * machinery; stages 4–6 add one broadcast semi-drop, one per-source
+    * agg (|sources| rows), and the chunked running sum.
+    *
+    * The two fan-out seams are MATERIALIZED via [[cut]] (the
+    * connected-components discipline: localCheckpoint locally,
+    * reliable checkpoint on a cluster): the stage-2 survivors feed the
+    * near-dup machinery, which references its input many times
+    * internally — harmless over a raw scan, but composed over a
+    * computed stage it would replicate the quality+dedup subtree ~90×
+    * in the plan (measured sf0.01: 92 documents scans, 195 exchanges
+    * in the un-cut composed plan; runtime stage reuse collapses the
+    * identical exchanges but every post-exchange tail re-executes) —
+    * and the stage-4 survivors feed three consumers (weights, pack,
+    * output). At 100 TB these two cuts are exactly where a production
+    * pipeline persists its stage artifacts (quality+exact-deduped
+    * corpus; final curated corpus) — pay the write once, every
+    * consumer reads it. PipelineSpec pins the post-cut plan: ZERO
+    * parquet scans (stages 5–6 read the survivors, never re-read the
+    * corpus) and the fixed exchange count of the weights+pack seams. */
+  val pipelineCurate: Q = Q(
+    "q_pipeline_curate",
+    (s, d) => {
+      def toks = filter(split(lower(col("text")), " "), t => t =!= "")
+      def nTok = size(toks).cast("long")
+      def nStop = size(filter(toks, x => x.isin("a", "the", "of", "and")))
+        .cast("long")
+      val docs = Tables.documents(s, d)
+      // 1 — train split + absolute quality gate (narrow, pushed down)
+      val quality = docs
+        .where(col("doc_id") % 97 =!= 0)
+        .where(nTok >= 20 && nTok <= 400
+          && nStop.cast("double") / nTok < 0.5)
+        .select(col("doc_id"), col("source"), col("text"), col("n_chars"))
+      // 2 — exact dedup, keep-first: one hash shuffle on the norm key.
+      // cut: the stage-2 artifact seam (see scaladoc)
+      val exact = cut(quality
+        .groupBy(lower(trim(col("text"))).as("__norm"))
+        .agg(min(struct(col("doc_id"), col("source"), col("text"),
+          col("n_chars"))).as("__kept"))
+        .select(col("__kept.doc_id").as("doc_id"),
+          col("__kept.source").as("source"),
+          col("__kept.text").as("text"),
+          col("__kept.n_chars").as("n_chars")))
+      // 3 — near-dup drop among survivors (higher id of each pair)
+      val grams = exact.select(col("doc_id"), col("source"),
+        graft.functions.GramHashes(s, col("text"), 5).as("bg"))
+      val nearDropIds = DedupOps
+        .ngramPairs(s, grams, DedupOps.NgramBlockCap)
+        .select(col("b_id").as("doc_id")).distinct()
+      val near = exact.join(nearDropIds, Seq("doc_id"), "left_anti")
+      // 4 — decontaminate vs the eval slice's token grams
+      def tokGrams(df: DataFrame): DataFrame =
+        df.select(col("doc_id"), toks.as("toks"))
+          .where(size(col("toks")) >= DecontamGramLen)
+          .select(col("doc_id"), col("toks"),
+            explode(sequence(lit(1),
+              size(col("toks")) - DecontamGramLen + 1)).as("i"))
+          .select(col("doc_id"),
+            array_join(slice(col("toks"), col("i"), lit(DecontamGramLen)),
+              " ").as("gram"))
+      val evalGrams = tokGrams(docs.where(col("doc_id") % 97 === 0))
+        .select("gram").distinct()
+      val leaked = tokGrams(near)
+        .join(broadcast(evalGrams), Seq("gram"))
+        .select("doc_id").distinct()
+      // cut: the stage-4 artifact seam — the final curated corpus,
+      // read by three consumers (weights, pack, output)
+      val clean = cut(near.join(leaked, Seq("doc_id"), "left_anti"))
+      // 5 — mix weights over what actually ships
+      val perSrc = clean.groupBy(col("source"))
+        .agg(sum(nTok).as("src_tokens"))
+      val totals = perSrc.agg(
+        sum(col("src_tokens")).as("total_tokens"),
+        count(lit(1)).as("n_sources"))
+      val weights = perSrc.crossJoin(broadcast(totals))
+        .select(col("source"),
+          (col("total_tokens").cast("double")
+            / (col("n_sources") * col("src_tokens")).cast("double"))
+            .as("weight"))
+      // 6 — pack the final corpus, carrying the weight
+      val chunkDocs =
+        s.conf.get("spark.graft.pack.chunkDocs", PackChunkDocs.toString)
+          .toLong
+      require(chunkDocs > 0,
+        s"spark.graft.pack.chunkDocs must be positive: $chunkDocs")
+      val base = clean.select(col("doc_id"), col("source"),
+        ceil(col("n_chars").cast("double") / 4.0).cast("long")
+          .as("n_tokens"))
+      graft.engine.Skew.chunkedRunning(
+          base, "source", expr(s"doc_id div $chunkDocs"),
+          Seq("doc_id"), col("n_tokens"))
+        .withColumn("start_offset", col("running_sum") - col("n_tokens"))
+        .withColumn("bin_id", expr(s"start_offset div $PackBudget"))
+        .withColumn("bin_offset",
+          col("start_offset") - col("bin_id") * PackBudget)
+        .join(broadcast(weights), Seq("source"))
+        .select(col("doc_id"), col("source"), col("n_tokens"),
+          col("start_offset"), col("bin_id"), col("bin_offset"),
+          col("weight"))
+        .orderBy("source", "doc_id")
+    },
+    Some(s"""WITH qual AS (
+      SELECT doc_id, source, text, n_chars,
+        CAST(len(list_filter(string_split(lower(text), ' '), x -> x != ''))
+          AS BIGINT) AS n_tok,
+        CAST(len(list_filter(string_split(lower(text), ' '),
+          x -> x IN ('a','the','of','and'))) AS BIGINT) AS n_stop
+      FROM documents WHERE doc_id % 97 != 0),
+    q2 AS (
+      SELECT doc_id, source, text, n_chars FROM qual
+      WHERE n_tok >= 20 AND n_tok <= 400
+        AND CAST(n_stop AS DOUBLE) / n_tok < 0.5e0),
+    ex AS (
+      SELECT doc_id, source, text, n_chars FROM (
+        SELECT q2.*, min(doc_id)
+          OVER (PARTITION BY lower(trim(text))) AS __keep
+        FROM q2)
+      WHERE doc_id = __keep),
+    gr AS (
+      SELECT doc_id, source,
+        list_distinct(list_transform(
+          generate_series(1, len(t) - 4),
+          i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+            || ' ' || t[i+3] || ' ' || t[i+4])) AS bg
+      FROM (SELECT doc_id, source,
+              list_filter(string_split(lower(text), ' '), x -> x != '') AS t
+            FROM ex)
+      WHERE len(t) >= 5),
+    g AS (
+      SELECT doc_id, source, len(bg) AS n, unnest(bg) AS gram FROM gr),
+    pairs AS (
+      SELECT a.source AS source, a.doc_id AS a_id, b.doc_id AS b_id,
+        count(*) AS n_common,
+        any_value(a.n) AS na, any_value(b.n) AS nb
+      FROM g a JOIN g b
+        ON a.source = b.source AND a.gram = b.gram AND a.doc_id < b.doc_id
+      GROUP BY a.source, a.doc_id, b.doc_id),
+    drop_near AS (
+      SELECT DISTINCT b_id AS doc_id FROM pairs
+      WHERE CAST(n_common AS DOUBLE) / (na + nb - n_common)
+        >= ${DedupOps.NgramJaccardT}),
+    nd AS (
+      SELECT * FROM ex
+      WHERE doc_id NOT IN (SELECT doc_id FROM drop_near)),
+    eval_grams AS (
+      SELECT DISTINCT unnest(list_transform(
+        generate_series(1, len(t) - $DecontamGramLen + 1),
+        i -> array_to_string(t[i : i + $DecontamGramLen - 1], ' ')))
+        AS gram
+      FROM (SELECT list_filter(string_split(lower(text), ' '), x -> x != '')
+              AS t
+            FROM documents WHERE doc_id % 97 = 0)
+      WHERE len(t) >= $DecontamGramLen),
+    leaked AS (
+      SELECT DISTINCT tg.doc_id FROM (
+        SELECT doc_id, unnest(list_transform(
+          generate_series(1, len(t) - $DecontamGramLen + 1),
+          i -> array_to_string(t[i : i + $DecontamGramLen - 1], ' ')))
+          AS gram
+        FROM (SELECT doc_id,
+                list_filter(string_split(lower(text), ' '), x -> x != '')
+                  AS t
+              FROM nd)
+        WHERE len(t) >= $DecontamGramLen) tg
+      JOIN eval_grams USING (gram)),
+    clean AS (
+      SELECT * FROM nd
+      WHERE doc_id NOT IN (SELECT doc_id FROM leaked)),
+    per_src AS (
+      SELECT source,
+        CAST(sum(len(list_filter(string_split(lower(text), ' '),
+          x -> x != ''))) AS BIGINT) AS src_tokens
+      FROM clean GROUP BY source),
+    tot AS (
+      SELECT CAST(sum(src_tokens) AS BIGINT) AS total_tokens,
+        count(*) AS n_sources
+      FROM per_src),
+    wts AS (
+      SELECT source,
+        CAST(total_tokens AS DOUBLE)
+          / CAST(n_sources * src_tokens AS DOUBLE) AS weight
+      FROM per_src, tot),
+    packed AS (
+      SELECT doc_id, source,
+        CAST(ceil(CAST(n_chars AS DOUBLE) / 4.0e0) AS BIGINT) AS n_tokens,
+        COALESCE(CAST(sum(CAST(ceil(CAST(n_chars AS DOUBLE) / 4.0e0)
+          AS BIGINT)) OVER (PARTITION BY source ORDER BY doc_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0)
+          AS start_offset
+      FROM clean)
+    SELECT p.doc_id, p.source, p.n_tokens, p.start_offset,
+      p.start_offset // $PackBudget AS bin_id,
+      p.start_offset - (p.start_offset // $PackBudget) * $PackBudget
+        AS bin_offset,
+      w.weight
+    FROM packed p JOIN wts w USING (source)
+    ORDER BY p.source, p.doc_id"""))
+
   val all: Seq[Q] = Seq(dedupComponents, textPack, textQualityFilter,
     textChunk, textDecontaminate, profileTable, textMixWeights,
-    profileSkew, profileExpectations, profileDrift)
+    profileSkew, profileExpectations, profileDrift, pipelineCurate)
 }

@@ -106,6 +106,59 @@ class PipelineSpec extends SparkSpec {
     df.unpersist()
   }
 
+  test("q_pipeline_curate: stage seams — post-cut plan reads survivors only, " +
+      "fixed exchange count, and stage rules hold end-to-end") {
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+    def unwrap(p: SparkPlan): Seq[SparkPlan] = p match {
+      case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+      case s: QueryStageExec => Seq(s.plan)
+      case other => other.children
+    }
+    def collectAll[T](p: SparkPlan)(f: PartialFunction[SparkPlan, T]): Seq[T] =
+      (if (f.isDefinedAt(p)) Seq(f(p)) else Nil) ++
+        unwrap(p).flatMap(collectAll(_)(f))
+    val df = q("q_pipeline_curate")
+    val rows = df.collect()
+    assert(rows.nonEmpty, "curation pipeline must ship documents")
+    val plan = df.queryExecution.executedPlan
+    // Seam pin 1: stages 5-6 consume the stage-4 SURVIVOR artifact —
+    // zero parquet scans in the final plan means nothing downstream
+    // re-reads the corpus (the composed-pipeline regression class the
+    // per-stage oracles can't see).
+    val scans = collectAll(plan) { case s: FileSourceScanExec => s }
+    assert(scans.isEmpty,
+      s"post-cut plan re-reads the corpus: ${scans.size} parquet scans")
+    // Seam pin 2: the weights+pack seams plan a FIXED set of shuffles —
+    // chunkedRunning's intra-chunk window + chunk-prefix agg + prefix
+    // window (3), the perSrc agg and its canonically-identical twin
+    // under totals (2, deduplicated by runtime stage reuse), the totals
+    // global agg (1), and the final global sort (1). A regression that
+    // adds an exchange at a seam (e.g. losing the broadcast on the
+    // weights join) fails here.
+    val exchanges = collectAll(plan) { case e: ShuffleExchangeExec => e }
+    val nEx = exchanges.size
+    assert(nEx == 7, s"composed plan shuffle count drifted: $nEx\n$plan")
+    // the weights attach is a broadcast join, never a shuffled one
+    assert(collectAll(plan) { case j: BroadcastHashJoinExec => j }.nonEmpty,
+      s"weights join must broadcast:\n$plan")
+    // End-to-end stage invariants on the shipped rows:
+    val out = rows.map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+      r.getLong(3), r.getLong(4), r.getLong(5), r.getDouble(6)))
+    // eval split never ships
+    assert(out.forall(_._1 % 97 != 0), "eval docs leaked into training")
+    // per (source, bin) offsets start where the previous doc ended
+    out.groupBy(r => (r._2, r._5)).foreach { case ((_, _), rs) =>
+      rs.sortBy(_._1).foreach { r =>
+        assert(r._6 >= 0 && r._6 < 2048, s"bin_offset out of budget: $r") }
+    }
+    // weights are per-source constants and inverse to token share
+    val bySrc = out.groupBy(_._2).view.mapValues(_.map(_._7).distinct)
+    assert(bySrc.values.forall(_.size == 1), "weight must be per-source")
+  }
+
   test("q_text_quality_filter drops bottom quintile per lang and degenerates") {
     val df = q("q_text_quality_filter").cache()
     assert(df.where(col("lang_pctile") < 0.2 || col("n_tokens") === 0).isEmpty)
