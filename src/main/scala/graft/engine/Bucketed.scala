@@ -91,10 +91,13 @@ object Bucketed {
     require(n > 0, s"$NConf must be positive: $n")
     // Honor the written per-bucket sortBy order at scan time, so a
     // sort-merge join over two layouts needs neither exchange NOR
-    // sort. Session-global, but safe for every bucketed table: with
-    // this flag the planner still trusts a written order only after
-    // checking each bucket is a single file — true for our writer,
-    // and checked per-table for anything else in the session.
+    // sort. DELIBERATELY session-global (documented in SCALE.md):
+    // the flag must be live when the CONSUMING query plans its join —
+    // a set-and-restore scoped to this attach would silently re-add
+    // the per-task sorts the layout exists to remove. Safe for every
+    // table in the session: the planner trusts a written order only
+    // after checking each bucket is a single file — true for our
+    // writer, proven per-scan for anything else.
     s.conf.set("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
     val root = s.conf.getOption(DirConf).getOrElse(
       sys.props("java.io.tmpdir").stripSuffix("/") + "/graft_buckets")
