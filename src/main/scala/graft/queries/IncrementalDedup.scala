@@ -432,6 +432,28 @@ object IncrementalDedup {
   private[graft] val ProbeKeyBroadcastConf =
     "spark.graft.dedup.probeKeyBroadcast"
 
+  /** Conf kill-switch (default off): serve the candidate join's index
+    * side from a publish-once BUCKETED-BY-`g` copy of the postings
+    * ([[graft.engine.Bucketed]]), so the join co-locates WITHOUT
+    * shuffling the index — only the batch side exchanges to the bucket
+    * count. This is the cluster posture SCALE.md r11 claimed and r13
+    * proves locally: when the daily batch is too big for the broadcast
+    * regime (the 100 TB default — key semi-broadcast and AQE broadcast
+    * both need a small batch), the plain probe shuffles the
+    * corpus-scale postings on `g` EVERY night; the bucketed copy pays
+    * that shuffle once per index version. The copy is a DERIVED cache
+    * on top of the log-structured gens (identity includes the gens'
+    * file fingerprint, so a fold re-keys it — rebuild-per-version is
+    * the trade for co-location; retention via `Bucketed.expire`), and
+    * the probe result is bit-identical either way
+    * (IncrementalDedupSpec pins parity and the zero-exchange index
+    * side). The candidate join distributes over the postings union
+    * (inner equi-join), so the batch's own postings join separately
+    * and the results union — bucketing survives because the bucketed
+    * scan is never unioned before the join. */
+  private[graft] val BucketPostingsConf =
+    "spark.graft.dedup.bucketPostings"
+
   val dedupIncrementalNear: Q = Q(
     "q_dedup_incremental_near",
     (s, d) => {
@@ -466,17 +488,32 @@ object IncrementalDedup {
           posexplode(col("bg")).as(Seq("pos", "g")))
         .where(col("pos") + 1 <=
           col("new_n") - ceil(lit(jt) * col("new_n") - lit(1e-9)) + 1)
-      val postAll = idxPostings.select("g", "doc_id", "n")
-        .unionByName(batch.select(explode(col("bg")).as("g"),
-          col("doc_id"), col("n")))
-      val probed =
+      val batchPost = batch.select(explode(col("bg")).as("g"),
+        col("doc_id"), col("n"))
+      def semiFiltered(post: DataFrame): DataFrame =
         if (s.conf.get(ProbeKeyBroadcastConf, "true").toBoolean)
-          postAll.join(broadcast(prefixG.select(col("g")).distinct()),
+          post.join(broadcast(prefixG.select(col("g")).distinct()),
             Seq("g"), "leftsemi")
-        else postAll
-      val cand = prefixG
-        .join(probed.select(col("g"),
+        else post
+      def candJoin(post: DataFrame): DataFrame = prefixG
+        .join(semiFiltered(post).select(col("g"),
           col("doc_id").as("o_id"), col("n").as("o_n")), Seq("g"))
+      val joined =
+        if (s.conf.get(BucketPostingsConf, "false").toBoolean &&
+            s.conf.get(IndexDirConf, "") != "") {
+          // bucketed index side: the anti-join and semi-filter are
+          // narrow (broadcast), so the scan's hashpartitioning(g, n)
+          // reaches the join and only the batch side exchanges; the
+          // batch's own postings join separately (a union before the
+          // join would erase the bucketing) and the results union
+          val bkt = graft.engine.Bucketed.table(
+            s, s.conf.get(IndexDirConf), "gram_postings",
+            idxPostingsRaw.select(col("g"), col("doc_id"), col("n")), "g")
+            .join(broadcast(batchIds), Seq("doc_id"), "left_anti")
+          candJoin(bkt).unionByName(candJoin(batchPost))
+        } else candJoin(
+          idxPostings.select("g", "doc_id", "n").unionByName(batchPost))
+      val cand = joined
         .where(col("o_id") =!= col("new_id"))
         // max-possible-score test: jaccard >= t forces min(n) >= t*max(n)
         .where(least(col("new_n"), col("o_n")).cast("double")

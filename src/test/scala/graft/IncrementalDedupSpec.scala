@@ -266,6 +266,98 @@ class IncrementalDedupSpec extends SparkSpec {
     }
   }
 
+  test("bucketed postings co-locate the candidate join: bit-identical results, " +
+      "zero-exchange index side under the no-broadcast regime") {
+    // SCALE.md r11 claimed "a cluster deployment buckets the postings
+    // by g so the candidate join co-locates without re-sharding the
+    // index"; this proves it locally (r11 verdict task #5). The
+    // regime that matters is a batch too big to broadcast (the 100 TB
+    // default): broadcast thresholds off, key semi-filter off — the
+    // plain probe then shuffles the corpus-scale postings on g, while
+    // the bucketed copy's scan already satisfies the join's
+    // distribution and only the batch side exchanges.
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.joins.{ShuffledHashJoinExec, SortMergeJoinExec}
+    def unwrap(p: SparkPlan): Seq[SparkPlan] = p match {
+      case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+      case s: QueryStageExec => Seq(s.plan)
+      case other => other.children
+    }
+    def collectAll[T](p: SparkPlan)(f: PartialFunction[SparkPlan, T]): Seq[T] =
+      (if (f.isDefinedAt(p)) Seq(f(p)) else Nil) ++
+        unwrap(p).flatMap(collectAll(_)(f))
+    def withConf[A](kvs: (String, String)*)(body: => A): A = {
+      val olds = kvs.map { case (k, _) => k -> spark.conf.getOption(k) }
+      kvs.foreach { case (k, v) => spark.conf.set(k, v) }
+      try body
+      finally olds.foreach {
+        case (k, Some(v)) => spark.conf.set(k, v)
+        case (k, None) => spark.conf.unset(k)
+      }
+    }
+    val dir = java.nio.file.Files.createTempDirectory("graft-gramidx-bkt")
+    val bktRoot = java.nio.file.Files.createTempDirectory("graft-bkt-post")
+    try {
+      withConf(
+        IncrementalDedup.IndexDirConf -> dir.toString,
+        graft.engine.Bucketed.DirConf -> bktRoot.toString) {
+        val plain = q("q_dedup_incremental_near").collect().toSeq
+        val bucketed = withConf(
+          IncrementalDedup.BucketPostingsConf -> "true") {
+          q("q_dedup_incremental_near").collect().toSeq
+        }
+        assert(bucketed == plain,
+          "bucketed-postings probe diverged from the plain probe")
+        // plan pin under the no-broadcast regime
+        withConf(
+          IncrementalDedup.BucketPostingsConf -> "true",
+          IncrementalDedup.ProbeKeyBroadcastConf -> "false",
+          "spark.sql.autoBroadcastJoinThreshold" -> "-1") {
+          val df = q("q_dedup_incremental_near")
+          df.collect()
+          val plan = df.queryExecution.executedPlan
+          val joins = collectAll(plan) {
+            case j: SortMergeJoinExec => (j: SparkPlan)
+            case j: ShuffledHashJoinExec => (j: SparkPlan)
+          }
+          // the candidate join whose one side reads the bucketed copy
+          // DIRECTLY (higher joins contain the bucketed scan
+          // transitively, along with the probe's own exchanges — only
+          // the lowest join is the co-location claim)
+          val idxJoins = joins.filter(j => unwrap(j).exists(side =>
+            collectAll(side) { case f: FileSourceScanExec => f }
+              .exists(_.bucketedScan) &&
+              collectAll(side) {
+                case x: SortMergeJoinExec => (x: SparkPlan)
+                case x: ShuffledHashJoinExec => (x: SparkPlan)
+              }.isEmpty))
+          assert(idxJoins.nonEmpty,
+            s"no shuffle-family join reads the bucketed postings:\n$plan")
+          idxJoins.foreach { j =>
+            val sides = unwrap(j)
+            val (idxSide, batchSide) = sides.partition(side =>
+              collectAll(side) { case f: FileSourceScanExec => f }
+                .exists(_.bucketedScan))
+            assert(idxSide.forall(side =>
+              collectAll(side) { case e: ShuffleExchangeExec => e }.isEmpty),
+              s"index side of the candidate join still shuffles:\n$j")
+            assert(batchSide.exists(side =>
+              collectAll(side) { case e: ShuffleExchangeExec => e }.nonEmpty),
+              s"expected the batch side to exchange to the bucket count:\n$j")
+          }
+        }
+      }
+    } finally {
+      spark.catalog.listTables().collect()
+        .filter(_.name.startsWith("graft_bkt_"))
+        .foreach(t => spark.sql(s"DROP TABLE ${t.name}"))
+      org.apache.commons.io.FileUtils.deleteDirectory(dir.toFile)
+      org.apache.commons.io.FileUtils.deleteDirectory(bktRoot.toFile)
+    }
+  }
+
   test("a recorded index input mutated in place fails loudly, never serves stale") {
     // r12 verdict wrong #2, applied with this artifact's lifecycle: the
     // gram index is MAINTAINED (advanceIndex folds batches), so source
