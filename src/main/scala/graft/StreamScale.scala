@@ -107,6 +107,76 @@ object StreamScale {
       f"avgApply=${batchTimes.sum / math.max(1, batchTimes.size)}%.2f s " +
       f"maxApply=${batchTimes.max}%.2f s snapshotRows=$finalRows " +
       s"(== users? ${finalRows == nUsers})")
+
+    // ---- r13 (r11 verdict task #7): the offset-managed feed source at
+    // scale — replay the whole fixture into a partitioned feed log,
+    // drive the declared tumbling job through format("graft-feed")
+    // under admission control, and report FEED LAG per batch (log end
+    // minus processed-through — the kafka-consumer-groups --describe
+    // number): the telemetry a backfill run watches to size
+    // maxBatchRecords. The replay writer streams via toLocalIterator
+    // (driver-light), segments of 250k records.
+    val feedDir = s"$work/feed"
+    val parts = 4
+    val segSize = 250000
+    val bufs = Array.fill(parts)(
+      scala.collection.mutable.ArrayBuffer.empty[(Long, String, String)])
+    var replayed = 0L
+    val it = ev.select(col("event_id"), col("ts"), col("event_type"))
+      .toLocalIterator()
+    while (it.hasNext) {
+      val r = it.next()
+      val p = (r.getLong(0) % parts).toInt
+      bufs(p) += ((r.getTimestamp(1).getTime, r.getString(2), "1"))
+      if (bufs(p).size >= segSize) {
+        graft.streaming.FeedSource.append(feedDir, p, bufs(p).toSeq)
+        replayed += bufs(p).size
+        bufs(p).clear()
+      }
+    }
+    bufs.zipWithIndex.foreach { case (b, p) =>
+      if (b.nonEmpty) {
+        graft.streaming.FeedSource.append(feedDir, p, b.toSeq)
+        replayed += b.size
+      }
+    }
+    val logEnd = graft.streaming.FeedSource.endOffsets(feedDir).values.sum
+    val cap = math.max(10000L, nEvents / chunks)
+    println(s"[streamscale] FEED: replayed=$replayed records " +
+      s"parts=$parts logEnd=$logEnd maxBatchRecords=$cap")
+    val feedStream = spark.readStream.format("graft-feed")
+      .option("maxBatchRecords", cap.toString).load(feedDir)
+      .select(col("ts"), col("key").as("event_type"))
+    val tF = System.nanoTime()
+    val q3 = graft.streaming.StreamingJobs.tumblingCounts(feedStream)
+      .writeStream.format("noop")
+      .option("checkpointLocation", s"$work/ckpt_feed")
+      .outputMode("append").start()
+    q3.processAllAvailable()
+    val wallFeed = (System.nanoTime() - tF) / 1e9
+    val feedProg = q3.recentProgress.toSeq
+    q3.stop()
+    feedProg.foreach { p =>
+      val processed = p.sources.headOption
+        .flatMap(s => Option(s.endOffset))
+        .map(j => graft.streaming.FeedSource.parseOffsets(j).values.sum)
+        .getOrElse(0L)
+      println(s"[streamscale] feed batch=${p.batchId} " +
+        s"in=${p.numInputRows} processedThrough=$processed " +
+        s"lag=${logEnd - processed}")
+    }
+    val processedFinal = feedProg.flatMap(p =>
+      p.sources.headOption.flatMap(s => Option(s.endOffset))
+        .map(j => graft.streaming.FeedSource.parseOffsets(j).values.sum))
+      .maxOption.getOrElse(0L)
+    val committed =
+      graft.streaming.FeedSource.committedOffsets(feedDir).values.sum
+    println(f"[streamscale] FEED: wall=$wallFeed%.1f s " +
+      s"batches=${feedProg.size} " +
+      s"processedLag=${logEnd - processedFinal} " +
+      s"committedSurfaceLag=${logEnd - committed} " +
+      s"(the _committed monitor trails the checkpoint by one batch — " +
+      s"Spark fires commit(end) when the NEXT batch starts)")
     org.apache.commons.io.FileUtils.deleteDirectory(
       new java.io.File(work))
     spark.stop()

@@ -88,6 +88,16 @@ object FeedSource {
     else FeedOffset.parse(new String(Files.readAllBytes(f),
       StandardCharsets.UTF_8)).offsets
   }
+
+  /** Per-partition log end offsets — the admin surface a lag monitor
+    * diffs against [[committedOffsets]] / a query's processed offsets
+    * (the `kafka-consumer-groups --describe` analog). */
+  def endOffsets(dir: String): Map[Int, Long] = FeedLog.endOffsets(dir)
+
+  /** Parse an offset JSON (e.g. a StreamingQueryProgress source
+    * `endOffset`) back into per-partition offsets, for lag math. */
+  def parseOffsets(json: String): Map[Int, Long] =
+    FeedOffset.parse(json).offsets
 }
 
 /** Directory-scan "admin API": segment discovery and end offsets. */

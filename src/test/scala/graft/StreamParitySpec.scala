@@ -34,6 +34,51 @@ class StreamParitySpec extends SparkSpec {
       "streaming result must equal batch result exactly")
   }
 
+  test("graft-feed replay of the events fixture drives the tumbling twin to batch parity") {
+    // r11 verdict task #7: the offset-managed feed seam must carry the
+    // REAL fixture, not toy rows. Replay every event into a
+    // 4-partition feed log and run the same tumbling aggregation the
+    // file-source parity case runs — the result must equal the batch
+    // query exactly. ts rides the log as epoch MILLIS: flooring the
+    // fixture's micros to ms can never move an event across an HOUR
+    // window boundary (boundaries are whole ms; floor is downward), so
+    // window assignment — and therefore every group, count, and
+    // decimal sum — is identical.
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_feedreplay_").toString
+    val ev = engine.Tables.events(spark, sf)
+      .select(col("event_id"), col("ts"), col("event_type"), col("value"))
+      .collect()
+    assert(ev.length >= 1000, "fixture must be the real events table")
+    ev.groupBy(r => (r.getLong(0) % 4).toInt).toSeq.sortBy(_._1)
+      .foreach { case (p, rows) =>
+        graft.streaming.FeedSource.append(dir, p,
+          rows.sortBy(_.getLong(0)).map { r =>
+            (r.getTimestamp(1).getTime, r.getString(2),
+              r.getDouble(3).toString)
+          }.toSeq)
+      }
+    val streamAgg = spark.readStream.format("graft-feed").load(dir)
+      .select(col("ts"), col("key").as("event_type"),
+        col("value").cast("double").as("value"))
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        queries.Det.dsum(col("value"), 4).as("sum_value"))
+      .select(col("window.start").as("w_start"), col("event_type"),
+        col("n"), col("sum_value"))
+    val q = streamAgg.writeStream.outputMode("complete")
+      .format("memory").queryName("feed_parity_out").start()
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("feed_parity_out")
+    val batch = Registry.byName("q_stream_tumbling").fn(spark, sf)
+    assert(batch.exceptAll(streamed).isEmpty
+      && streamed.exceptAll(batch).isEmpty,
+      "feed-replayed streaming result must equal the batch result exactly")
+    org.apache.commons.io.FileUtils.deleteDirectory(
+      new java.io.File(dir))
+  }
+
   test("streaming parquet file sink with checkpoint lands exactly the input rows") {
     val in = java.nio.file.Files.createTempDirectory("graft_sink_in_")
     java.nio.file.Files.copy(
