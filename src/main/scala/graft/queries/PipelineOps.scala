@@ -266,6 +266,106 @@ object PipelineOps {
       FROM comp GROUP BY canonical_id) n USING (canonical_id)
     ORDER BY doc_id"""))
 
+  /** EXT (r13): cluster-resolved dedup with a KEEP-BEST rule — the
+    * production counterpart of [[dedupComponents]]' keep-min-id
+    * canonicals. Real pipelines don't keep the lowest doc_id of a
+    * near-dup cluster; they keep the highest-QUALITY member and drop
+    * the rest (SlimPajama, FineWeb: dedup keeps the "best" copy by a
+    * quality heuristic). Clusters come from the same confident-edge
+    * connected components; the keeper is argmax by alphabetic-char
+    * ratio with doc_id ascending as the tie-break, expressed as ONE
+    * struct-max aggregate per cluster — `max(struct(q, -doc_id))` is
+    * (q DESC, doc_id ASC) argmax with no per-cluster window sort, the
+    * same two-phase SortAggregate shape as the OHLC rewrite (struct
+    * agg buffers can't hash-agg; still partial+final, parallel per
+    * split). The quality double is a single division of exact longs
+    * (float-parity rule); empty docs pin q = −1 so the NaN ordering
+    * divergence surface never exists. Output is one row per cluster
+    * (singletons included): the keeper, its score, and the drop count.
+    * Scale: edges are output-bound (t = 0.8), components O(log
+    * diameter) rounds, and the keep rule is one keyed aggregate —
+    * nothing here exceeds the machinery already measured linear
+    * through sf40. */
+  val dedupClusterKeep: Q = Q(
+    "q_dedup_cluster_keep",
+    (s, d) => {
+      val edges = DedupOps.ngramPairs(s, DedupOps.ngramGrams(s, d),
+          blockCap = 512, t = EdgeThreshold)
+        .select(col("a_id").as("src"), col("b_id").as("dst"))
+      val comp = connectedComponents(s, edges)
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"),
+          when(col("n_chars") === 0, lit(-1.0))
+            .otherwise(
+              length(regexp_replace(col("text"), "[^a-z]", ""))
+                .cast("double") / col("n_chars"))
+            .as("q"))
+      val canon = docs
+        .join(comp, docs("doc_id") === comp("node"), "left")
+        .select(col("doc_id"), col("q"),
+          coalesce(col("label"), col("doc_id")).as("canonical_id"))
+      canon.groupBy(col("canonical_id"))
+        .agg(
+          max(struct(col("q").as("q"), (-col("doc_id")).as("negid")))
+            .as("best"),
+          count(lit(1)).as("cluster_size"))
+        .select(col("canonical_id"),
+          (-col("best.negid")).as("keep_id"),
+          col("best.q").as("keep_q"),
+          col("cluster_size"),
+          (col("cluster_size") - 1).as("n_dropped"))
+        .orderBy("canonical_id")
+    },
+    Some("""WITH RECURSIVE t AS (
+      SELECT doc_id, source,
+        list_filter(string_split(lower(text), ' '), x -> x != '') AS toks
+      FROM documents),
+    d AS (
+      SELECT doc_id, source,
+        list_distinct(list_transform(
+          generate_series(1, len(toks) - 4),
+          i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+            || ' ' || toks[i+3] || ' ' || toks[i+4]))
+          AS bg
+      FROM t WHERE len(toks) >= 5),
+    g AS (
+      SELECT doc_id, source, len(bg) AS n, unnest(bg) AS gram FROM d),
+    common AS (
+      SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+        count(*) AS c, any_value(a.n) AS na, any_value(b.n) AS nb
+      FROM g a JOIN g b
+        ON a.source = b.source AND a.gram = b.gram AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id),
+    pairs AS (
+      SELECT a_id, b_id FROM common
+      WHERE CAST(c AS DOUBLE) / (na + nb - c) >= 0.8),
+    edges AS (
+      SELECT a_id AS src, b_id AS dst FROM pairs
+      UNION ALL SELECT b_id, a_id FROM pairs),
+    reach(node, lbl) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.node),
+    comp AS (
+      SELECT node AS doc_id, min(lbl) AS canonical_id
+      FROM reach GROUP BY node),
+    scored AS (
+      SELECT c.canonical_id, c.doc_id,
+        CASE WHEN doc.n_chars = 0 THEN -1.0e0
+          ELSE CAST(length(regexp_replace(doc.text, '[^a-z]', '', 'g'))
+            AS DOUBLE) / doc.n_chars END AS q
+      FROM comp c JOIN documents doc USING (doc_id)),
+    ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY canonical_id
+        ORDER BY q DESC, doc_id ASC) AS rn,
+        count(*) OVER (PARTITION BY canonical_id) AS cluster_size
+      FROM scored)
+    SELECT canonical_id, doc_id AS keep_id, q AS keep_q,
+      CAST(cluster_size AS BIGINT) AS cluster_size,
+      CAST(cluster_size - 1 AS BIGINT) AS n_dropped
+    FROM ranked WHERE rn = 1
+    ORDER BY canonical_id"""))
+
   /** Context-window token budget for sequence packing. */
   private val PackBudget = 2048L
 
@@ -623,6 +723,64 @@ object PipelineOps {
         AS weight
     FROM per_src, tot ORDER BY source"""))
 
+  /** EXT (r13): TEMPERATURE-scaled mixing — the sampling-probability
+    * form real multilingual/pretraining mixes use (p_s ∝ n_s^α with
+    * α < 1 upweights small sources; mBERT/XLM-R exponent-smoothed
+    * sampling). α = 1/2 exactly, for a float-parity reason: `sqrt` is
+    * IEEE-754 correctly rounded in BOTH engines, while `pow(x, 0.7)`
+    * is not guaranteed bit-equal between a JVM intrinsic and libm —
+    * a temperature knob would make the oracle compare flaky, a fixed
+    * √-sampling operator stays hash-exact. The normalizer Σ√n_s is a
+    * LEFT FOLD over the VALUE-SORTED per-source list (`aggregate ∘
+    * sort_array` here, `list_reduce ∘ list_sort` in DuckDB): a plain
+    * double `sum` is accumulation-order-dependent and would break
+    * cross-engine parity; source cardinality is fixed-small, so the
+    * collected list is bounded at any corpus size. `weight` is the
+    * up/down-sampling factor vs natural sampling (p_temp / share). */
+  val textMixTemperature: Q = Q(
+    "q_text_mix_temperature",
+    (s, d) => {
+      val perSrc = Tables.documents(s, d)
+        .select(col("source"),
+          size(filter(split(lower(col("text")), " "), t => t =!= ""))
+            .cast("long").as("n_tok"))
+        .groupBy(col("source"))
+        .agg(sum(col("n_tok")).as("n_tokens"))
+        .withColumn("sqrt_tok", sqrt(col("n_tokens").cast("double")))
+      val totals = perSrc.agg(
+        sum(col("n_tokens")).as("total_tokens"),
+        aggregate(sort_array(collect_list(col("sqrt_tok"))), lit(0.0),
+          (acc, x) => acc + x).as("z"))
+      perSrc.crossJoin(broadcast(totals))
+        .select(col("source"), col("n_tokens"),
+          (col("n_tokens").cast("double")
+            / col("total_tokens").cast("double")).as("share"),
+          (col("sqrt_tok") / col("z")).as("p_temp"))
+        .withColumn("weight", col("p_temp") / col("share"))
+        .select("source", "n_tokens", "share", "p_temp", "weight")
+        .orderBy("source")
+    },
+    Some("""WITH per_src AS (
+      SELECT source,
+        CAST(sum(len(list_filter(string_split(lower(text), ' '),
+          t -> t != ''))) AS BIGINT) AS n_tokens
+      FROM documents GROUP BY source),
+    sq AS (
+      SELECT source, n_tokens,
+        sqrt(CAST(n_tokens AS DOUBLE)) AS sqrt_tok
+      FROM per_src),
+    tot AS (
+      SELECT CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+        list_reduce(list_sort(list(sqrt_tok)), (a, x) -> a + x) AS z
+      FROM sq)
+    SELECT source, n_tokens,
+      CAST(n_tokens AS DOUBLE) / CAST(total_tokens AS DOUBLE) AS share,
+      sqrt_tok / z AS p_temp,
+      (sqrt_tok / z)
+        / (CAST(n_tokens AS DOUBLE) / CAST(total_tokens AS DOUBLE))
+        AS weight
+    FROM sq, tot ORDER BY source"""))
+
   /** EXT: join-key skew profile — the diagnostic run BEFORE deciding a
     * join strategy at scale: heavy-hitter keys with their share of
     * rows, beside the global key/row/max-bucket counts (the numbers
@@ -828,7 +986,13 @@ object PipelineOps {
     * corpus; final curated corpus) — pay the write once, every
     * consumer reads it. PipelineSpec pins the post-cut plan: ZERO
     * parquet scans (stages 5–6 read the survivors, never re-read the
-    * corpus) and the fixed exchange count of the weights+pack seams. */
+    * corpus) and the fixed exchange count of the weights+pack seams.
+    *
+    * Measured end-to-end (BenchOne steady iter2+): sf5 (250k docs)
+    * 14.4–15.0 s; sf20 (1M docs, 16g) 31–38 s — 4× the documents →
+    * ~2.2–2.6× the chain, tracking its dominant stage (the measured-
+    * linear near-dup machinery) plus the full-text exact-dedup
+    * shuffle. */
   val pipelineCurate: Q = Q(
     "q_pipeline_curate",
     (s, d) => {
@@ -1008,7 +1172,8 @@ object PipelineOps {
     FROM packed p JOIN wts w USING (source)
     ORDER BY p.source, p.doc_id"""))
 
-  val all: Seq[Q] = Seq(dedupComponents, textPack, textQualityFilter,
-    textChunk, textDecontaminate, profileTable, textMixWeights,
-    profileSkew, profileExpectations, profileDrift, pipelineCurate)
+  val all: Seq[Q] = Seq(dedupComponents, dedupClusterKeep, textPack,
+    textQualityFilter, textChunk, textDecontaminate, profileTable,
+    textMixWeights, textMixTemperature, profileSkew,
+    profileExpectations, profileDrift, pipelineCurate)
 }
