@@ -137,6 +137,58 @@ object MultimodalOps {
     FROM h ORDER BY doc_id"""
     })
 
+  /** EXT (r13): binary-media INGESTION via Spark's built-in
+    * `binaryFile` source — how an image/audio corpus actually enters
+    * a 100 TB pipeline: an object-store prefix of media objects read
+    * as (path, modificationTime, length, content) with
+    * `pathGlobFilter`, no custom reader, one task per file group. The
+    * container ships no media fixture, so the query first
+    * materializes one — a deterministic 2% doc slice exported as one
+    * `doc_<id>.bin` object each, written EXECUTOR-side
+    * (foreachPartition: the object-PUT shape, payloads never pass
+    * through the driver) — then ingests it back and projects identity
+    * + size + content digest. The oracle states the round-trip
+    * postcondition over the original documents table (fixture text is
+    * pure ASCII at every SF, so string md5 in DuckDB equals payload
+    * md5). At 100 TB only the read half exists — the export is
+    * fixture scaffolding, the same contract as q_ref_csv/orc/json
+    * (building the DataFrame executes the export; idempotent
+    * overwrite of a stable tmp dir). */
+  val multimodalIngest: Q = Q(
+    "q_multimodal_ingest",
+    (s, d) => {
+      val destRoot = new java.io.File(
+        s"${sys.props("java.io.tmpdir")}/graft_media/docs_bin")
+      if (destRoot.exists())
+        org.apache.commons.io.FileUtils.deleteDirectory(destRoot)
+      destRoot.mkdirs()
+      val destPath = destRoot.getAbsolutePath
+      Tables.documents(s, d)
+        .where(col("doc_id") % 50 === 0)
+        .select(col("doc_id"), col("text").cast("binary").as("payload"))
+        .foreachPartition { rows: Iterator[org.apache.spark.sql.Row] =>
+          rows.foreach { r =>
+            java.nio.file.Files.write(
+              java.nio.file.Paths.get(destPath,
+                f"doc_${r.getLong(0)}%012d.bin"),
+              r.getAs[Array[Byte]](1))
+          }
+        }
+      s.read.format("binaryFile")
+        .option("pathGlobFilter", "*.bin")
+        .load(destPath)
+        .select(
+          regexp_extract(col("path"), "doc_(\\d+)\\.bin$", 1)
+            .cast("long").as("doc_id"),
+          col("length").as("n_bytes"),
+          md5(col("content")).as("content_md5"))
+        .orderBy("doc_id")
+    },
+    Some("""SELECT doc_id,
+      CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+      md5(text) AS content_md5
+    FROM documents WHERE doc_id % 50 = 0 ORDER BY doc_id"""))
+
   val all: Seq[Q] = Seq(multimodalBinary, multimodalFeatures,
-    multimodalFrames, embedInference)
+    multimodalFrames, embedInference, multimodalIngest)
 }

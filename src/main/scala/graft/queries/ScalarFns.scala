@@ -196,6 +196,43 @@ object ScalarFns {
       json_extract_string(props, '$.k') IS NOT NULL AS has_k
     FROM events ORDER BY event_id"""))
 
+  /** EXT (r13): the Spark 4 VARIANT type — semi-structured data as a
+    * first-class typed column (`parse_json` → VARIANT, typed
+    * `variant_get` path extraction, `try_parse_json` error channel,
+    * `to_json` round-trip). This is the modern replacement for
+    * string-JSON re-parsing: a VARIANT parses ONCE into a binary
+    * form and every downstream extraction is a typed offset walk, the
+    * Parquet-shredding story at 100 TB (vs q_fn_json's per-call
+    * Jackson path). Built with `expr` since the SQL surface is the
+    * stable API. Oracle notes: DuckDB has no VARIANT, so the mirror
+    * extracts through its JSON type; the round-trip string is
+    * reconstructed in the fixture's canonical-minified shape (Spark's
+    * `to_json(variant)` minifies; DuckDB's JSON cast preserves input
+    * spacing — single-integer-key objects make the reconstruction
+    * exact, the same fixture-shaped-text rule as the CSV/XML
+    * oracles). */
+  val fnVariant: Q = Q(
+    "q_fn_variant",
+    (s, d) =>
+      Tables.events(s, d)
+        .select(
+          col("event_id"),
+          expr("variant_get(parse_json(props), '$.k', 'long')")
+            .as("k_num"),
+          expr("to_json(parse_json(props))").as("json_rt"),
+          // corrupt PREFIX, not suffix: both parsers tolerate trailing
+          // garbage after a complete object, neither an unclosed one
+          expr("try_parse_json(concat('{', props)) IS NULL")
+            .as("bad_is_null"),
+          expr("is_variant_null(parse_json('null'))").as("null_literal"))
+        .orderBy("event_id"),
+    Some("""SELECT event_id,
+      CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_num,
+      '{"k":' || json_extract_string(props, '$.k') || '}' AS json_rt,
+      TRY_CAST(('{' || props) AS JSON) IS NULL AS bad_is_null,
+      true AS null_literal
+    FROM events ORDER BY event_id"""))
+
   /** B26 adjunct: null-handling family over the sparse side of an outer
     * join (coalesce/nullif/nvl/conditional defaults). */
   val fnNull: Q = Q(
@@ -478,5 +515,5 @@ object ScalarFns {
 
   val all: Seq[Q] = Seq(fnString, fnDate, fnMath, fnArray, fnJson, fnNull,
     fnTryCast, fnHash, fnRegex, fnStruct, fnBitwise, fnZorder, fnUrl,
-    fnInterval)
+    fnInterval, fnVariant)
 }
