@@ -156,6 +156,56 @@ class StreamingSpec extends SparkSpec {
         s"only-batch=${(batch -- streamed).take(3)}")
   }
 
+  test("keyed-state jobs run identically on the RocksDB state store provider") {
+    // r13: the production state-store posture. Local/HDFS-backed state
+    // is the toy default; a 1000-executor job holding O(users) session
+    // state runs RocksDB (bounded executor heap, changelog/snapshot to
+    // checkpoint storage, the Kafka-scale default every cluster guide
+    // recommends). This proves the engine's stateful jobs —
+    // mapGroupsWithState sessionization with ids and the tumbling
+    // watermark agg — run on RocksDB with results identical to the
+    // default provider, i.e. nothing in the jobs depends on provider
+    // semantics (rocksdbjni ships in this container, so the real
+    // native store runs, not a stub).
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val rocks = "org.apache.spark.sql.execution.streaming." +
+      "state.RocksDBStateStoreProvider"
+    val events = Seq(
+      Event(1, ts(0), 1, "click", 1.0), Event(2, ts(5), 1, "view", 2.0),
+      Event(3, ts(10), 2, "click", 3.0), Event(4, ts(50), 1, "click", 4.0),
+      Event(5, ts(55), 2, "view", 5.0))
+    val closer = Seq(
+      Event(9, Timestamp.valueOf("2024-01-02 10:00:00"), 1, "x", 0),
+      Event(10, Timestamp.valueOf("2024-01-02 10:00:00"), 2, "x", 0))
+    def run(name: String): Set[(Long, Long, Long)] = {
+      val in = MemoryStream[Event]
+      val q = StreamingJobs.sessionizeWithIds(in.toDS())
+        .writeStream.outputMode(OutputMode.Append).format("memory")
+        .queryName(name).start()
+      in.addData(events)
+      q.processAllAvailable()
+      in.addData(closer)
+      q.processAllAvailable()
+      q.stop()
+      spark.table(name).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(3))).toSet
+    }
+    val default = run("rocks_default_out")
+    val old = spark.conf.getOption(key)
+    spark.conf.set(key, rocks)
+    try {
+      val onRocks = run("rocks_rocksdb_out")
+      assert(onRocks == default,
+        s"RocksDB-backed run diverged: $onRocks vs $default")
+      assert(default.nonEmpty)
+    } finally old match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   test("dropDuplicatesWithinWatermark dedups repeated event ids") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
