@@ -1,8 +1,8 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{ExpiredTimerInfo, GroupState, GroupStateTimeout, OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
 
 /** Structured Streaming jobs (SURVEY.md §2B B38–B42, streaming-only
   * half). The windowed aggregations reuse the exact expressions of
@@ -135,6 +135,84 @@ object StreamingJobs {
             out.result().iterator
           }
       }
+  }
+
+  /** r13: the SAME sessionization on Spark 4's `transformWithState` —
+    * the new arbitrary-stateful API ("state v2") that succeeds
+    * `[flat]mapGroupsWithState`: NAMED typed state slots from a
+    * handle (value/list/map, each with optional TTL), explicit
+    * event-time TIMERS instead of the single per-key timeout, and a
+    * RocksDB-backed runtime (the API refuses the HDFS toy store — the
+    * production posture is mandatory, not optional). The processor
+    * reproduces [[sessionizeWithIds]]'s SessionAcc semantics exactly
+    * — same fold, same watermark-clamped close timer, one-timer-at-a-
+    * time via delete+register (timers accumulate across batches in
+    * this API where setTimeoutTimestamp replaced) — and StreamingSpec
+    * pins output parity between the two APIs on the same input, so
+    * they are interchangeable implementations of the one operator. */
+  final class SessionProcessor(gapSec: Long)
+      extends StatefulProcessor[Long, Event, UserSession] {
+    @transient private var state: ValueState[SessionAcc] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      state = getHandle.getValueState[SessionAcc](
+        "session", Encoders.product[SessionAcc], TTLConfig.NONE)
+
+    private def close(userId: Long, st: SessionAcc): UserSession =
+      UserSession(userId, st.seq, st.n, st.lastSec - st.startSec, st.n == 1)
+
+    override def handleInputRows(
+        userId: Long, rows: Iterator[Event],
+        tv: TimerValues): Iterator[UserSession] = {
+      val out = Seq.newBuilder[UserSession]
+      var cur = if (state.exists()) Some(state.get()) else None
+      rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).foreach { e =>
+        val sec = Math.floorDiv(e.ts.getTime, 1000L)
+        cur = cur match {
+          case Some(st) if sec - st.lastSec <= gapSec =>
+            Some(st.copy(lastSec = sec, n = st.n + 1))
+          case Some(st) =>
+            out += close(userId, st)
+            Some(SessionAcc(st.seq + 1, sec, sec, 1))
+          case None =>
+            Some(SessionAcc(1, sec, sec, 1))
+        }
+      }
+      cur.foreach { st =>
+        state.update(st)
+        // one live timer per key: this API's timers ACCUMULATE (no
+        // setTimeoutTimestamp overwrite semantics), so replace the
+        // previous close timer; clamp past the watermark for the same
+        // batch-spans-more-than-the-gap reason as sessionizeWithIds
+        getHandle.listTimers().foreach(t =>
+          getHandle.deleteTimer(t.asInstanceOf[Long]))
+        val candidate = (st.lastSec + gapSec) * 1000L + 1000L
+        getHandle.registerTimer(
+          math.max(candidate, tv.getCurrentWatermarkInMs() + 1000L))
+      }
+      out.result().iterator
+    }
+
+    override def handleExpiredTimer(
+        userId: Long, tv: TimerValues,
+        info: ExpiredTimerInfo): Iterator[UserSession] =
+      if (state.exists()) {
+        val st = state.get()
+        state.clear()
+        Iterator(close(userId, st))
+      } else Iterator.empty
+  }
+
+  /** [[sessionizeWithIds]] on the transformWithState runtime (requires
+    * the RocksDB state store provider). */
+  def sessionizeTws(
+      events: Dataset[Event], gapSec: Long = 1800L): Dataset[UserSession] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupByKey(_.user_id)
+      .transformWithState(new SessionProcessor(gapSec),
+        TimeMode.EventTime(), OutputMode.Append())
   }
 
   /** B42a: stateful exact dedup by event_id with bounded state — the
