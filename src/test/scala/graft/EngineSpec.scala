@@ -524,3 +524,38 @@ class SnapshotSpec extends SparkSpec {
     }
   }
 }
+
+class GateSpec extends SparkSpec {
+  import org.apache.spark.sql.functions._
+
+  test("observe-based gate measures on the action's own pass and matches a direct aggregate") {
+    val docs = engine.Tables.documents(spark, sf)
+    val (gated, obs) = engine.Gate.observed(
+      docs, "corpus_ingest", engine.Gate.corpusMetrics)
+    // the ACTION is the pipeline's own write (noop sink) — no second
+    // aggregation job runs for the metrics
+    Bench.materialize(gated)
+    val row = engine.Gate.require_(obs, m =>
+      m("null_ids") == 0L && m("n_rows").asInstanceOf[Long] > 0)
+    val direct = docs.agg(
+      count(lit(1)), count(when(col("doc_id").isNull, 1)),
+      count(when(length(col("text")) === 0, 1)),
+      sum(col("n_chars")).cast("long")).head()
+    assert(row("n_rows") == direct.getLong(0))
+    assert(row("null_ids") == direct.getLong(1))
+    assert(row("empty_docs") == direct.getLong(2))
+    assert(row("total_chars") == direct.getLong(3))
+  }
+
+  test("gate rejection carries the metric row; observation is per-run") {
+    val docs = engine.Tables.documents(spark, sf)
+    val (gated, obs) = engine.Gate.observed(
+      docs, "reject_gate", engine.Gate.corpusMetrics)
+    Bench.materialize(gated)
+    val e = intercept[IllegalStateException] {
+      engine.Gate.require_(obs, _ => false)
+    }
+    assert(e.getMessage.contains("reject_gate")
+      && e.getMessage.contains("n_rows"))
+  }
+}
