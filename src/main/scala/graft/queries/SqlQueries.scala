@@ -172,5 +172,63 @@ object SqlQueries {
     WHERE c.c_custkey < 300
     ORDER BY c.c_custkey, t.o_orderkey"""))
 
-  val all: Seq[Q] = Seq(sqlQ3, sqlQ5, sqlQ10, sqlSubquery, sqlLateral)
+  /** EXT (r13): RECURSIVE CTE — Spark 4's `WITH RECURSIVE` (the
+    * UnionLoop execution added in 4.0) on the canonical warehouse
+    * use: a calendar spine generated by recursion, outer-joined to
+    * monthly revenue so empty months SURFACE as rows (the
+    * gap-detection report a plain GROUP BY month cannot produce —
+    * missing months simply don't exist in its output). The recursion
+    * is the month-index walk 0..83 (strictly increasing → terminates;
+    * Spark's recursive CTEs support UNION ALL only — cyclic closures
+    * like the components oracle still need the DataFrame iteration,
+    * which is also the 100 TB-scale answer). Decimal-domain month
+    * sums; the monthly unscaled total stays far under 2^53 at every
+    * measured SF, so the direct decimal→double cast is correctly
+    * rounded in both engines (Det rules). */
+  val sqlRecursiveSpine: Q = Q(
+    "q_sql_recursive_spine",
+    (s, d) => withViews(s, d)("""
+      WITH RECURSIVE months(i) AS (
+        SELECT 0
+        UNION ALL
+        SELECT i + 1 FROM months WHERE i < 83),
+      spine AS (
+        SELECT add_months(DATE '1995-01-01', i) AS month_start
+        FROM months),
+      rev AS (
+        SELECT CAST(date_trunc('MONTH', o_orderdate) AS DATE)
+            AS month_start,
+          count(*) AS n_orders,
+          CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE)
+            AS month_total
+        FROM orders GROUP BY 1)
+      SELECT s.month_start,
+        COALESCE(r.n_orders, 0) AS n_orders,
+        COALESCE(r.month_total, CAST(0 AS DOUBLE)) AS month_total,
+        (r.n_orders IS NULL) AS is_gap
+      FROM spine s LEFT JOIN rev r ON r.month_start = s.month_start
+      ORDER BY s.month_start"""),
+    Some("""WITH RECURSIVE months(i) AS (
+      SELECT 0
+      UNION ALL
+      SELECT i + 1 FROM months WHERE i < 83),
+    spine AS (
+      SELECT CAST(DATE '1995-01-01' + to_months(CAST(i AS INT)) AS DATE)
+        AS month_start
+      FROM months),
+    rev AS (
+      SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month_start,
+        count(*) AS n_orders,
+        CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE)
+          AS month_total
+      FROM orders GROUP BY 1)
+    SELECT s.month_start,
+      COALESCE(r.n_orders, 0) AS n_orders,
+      COALESCE(r.month_total, CAST(0 AS DOUBLE)) AS month_total,
+      (r.n_orders IS NULL) AS is_gap
+    FROM spine s LEFT JOIN rev r ON r.month_start = s.month_start
+    ORDER BY s.month_start"""))
+
+  val all: Seq[Q] = Seq(sqlQ3, sqlQ5, sqlQ10, sqlSubquery, sqlLateral,
+    sqlRecursiveSpine)
 }
