@@ -45,11 +45,29 @@ object SortBelowExpensiveProject extends Rule[LogicalPlan] {
 
   /** Expensive = per-row cost comparable to or above a shuffle write:
     * regex evaluation, interpreted higher-order functions, Scala UDFs,
-    * or any of the engine's native kernels (graft.functions.*). */
+    * any of the engine's native kernels (graft.functions.*), or the
+    * VARIANT family (r13: `parse_json` builds the binary variant via a
+    * reflective StaticInvoke, `to_json(variant)` re-serializes through
+    * an evaluator Invoke, `variant_get` walks the binary — all
+    * interpreted, all heavy; q_fn_variant at sf0.1 measured ~3.4 s of
+    * its ~4 s in the range-sampler's re-execution of exactly these
+    * before this clause). Variant detection is structural, not a class
+    * list: any non-leaf expression PRODUCING a variant (parse_json,
+    * try_parse_json), anything in the variant expression package
+    * (variant_get and friends), or an object-invoke CONSUMING a
+    * variant input (the to_json evaluator shape). */
   private def expensive(e: Expression): Boolean = e.exists {
     case _: RegExpExtractAll | _: RegExpExtract | _: RegExpReplace => true
     case _: HigherOrderFunction => true
     case _: ScalaUDF => true
+    case x if !x.isInstanceOf[
+          org.apache.spark.sql.catalyst.expressions.Attribute]
+        && x.dataType.isInstanceOf[org.apache.spark.sql.types.VariantType] =>
+      true
+    case x if x.getClass.getName.contains(".expressions.variant.") => true
+    case x: org.apache.spark.sql.catalyst.expressions.objects.Invoke
+        if x.children.exists(_.dataType.isInstanceOf[
+          org.apache.spark.sql.types.VariantType]) => true
     case other => other.getClass.getName.startsWith("graft.functions.")
   }
 
