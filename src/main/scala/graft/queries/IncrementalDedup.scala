@@ -150,21 +150,70 @@ object IncrementalDedup {
     }
   }
 
+  /** The sibling index table's root (docs ⇄ postings) — grandfathering
+    * needs to know whether a label's OTHER half is down too. */
+  private def siblingRoot(root: String): Option[String] = {
+    val p = new org.apache.hadoop.fs.Path(root)
+    p.getName match {
+      case "ngram_docs" =>
+        Some(new org.apache.hadoop.fs.Path(p.getParent, "ngram_postings")
+          .toString)
+      case "ngram_postings" =>
+        Some(new org.apache.hadoop.fs.Path(p.getParent, "ngram_docs")
+          .toString)
+      case _ => None
+    }
+  }
+
   /** Present AND committed generations — the single choke point that
     * makes uncommitted (possibly torn) generations invisible to every
     * reader path: probe unions, compaction listings, replaces-lists,
-    * prune sweeps. */
+    * prune sweeps.
+    *
+    * Legacy grandfathering (ADVICE r13 medium): layouts built before
+    * the commit markers existed have committed-by-construction
+    * generations with no marker — a committed-only listing would make
+    * every folded day-generation (and every compacted gen, whose
+    * replaces-lists would stop being honored) permanently invisible,
+    * the very silent-wrong-data class the markers prevent. An unmarked
+    * generation is therefore stamped committed ON SIGHT iff the marker
+    * invariant it encodes already holds: its own manifest is present
+    * (publishAtomic's rename is the only writer of manifest-carrying
+    * dirs, so the rename completed) AND its sibling-table half is down
+    * too (same label dir in the other table) — the exact
+    * neither-or-both fact the writer's marker would have asserted.
+    * Compacted gens (`zcompact-*`) are content-preserving per table
+    * and commit on their own rename by design (see [[compactTable]]),
+    * so they grandfather without a sibling check. A genuinely torn
+    * legacy crash (one table only, non-compact) stays invisible and
+    * self-heals through the retry path, exactly like a post-marker
+    * crash. */
   private def genDirs(s: SparkSession, root: String): Seq[String] = {
     val p = new org.apache.hadoop.fs.Path(root)
     val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
     if (!fs.exists(p)) Seq.empty
     else {
       val committed = committedLabels(s, root)
+      def complete(genDir: org.apache.hadoop.fs.Path): Boolean =
+        fs.exists(new org.apache.hadoop.fs.Path(genDir,
+          graft.engine.Snapshot.ManifestFile))
       fs.listStatus(p).toSeq
         .filter { st =>
           val name = st.getPath.getName
-          st.isDirectory && name.startsWith(GenPrefix) &&
-            committed.contains(name.stripPrefix(GenPrefix))
+          lazy val label = name.stripPrefix(GenPrefix)
+          st.isDirectory && name.startsWith(GenPrefix) && {
+            committed.contains(label) || {
+              // grandfather: both halves complete (or content-preserving
+              // compact) ⇒ stamp the marker the legacy writer never wrote
+              val ok = complete(st.getPath) &&
+                (label.startsWith("zcompact-") ||
+                  siblingRoot(root).exists { sib =>
+                    complete(new org.apache.hadoop.fs.Path(sib, name))
+                  })
+              if (ok) commitLabel(s, root, label)
+              ok
+            }
+          }
         }
         .map(_.getPath.toString).sorted
     }
@@ -197,12 +246,47 @@ object IncrementalDedup {
       s: SparkSession, dir: String, label: String, docs: DataFrame): Unit = {
     require(label.matches("[A-Za-z0-9_-]+"), s"unsafe label: $label")
     require(label != "base", "label 'base' is reserved for the base build")
+    // Label-reuse guard (ADVICE r13): a marker WITHOUT both generation
+    // dirs means the label was pruned (or a prune crashed midway). A
+    // fold reusing it would be visible from its FIRST per-table rename
+    // (the marker already exists) — a crash between the two publishes
+    // then serves a docs gen with no postings, re-opening the exact
+    // torn window the markers close. Labels name batches; a pruned
+    // label is spent.
+    val hconf = s.sparkContext.hadoopConfiguration
+    val docsGen = new org.apache.hadoop.fs.Path(
+      s"$dir/ngram_docs/$GenPrefix$label")
+    val postGen = new org.apache.hadoop.fs.Path(
+      s"$dir/ngram_postings/$GenPrefix$label")
+    val fs = docsGen.getFileSystem(hconf)
+    if (committedLabels(s, s"$dir/ngram_docs").contains(label) &&
+        (!fs.exists(docsGen) || !fs.exists(postGen)))
+      throw new IllegalStateException(
+        s"index label '$label' has a commit marker but its generation " +
+          "dir(s) are gone — the label was pruned and cannot be reused " +
+          "(a reused label is visible from its first per-table publish, " +
+          "re-opening the torn-fold window). Pick a fresh label.")
     val d = docs.select(col("doc_id"), col("n"), col("bg"))
     publishGen(s, d, s"$dir/ngram_docs", label)
     publishGen(s, d.select(explode(col("bg")).as("g"),
       col("doc_id"), col("n")), s"$dir/ngram_postings", label)
     commitLabel(s, s"$dir/ngram_docs", label)
+    // Auto-compaction (VERDICT r13 next #6): the r13 measurement shows
+    // first-pass planning cost growing with generation COUNT; the
+    // policy point was manual. Conf-gated threshold: once the live
+    // generation count reaches it, fold — compactTable's digest-named
+    // publish-once target makes a retried fold that re-crosses the
+    // threshold a no-op (and post-compact the count is 1, under any
+    // sane threshold, so the retry never even triggers it).
+    val thr = s.conf.get(AutoCompactConf, "0").toInt
+    if (thr > 0 && liveGens(s, s"$dir/ngram_docs").size >= thr)
+      compactIndex(s, dir)
   }
+
+  /** Conf: live-generation-count threshold at which [[advanceIndex]]
+    * triggers [[compactIndex]] automatically (0 = off, the default —
+    * compaction stays an explicit maintenance job unless opted in). */
+  private[graft] val AutoCompactConf = "spark.graft.dedup.autoCompactGens"
 
   /** Compaction bookkeeping: a compacted generation carries
     * `_replaces.json` (the generation names whose content it folded)
@@ -290,8 +374,9 @@ object IncrementalDedup {
     * own replaces-list names is gone, so a prune that crashes midway
     * leaves every still-present input hidden by a still-present list
     * — no torn state resurrects replaced content for readers. */
-  def pruneIndex(s: SparkSession, dir: String): Unit =
-    for (root <- Seq(s"$dir/ngram_docs", s"$dir/ngram_postings")) {
+  def pruneIndex(s: SparkSession, dir: String): Unit = {
+    val roots = Seq(s"$dir/ngram_docs", s"$dir/ngram_postings")
+    for (root <- roots) {
       var present = genDirs(s, root)
       var progress = true
       while (progress) {
@@ -312,6 +397,23 @@ object IncrementalDedup {
         present = present.filterNot(deletable.toSet)
       }
     }
+    // Marker hygiene (ADVICE r13): a marker whose generation dirs are
+    // gone from BOTH tables is garbage — left behind, markers
+    // accumulate unboundedly AND a later fold reusing the label would
+    // be visible from its first per-table rename (see the reuse guard
+    // in [[advanceIndex]], the belt to this suspender). Deleting the
+    // marker only AFTER both dirs are gone preserves the invariant the
+    // other way: a prune crash before this sweep leaves marker+dirs
+    // consistent or marker-without-dirs, which the reuse guard rejects.
+    val cp = commitsPath(roots.head)
+    val fs = cp.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (fs.exists(cp)) fs.listStatus(cp).foreach { st =>
+      val label = st.getPath.getName
+      val anyDir = roots.exists(r => fs.exists(
+        new org.apache.hadoop.fs.Path(r, GenPrefix + label)))
+      if (!anyDir) fs.delete(st.getPath, true)
+    }
+  }
 
   /** Source-identity record, written beside the commit markers at base
     * publish: one `path|length|mtime` line per file of the documents

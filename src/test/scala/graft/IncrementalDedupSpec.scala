@@ -266,6 +266,148 @@ class IncrementalDedupSpec extends SparkSpec {
     }
   }
 
+  test("legacy pre-marker layouts grandfather: folded generations stay " +
+      "visible, torn legacy halves stay invisible") {
+    // ADVICE r14 medium: committed-only listing with no grandfathering
+    // silently dropped every pre-marker day-generation (liveGens came
+    // back empty → rebuild branch committed only 'base'). An unmarked
+    // generation whose manifest is present in BOTH tables encodes the
+    // same neither-or-both fact the marker would have asserted, so it
+    // is stamped committed on sight; an unmarked single-table half is
+    // a genuine legacy tear and stays invisible.
+    val dir = java.nio.file.Files.createTempDirectory("graft-gramidx-leg")
+    try {
+      spark.conf.set(IncrementalDedup.IndexDirConf, dir.toString)
+      q("q_dedup_incremental_near").collect() // publishes gen_base
+      val batch = engine.Tables.documents(spark, sf)
+        .where(col("doc_id") % 10 === 0)
+        .select(col("doc_id"),
+          graft.functions.GramHashes(spark, col("text"), 5).as("bg"))
+        .where(size(col("bg")) > 0)
+        .select(col("doc_id"), size(col("bg")).cast("long").as("n"), col("bg"))
+      IncrementalDedup.advanceIndex(spark, dir.toString, "day1", batch)
+      val (d0, p0) = IncrementalDedup.indexFor(spark, sf)
+      val (docs0, posts0) = (d0.count(), p0.count())
+
+      // make the layout "legacy": wipe the marker directory wholesale
+      org.apache.commons.io.FileUtils.deleteDirectory(
+        dir.resolve("_commits").toFile)
+      assert(!java.nio.file.Files.exists(dir.resolve("_commits")))
+
+      // every complete generation — base AND the folded day1 — must
+      // still be served, not just a re-committed base
+      val (d1, p1) = IncrementalDedup.indexFor(spark, sf)
+      assert(d1.count() == docs0 && p1.count() == posts0,
+        "grandfathering must restore ALL complete generations, " +
+          "not only gen_base")
+      // and the markers are re-stamped so the healed state is durable
+      assert(java.nio.file.Files.exists(dir.resolve("_commits")
+        .resolve("day1")), "grandfathering must re-stamp the marker")
+
+      // a legacy TEAR (docs half only, no marker) must stay invisible
+      graft.engine.Snapshot.publishAtomic(spark,
+        batch.limit(3), s"$dir/ngram_docs/gen_legacytear")
+      org.apache.commons.io.FileUtils.deleteQuietly(
+        dir.resolve("_commits").resolve("legacytear").toFile)
+      val (d2, _) = IncrementalDedup.indexFor(spark, sf)
+      assert(d2.count() == docs0,
+        "a single-table legacy half must NOT grandfather")
+    } finally {
+      spark.conf.unset(IncrementalDedup.IndexDirConf)
+      org.apache.commons.io.FileUtils.deleteDirectory(dir.toFile)
+    }
+  }
+
+  test("prune removes spent commit markers; a pruned label refuses reuse") {
+    // ADVICE r14 low: markers outliving their generation dirs
+    // accumulate unboundedly AND make a reused label visible from its
+    // first per-table rename — re-opening the torn window. pruneIndex
+    // now deletes a marker once BOTH tables' dirs are gone, and
+    // advanceIndex rejects a label whose marker exists without dirs.
+    val dir = java.nio.file.Files.createTempDirectory("graft-gramidx-prn")
+    try {
+      spark.conf.set(IncrementalDedup.IndexDirConf, dir.toString)
+      q("q_dedup_incremental_near").collect()
+      val batch = engine.Tables.documents(spark, sf)
+        .where(col("doc_id") % 10 === 0)
+        .select(col("doc_id"),
+          graft.functions.GramHashes(spark, col("text"), 5).as("bg"))
+        .where(size(col("bg")) > 0)
+        .select(col("doc_id"), size(col("bg")).cast("long").as("n"), col("bg"))
+      IncrementalDedup.advanceIndex(spark, dir.toString, "day1", batch)
+      IncrementalDedup.compactIndex(spark, dir.toString)
+      IncrementalDedup.pruneIndex(spark, dir.toString)
+      // base and day1 dirs are pruned; their markers must be gone too
+      for (l <- Seq("base", "day1"))
+        assert(!java.nio.file.Files.exists(dir.resolve("_commits")
+          .resolve(l)), s"spent marker '$l' must be deleted by prune")
+      // the live compacted gen keeps its marker
+      val live = IncrementalDedup.liveGens(spark, s"$dir/ngram_docs")
+      assert(live.size == 1 && live.head.contains("zcompact-"))
+
+      // reuse guard: a marker without dirs (partial-prune shape) must
+      // refuse the fold instead of publishing a torn mix
+      java.nio.file.Files.createDirectories(dir.resolve("_commits"))
+      java.nio.file.Files.createFile(dir.resolve("_commits")
+        .resolve("spent"))
+      val e = intercept[IllegalStateException] {
+        IncrementalDedup.advanceIndex(spark, dir.toString, "spent", batch)
+      }
+      assert(e.getMessage.contains("pruned"))
+      // and the refused fold published NOTHING
+      assert(!java.nio.file.Files.exists(
+        dir.resolve("ngram_docs").resolve("gen_spent")))
+    } finally {
+      spark.conf.unset(IncrementalDedup.IndexDirConf)
+      org.apache.commons.io.FileUtils.deleteDirectory(dir.toFile)
+    }
+  }
+
+  test("auto-compaction: a fold crossing the threshold compacts exactly " +
+      "once, including under retry") {
+    // VERDICT r13 next #6: the r13 curve shows first-pass planning cost
+    // growing with generation count; the policy trigger was manual.
+    // Conf-gated: advanceIndex compacts when the live-gen count reaches
+    // the threshold; the digest-named publish-once target plus the
+    // post-compact count of 1 make retries no-ops.
+    val dir = java.nio.file.Files.createTempDirectory("graft-gramidx-ac")
+    try {
+      spark.conf.set(IncrementalDedup.IndexDirConf, dir.toString)
+      spark.conf.set(IncrementalDedup.AutoCompactConf, "3")
+      val baseline = q("q_dedup_incremental_near").collect().toSeq
+      val batch = engine.Tables.documents(spark, sf)
+        .where(col("doc_id") % 10 === 0)
+        .select(col("doc_id"),
+          graft.functions.GramHashes(spark, col("text"), 5).as("bg"))
+        .where(size(col("bg")) > 0)
+        .select(col("doc_id"), size(col("bg")).cast("long").as("n"), col("bg"))
+      IncrementalDedup.advanceIndex(spark, dir.toString, "day1",
+        batch.where(col("doc_id") % 20 === 0)) // 2 gens < 3: no compact
+      assert(IncrementalDedup.liveGens(spark, s"$dir/ngram_docs").size == 2,
+        "below threshold must not compact")
+      IncrementalDedup.advanceIndex(spark, dir.toString, "day2",
+        batch.where(col("doc_id") % 20 =!= 0)) // 3 gens = threshold
+      val live = IncrementalDedup.liveGens(spark, s"$dir/ngram_docs")
+      assert(live.size == 1 && live.head.contains("zcompact-"),
+        "crossing the threshold must compact to one live generation")
+      def zcompactDirs() =
+        dir.resolve("ngram_docs").toFile.list()
+          .count(_.startsWith("gen_zcompact-"))
+      assert(zcompactDirs() == 1)
+      // retry of the same fold: publishes no-op, no second compaction
+      IncrementalDedup.advanceIndex(spark, dir.toString, "day2",
+        batch.where(col("doc_id") % 20 =!= 0))
+      assert(zcompactDirs() == 1, "retry must not re-compact")
+      assert(IncrementalDedup.liveGens(spark, s"$dir/ngram_docs").size == 1)
+      // the probe result is unchanged through the whole lifecycle
+      assert(q("q_dedup_incremental_near").collect().toSeq == baseline)
+    } finally {
+      spark.conf.unset(IncrementalDedup.IndexDirConf)
+      spark.conf.unset(IncrementalDedup.AutoCompactConf)
+      org.apache.commons.io.FileUtils.deleteDirectory(dir.toFile)
+    }
+  }
+
   test("bucketed postings co-locate the candidate join: bit-identical results, " +
       "zero-exchange index side under the no-broadcast regime") {
     // SCALE.md r11 claimed "a cluster deployment buckets the postings
