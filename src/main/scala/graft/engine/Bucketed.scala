@@ -148,43 +148,37 @@ object Bucketed {
         USING PARQUET CLUSTERED BY ($key) SORTED BY ($key) INTO $n BUCKETS
         LOCATION '$path'""")
     }
+    // record the use: retention distinguishes a coexisting ACTIVE
+    // identity (marker keeps advancing) from an abandoned one
+    LayoutUse.touch(s, path)
     s.table(ident)
   }
 
   /** Retention for superseded layouts: source-fingerprinted identities
     * mean a changed source ABANDONS its old layout dir rather than
     * overwriting it (the read path must never delete — an in-flight
-    * reader may hold the old listing). Keeps the `keep` most recently
-    * MODIFIED `graft_bkt_<name>_*` dirs per logical name and deletes
-    * the rest, dropping their catalog entries. mtime ordering is safe
-    * HERE (unlike Snapshot's name-ordered generations): a layout is a
-    * re-derivable cache, so the worst case of a clock lie is a
-    * rebuild, not data loss. Run from maintenance, beside
-    * Snapshot.expireGenerations.
+    * reader may hold the old listing). Per logical name, the `keep`
+    * most recently USED layouts are retained unconditionally, and the
+    * rest are deleted only once idle for `minIdleMs` (default 7 days)
+    * — because different scale factors / keys / bucket counts of one
+    * name coexist as independently ACTIVE layouts (r13 review), a
+    * count alone cannot tell "superseded" from "the other deployment's
+    * copy"; idleness can: every [[table]] attach touches the layout's
+    * `_graft_last_used` marker (see [[LayoutUse]]). Deleted layouts
+    * drop their catalog entries. Layouts are re-derivable caches, so
+    * the worst case of a clock lie is a rebuild, not data loss. Run
+    * from maintenance, beside Snapshot.expireGenerations; pass
+    * `minIdleMs = 0` only in single-identity deployments.
     * @return deleted directory names */
-  def expire(s: SparkSession, keep: Int = 1): Seq[String] = {
-    require(keep >= 1, "retention must keep at least one layout")
+  def expire(
+      s: SparkSession, keep: Int = 1,
+      minIdleMs: Long = 7L * 24 * 3600 * 1000): Seq[String] = {
     val root = s.conf.getOption(DirConf).getOrElse(
       sys.props("java.io.tmpdir").stripSuffix("/") + "/graft_buckets")
-    val rootP = new org.apache.hadoop.fs.Path(root)
-    val fs = rootP.getFileSystem(s.sparkContext.hadoopConfiguration)
-    if (!fs.exists(rootP)) return Nil
     val Layout = "graft_bkt_(.+)_[0-9a-f]{12}".r
-    fs.listStatus(rootP).toSeq
-      .filter(st => st.isDirectory &&
-        Layout.pattern.matcher(st.getPath.getName).matches &&
-        !st.getPath.getName.contains(".__staging__"))
-      .groupBy { st =>
-        val Layout(nm) = st.getPath.getName: @unchecked
-        nm
-      }
-      .toSeq.flatMap { case (_, sts) =>
-        sts.sortBy(-_.getModificationTime).drop(keep)
-      }
-      .map { st =>
-        s.sql(s"DROP TABLE IF EXISTS ${st.getPath.getName}")
-        fs.delete(st.getPath, true)
-        st.getPath.getName
-      }
+    LayoutUse.expireRoot(s, root,
+      { case Layout(nm) => Some(nm); case _ => None },
+      keep, minIdleMs,
+      ident => s.sql(s"DROP TABLE IF EXISTS $ident"))
   }
 }

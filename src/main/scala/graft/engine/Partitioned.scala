@@ -92,6 +92,7 @@ object Partitioned {
     val path = s"$root/graft_art_${name}_" +
       digest(s"$sfDir|$name|${df.schema.toDDL}|${SourceId.fingerprint(s, df)}")
     publishOnce(s, path)(df.write.parquet(_))
+    LayoutUse.touch(s, path)
     s.read.parquet(path)
   }
 
@@ -117,36 +118,27 @@ object Partitioned {
     publishOnce(s, path)(staging =>
       df.repartition(org.apache.spark.sql.functions.col(partCol))
         .write.partitionBy(partCol).parquet(staging))
+    LayoutUse.touch(s, path)
     s.read.parquet(path)
   }
 
   /** Retention for superseded layouts/artifacts — the [[Bucketed.expire]]
-    * twin for this root: keeps the `keep` most recently modified
-    * `graft_prt_*`/`graft_art_*` dirs per logical name, deletes the
-    * rest. Re-derivable caches, so mtime ordering's worst case is a
-    * rebuild. @return deleted directory names */
-  def expire(s: SparkSession, keep: Int = 1): Seq[String] = {
-    require(keep >= 1, "retention must keep at least one layout")
+    * twin for this root: per logical name, retains the `keep` most
+    * recently USED `graft_prt_*`/`graft_art_*` dirs unconditionally
+    * and deletes the rest only once idle ≥ `minIdleMs` (default 7
+    * days; see [[LayoutUse]] — coexisting active identities of one
+    * name keep renewing their use markers, abandoned ones stop).
+    * Re-derivable caches, so a clock lie's worst case is a rebuild.
+    * Pass `minIdleMs = 0` only in single-identity deployments.
+    * @return deleted directory names */
+  def expire(
+      s: SparkSession, keep: Int = 1,
+      minIdleMs: Long = 7L * 24 * 3600 * 1000): Seq[String] = {
     val root = s.conf.getOption(DirConf).getOrElse(
       sys.props("java.io.tmpdir").stripSuffix("/") + "/graft_parts")
-    val rootP = new org.apache.hadoop.fs.Path(root)
-    val fs = rootP.getFileSystem(s.sparkContext.hadoopConfiguration)
-    if (!fs.exists(rootP)) return Nil
     val Layout = "(graft_(?:prt|art)_.+)_[0-9a-f]{12}".r
-    fs.listStatus(rootP).toSeq
-      .filter(st => st.isDirectory &&
-        Layout.pattern.matcher(st.getPath.getName).matches &&
-        !st.getPath.getName.contains(".__staging__"))
-      .groupBy { st =>
-        val Layout(nm) = st.getPath.getName: @unchecked
-        nm
-      }
-      .toSeq.flatMap { case (_, sts) =>
-        sts.sortBy(-_.getModificationTime).drop(keep)
-      }
-      .map { st =>
-        fs.delete(st.getPath, true)
-        st.getPath.getName
-      }
+    LayoutUse.expireRoot(s, root,
+      { case Layout(nm) => Some(nm); case _ => None },
+      keep, minIdleMs, _ => ())
   }
 }

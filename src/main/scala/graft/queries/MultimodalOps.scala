@@ -152,28 +152,62 @@ object MultimodalOps {
     * pure ASCII at every SF, so string md5 in DuckDB equals payload
     * md5). At 100 TB only the read half exists — the export is
     * fixture scaffolding, the same contract as q_ref_csv/orc/json
-    * (building the DataFrame executes the export; idempotent
-    * overwrite of a stable tmp dir). */
+    * (building the DataFrame executes the export).
+    *
+    * The export is PUBLISH-ONCE keyed by (sfDir, source fingerprint)
+    * — ADVICE r14: the previous fixed shared path with
+    * delete-directory-then-rewrite raced concurrent sessions (one
+    * deletes while the other lists/reads). Now racing publishers
+    * stage under unique dirs and commit with one atomic rename;
+    * exactly one wins, losers read the winner's identical bytes, and
+    * a changed source re-keys instead of mutating under a reader.
+    * LOCAL-MODE NOTE: the executor-side writers and the driver's
+    * rename share java.io.tmpdir — true in local[k] (one JVM) and on
+    * any shared filesystem/object store; a real cluster points the
+    * export at the object store, where foreachPartition PUTs and the
+    * commit is the store's atomic publish primitive. */
   val multimodalIngest: Q = Q(
     "q_multimodal_ingest",
     (s, d) => {
-      val destRoot = new java.io.File(
-        s"${sys.props("java.io.tmpdir")}/graft_media/docs_bin")
-      if (destRoot.exists())
-        org.apache.commons.io.FileUtils.deleteDirectory(destRoot)
-      destRoot.mkdirs()
-      val destPath = destRoot.getAbsolutePath
-      Tables.documents(s, d)
+      val docsBin = Tables.documents(s, d)
         .where(col("doc_id") % 50 === 0)
         .select(col("doc_id"), col("text").cast("binary").as("payload"))
-        .foreachPartition { rows: Iterator[org.apache.spark.sql.Row] =>
-          rows.foreach { r =>
-            java.nio.file.Files.write(
-              java.nio.file.Paths.get(destPath,
-                f"doc_${r.getLong(0)}%012d.bin"),
-              r.getAs[Array[Byte]](1))
+      val fp = java.security.MessageDigest.getInstance("SHA-1")
+        .digest(s"$d|${graft.engine.SourceId.fingerprint(s, docsBin)}"
+          .getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(12)
+      val destPath =
+        s"${sys.props("java.io.tmpdir")}/graft_media/docs_bin_$fp"
+      val conf = s.sparkContext.hadoopConfiguration
+      val destP = new org.apache.hadoop.fs.Path(destPath)
+      val fs = destP.getFileSystem(conf)
+      if (!fs.exists(destP)) {
+        val staging = new org.apache.hadoop.fs.Path(
+          s"$destPath.__staging__${
+            java.util.UUID.randomUUID().toString.take(8)}")
+        try {
+          fs.mkdirs(staging)
+          val stagingPath = staging.toUri.getPath
+          docsBin.foreachPartition {
+            rows: Iterator[org.apache.spark.sql.Row] =>
+              rows.foreach { r =>
+                java.nio.file.Files.write(
+                  java.nio.file.Paths.get(stagingPath,
+                    f"doc_${r.getLong(0)}%012d.bin"),
+                  r.getAs[Array[Byte]](1))
+              }
           }
+          val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+            fs.getUri, conf)
+          try fc.rename(staging, destP,
+            org.apache.hadoop.fs.Options.Rename.NONE)
+          catch { // lost the publish race; winner's bytes are identical
+            case _: org.apache.hadoop.fs.FileAlreadyExistsException => ()
+          }
+        } finally {
+          if (fs.exists(staging)) fs.delete(staging, true)
         }
+      }
       s.read.format("binaryFile")
         .option("pathGlobFilter", "*.bin")
         .load(destPath)

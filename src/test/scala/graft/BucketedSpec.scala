@@ -160,7 +160,17 @@ class BucketedSpec extends SparkSpec {
       def layouts = root.listFiles.toSeq
         .map(_.getName).filter(_.startsWith("graft_bkt_mut_"))
       assert(layouts.size == 2, s"expected old+new layouts, got $layouts")
-      val deleted = graft.engine.Bucketed.expire(spark, keep = 1)
+      // ADVICE r14: with the default idle grace, a recently-used layout
+      // is NEVER reclaimed even beyond keep — two coexisting active
+      // identities (alternating sf sessions, two keys) must not thrash
+      // full rebuilds under maintenance with keep=1
+      assert(graft.engine.Bucketed.expire(spark, keep = 1).isEmpty,
+        "default idle grace must protect recently-used layouts")
+      assert(layouts.size == 2)
+      // with the grace waived (single-identity deployment), the less
+      // recently USED layout — the abandoned one — is reclaimed
+      val deleted = graft.engine.Bucketed.expire(spark, keep = 1,
+        minIdleMs = 0)
       assert(deleted.size == 1 && layouts.size == 1,
         s"expire must reclaim exactly the abandoned layout: $deleted")
       // the surviving layout still answers (and is the fresh one)

@@ -102,7 +102,12 @@ class PartitionedSpec extends SparkSpec {
         graft.engine.Partitioned.DirConf))
       assert(root.listFiles.count(_.getName.startsWith("graft_prt_mut_"))
         == 2)
-      val deleted = graft.engine.Partitioned.expire(spark, keep = 1)
+      // default idle grace protects recently-used layouts (ADVICE r14:
+      // coexisting active identities of one name must not thrash)
+      assert(graft.engine.Partitioned.expire(spark, keep = 1).isEmpty,
+        "default idle grace must protect recently-used layouts")
+      val deleted = graft.engine.Partitioned.expire(spark, keep = 1,
+        minIdleMs = 0)
       assert(deleted.size == 2, // one prt + one art abandoned
         s"expire must reclaim the two abandoned layouts: $deleted")
       assert(graft.engine.Partitioned
