@@ -93,6 +93,14 @@ object Bench {
       warmupFailed = Some(String.valueOf(e.getMessage))
       System.err.println(s"[bench] warm-up failed: ${e.getMessage}")
     }
+    // Host-speed calibration (r14, VERDICT r13 next #2): one fixed
+    // Spark-free CPU work unit per process, published beside every
+    // total as calib_sec + total_over_calib so cross-day totals stop
+    // needing drift-vs-regression forensics (see [[Calib]]). Measured
+    // after the warm-up so JIT/GC churn from session bootstrap doesn't
+    // land in the probe.
+    val calibSec = Calib.seconds()
+    System.err.println(f"[bench] calib_sec: $calibSec%.3f")
     // Fixed, reproducible order — name-sorted compute queries first,
     // the I/O block last — so round-over-round totals compare the same
     // schedule (hash-map iteration order reshuffles on every added
@@ -162,7 +170,8 @@ object Bench {
       val head =
         if (warmupFailed.isEmpty && fl.isEmpty) s""""value":${fmt(tot, 3)}"""
         else s""""value":null,"value_degraded":${fmt(tot, 3)}"""
-      s"""{"metric":"total",$head,"unit":"sec","queries":${
+      s"""{"metric":"total",$head,"unit":"sec","calib_sec":${fmt(calibSec, 3)
+      },"total_over_calib":${fmt(tot / calibSec, 1)},"queries":${
         res.map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")
       },"failed":$flJson$warmupJson$extra,"sf":"$sfDir"}"""
     }
@@ -231,7 +240,9 @@ object Bench {
     // map is in bench.json (committed to the repo root).
     val top = results.sortBy(-_._2).take(25)
     val omitted = results.size - top.size
-    println(s"""{"metric":"total",${headline(3)},"unit":"sec","queries":${
+    println(s"""{"metric":"total",${headline(3)},"unit":"sec","calib_sec":${
+      fmt(calibSec, 3)},"total_over_calib":${fmt(total / calibSec, 1)
+    },"queries":${
       top.map { case (k, v) => entry(k, v, 3) }.mkString("{", ",", "}")
     },"queries_omitted":$omitted,"failed":$failedJson$warmupJson,"detail":"$out","sf":"$sfDir"}""")
     spark.stop()

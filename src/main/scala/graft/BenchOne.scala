@@ -21,12 +21,18 @@ object BenchOne {
       spark.conf.set(k, v)
       println(s"[benchone] conf $k=$v")
     }
+    // Same host-speed probe as Bench: steady-state comparisons across
+    // host-days divide by this (see [[Calib]]).
+    val calibSec = Calib.seconds()
+    println(f"[benchone] calib_sec: $calibSec%.3f")
     (1 to iters).foreach { i =>
       val t0 = System.nanoTime()
       // Same full-materialization metric as Bench (noop sink): count()
       // would let Catalyst prune the projections and drop the sort.
       Bench.materialize(SparkEntry.queries(name)(spark, sfDir))
-      println(f"[benchone] $name iter$i: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      val sec = (System.nanoTime() - t0) / 1e9
+      println(
+        f"[benchone] $name iter$i: $sec%.2f s (/calib ${sec / calibSec}%.2f)")
     }
     spark.stop()
   }
