@@ -1,0 +1,88 @@
+package graft.engine
+
+import java.util.Properties
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** A1 as the reference actually performs it: extract from a LIVE
+  * relational database over the wire (`pg_dump -Fc -h host -U user -d
+  * db` — backup.sh:210; the SQL Server path submits the extract to the
+  * engine server-side, backup.sh:118-121), then land the snapshot in
+  * the immutable store. The engine's query surface maps A1 to parquet
+  * scans for the fixture tables, but the production entry point is
+  * `spark.read.jdbc` — and at 100 TB the difference between a correct
+  * and a broken extract is RANGE PARTITIONING: a naive JDBC read is
+  * ONE connection streaming the whole table through one task (the
+  * exact single-`pg_dump` bottleneck the reference lives with), while
+  * `partitionColumn/lowerBound/upperBound/numPartitions` gives N
+  * concurrent range-bounded cursors, each executor pulling its own
+  * slice, with per-range predicates evaluated INSIDE the database
+  * (`WHERE pk >= lo AND pk < hi` server-side — the same "push work to
+  * the storage engine" posture as the reference's server-side backup).
+  *
+  * The extract composes with the engine's existing publish discipline:
+  * [[snapshot]] lands the ranged read via [[Snapshot.publishAtomic]],
+  * so a database snapshot generation gets the same staging + verify +
+  * single-rename visibility, manifest/stats files, retention and time
+  * travel as every other generation — the reference's temp-dump →
+  * upload → restore-verify flow with the verification moved before
+  * visibility (A7's strengthening).
+  *
+  * Filter pushdown comes free from Spark's JDBC source (predicates
+  * compile to the remote WHERE clause; JdbcExtractSpec pins both the
+  * partition count and the pushed filter reaching the source), which
+  * is A1's other production requirement: a column-filtered extract
+  * must not ship the whole table. JDBC auth options (user/password,
+  * or the IAM token + pinned CA of psql-backups-iam-auth.sh:119-124)
+  * ride the Properties object from [[JobConfig]] — config, not code.
+  */
+object JdbcExtract {
+  /** Ranged parallel read of one table: `numPartitions` concurrent
+    * range cursors on `partitionColumn` ∈ [lowerBound, upperBound].
+    * The column must be numeric/date-like and SHOULD be the primary
+    * key or another indexed, roughly-uniform column — the reference's
+    * databases all carry integer PKs, and a skewed partition column
+    * recreates the single-cursor bottleneck on the hot range. */
+  def rangedRead(
+      s: SparkSession, url: String, table: String,
+      partitionColumn: String, lowerBound: Long, upperBound: Long,
+      numPartitions: Int, props: Properties = new Properties()): DataFrame = {
+    require(numPartitions >= 1, s"numPartitions must be >= 1: $numPartitions")
+    require(upperBound > lowerBound,
+      s"empty partition range: [$lowerBound, $upperBound]")
+    Snapshot.extractJdbc(s, url, table, partitionColumn,
+      lowerBound, upperBound, numPartitions, props)
+  }
+
+  /** Partition bounds from the database itself — one single-row
+    * aggregate query the database answers from the PK index, so
+    * callers never hardcode (and drift from) the live range. */
+  def bounds(
+      s: SparkSession, url: String, table: String, partitionColumn: String,
+      props: Properties = new Properties()): (Long, Long) = {
+    val row = s.read.jdbc(url,
+      s"(SELECT MIN($partitionColumn) AS lo, MAX($partitionColumn) AS hi " +
+        s"FROM $table) bounds_q", props).head()
+    require(!row.isNullAt(0) && !row.isNullAt(1),
+      s"$table is empty or $partitionColumn is all-NULL — nothing to range")
+    (row.getLong(0), row.getLong(1))
+  }
+
+  /** The live-extract job: ranged read → atomic snapshot generation.
+    * Bounds are discovered from the database unless given; the upper
+    * bound is max+1 so the last range's `< hi` keeps the max row.
+    * Returns the publish's verified round-trip stats. */
+  def snapshot(
+      s: SparkSession, url: String, table: String, partitionColumn: String,
+      numPartitions: Int, dest: String,
+      props: Properties = new Properties(),
+      boundsOpt: Option[(Long, Long)] = None): Snapshot.RoundTrip = {
+    val (lo, hi) = boundsOpt.getOrElse {
+      val (l, h) = bounds(s, url, table, partitionColumn, props)
+      (l, h + 1)
+    }
+    Snapshot.publishAtomic(s,
+      rangedRead(s, url, table, partitionColumn, lo, hi, numPartitions, props),
+      dest)
+  }
+}

@@ -194,67 +194,6 @@ class AsyncJobSpec extends SparkSpec {
   }
 }
 
-/** A1's cluster form: the partition-parallel JDBC extract
-  * (Snapshot.extractJdbc) exercised against embedded Derby (in-memory,
-  * ships with Spark) — proving the range split actually pushes each
-  * key range down as its own per-partition query, not just that the
-  * options type-check. */
-class JdbcExtractSpec extends SparkSpec {
-  private lazy val url: String = {
-    // Keep derby.log out of the repo working tree.
-    System.setProperty("derby.system.home",
-      java.nio.file.Files.createTempDirectory("graft_derby_").toString)
-    val u = "jdbc:derby:memory:graftjdbc;create=true"
-    val conn = java.sql.DriverManager.getConnection(u)
-    try {
-      val st = conn.createStatement()
-      st.executeUpdate(
-        "CREATE TABLE items (id BIGINT PRIMARY KEY, name VARCHAR(32))")
-      val ins = conn.prepareStatement("INSERT INTO items VALUES (?, ?)")
-      (0 until 100).foreach { i =>
-        ins.setLong(1, i.toLong); ins.setString(2, s"item-$i")
-        ins.addBatch()
-      }
-      ins.executeBatch()
-    } finally conn.close()
-    u
-  }
-
-  test("JDBC extract range-splits into per-partition pushdown queries") {
-    val df = Snapshot.extractJdbc(spark, url, "items",
-      partitionColumn = "id", lowerBound = 0L, upperBound = 100L,
-      numPartitions = 4)
-    // One Spark partition per key range — the parallel-extract contract.
-    assert(df.rdd.getNumPartitions == 4)
-    // Each range predicate (id<25, 25<=id<50, 50<=id<75, id>=75) ran as
-    // its own pushed-down query: every partition holds exactly its
-    // 25-key slice, so no partition re-read the whole table.
-    val perPart = df.select("id").rdd
-      .mapPartitionsWithIndex { (i, it) =>
-        val ids = it.map(_.getLong(0)).toVector
-        Iterator((i, ids.size, ids.min, ids.max))
-      }.collect().sortBy(_._1)
-    assert(perPart.map(_._2).toSeq == Seq(25, 25, 25, 25))
-    assert(perPart.map(p => (p._3, p._4)).toSeq ==
-      Seq((0L, 24L), (25L, 49L), (50L, 74L), (75L, 99L)))
-    assert(df.count() == 100)
-  }
-
-  test("JDBC extract pushes residual filters into the source query") {
-    import org.apache.spark.sql.functions.col
-    val df = Snapshot.extractJdbc(spark, url, "items",
-      partitionColumn = "id", lowerBound = 0L, upperBound = 100L,
-      numPartitions = 4)
-      .where(col("id") < 10)
-    // Catalyst pushes the filter to the JDBC scan: PushedFilters shows
-    // the predicate, and only partition 0's range returns rows.
-    val plan = df.queryExecution.executedPlan.toString
-    assert(plan.contains("PushedFilters") && plan.contains("LessThan(ID,10)"),
-      s"filter not pushed:\n$plan")
-    assert(df.count() == 10)
-  }
-}
-
 class SnapshotSpec extends SparkSpec {
   test("round trip write->read is content-equal both directions") {
     val dir = java.nio.file.Files.createTempDirectory("graft_test_").toString

@@ -1,0 +1,168 @@
+package graft
+
+import java.util.Properties
+
+import graft.engine.JdbcExtract
+import org.apache.spark.sql.functions._
+
+/** The reference's ACTUAL A1 form — extract from a LIVE database over
+  * JDBC (pg_dump — backup.sh:210) — exercised against embedded Derby
+  * (ships with the Spark distribution; same in-process posture as the
+  * reference's throwaway verification instances). Pins the three facts
+  * that make the extract production-shaped rather than a demo:
+  * ranged parallelism (N real partitions), predicate pushdown reaching
+  * the database, and the atomic-snapshot round trip (content equality
+  * with the source table). */
+class JdbcExtractSpec extends SparkSpec {
+
+  // Keep derby.log out of the repo working tree.
+  System.setProperty("derby.system.home",
+    java.nio.file.Files.createTempDirectory("graft_derby_").toString)
+
+  private def derbyUrl(dir: java.nio.file.Path): String =
+    s"jdbc:derby:$dir/db;create=true"
+
+  /** A1's cluster form, slice proof (ported from EngineSpec r5): the
+    * range split actually pushes each key range down as its own
+    * per-partition query, not just that the options type-check. */
+  private lazy val memUrl: String = {
+    val u = "jdbc:derby:memory:graftjdbc;create=true"
+    val conn = java.sql.DriverManager.getConnection(u)
+    try {
+      val st = conn.createStatement()
+      st.executeUpdate(
+        "CREATE TABLE items (id BIGINT PRIMARY KEY, name VARCHAR(32))")
+      val ins = conn.prepareStatement("INSERT INTO items VALUES (?, ?)")
+      (0 until 100).foreach { i =>
+        ins.setLong(1, i.toLong); ins.setString(2, s"item-$i")
+        ins.addBatch()
+      }
+      ins.executeBatch()
+    } finally conn.close()
+    u
+  }
+
+  test("JDBC extract range-splits into per-partition pushdown queries") {
+    val df = graft.engine.Snapshot.extractJdbc(spark, memUrl, "items",
+      partitionColumn = "id", lowerBound = 0L, upperBound = 100L,
+      numPartitions = 4)
+    // One Spark partition per key range — the parallel-extract contract.
+    assert(df.rdd.getNumPartitions == 4)
+    // Each range predicate (id<25, 25<=id<50, 50<=id<75, id>=75) ran as
+    // its own pushed-down query: every partition holds exactly its
+    // 25-key slice, so no partition re-read the whole table.
+    val perPart = df.select("id").rdd
+      .mapPartitionsWithIndex { (i, it) =>
+        val ids = it.map(_.getLong(0)).toVector
+        Iterator((i, ids.size, ids.min, ids.max))
+      }.collect().sortBy(_._1)
+    assert(perPart.map(_._2).toSeq == Seq(25, 25, 25, 25))
+    assert(perPart.map(p => (p._3, p._4)).toSeq ==
+      Seq((0L, 24L), (25L, 49L), (50L, 74L), (75L, 99L)))
+    assert(df.count() == 100)
+  }
+
+  test("JDBC extract pushes residual filters into the source query") {
+    val df = graft.engine.Snapshot.extractJdbc(spark, memUrl, "items",
+      partitionColumn = "id", lowerBound = 0L, upperBound = 100L,
+      numPartitions = 4)
+      .where(col("id") < 10)
+    // Catalyst pushes the filter to the JDBC scan: PushedFilters shows
+    // the predicate, and only partition 0's range returns rows.
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("LessThan(ID,10)"),
+      s"filter not pushed:\n$plan")
+    assert(df.count() == 10)
+  }
+
+  private def props(): Properties = {
+    val p = new Properties()
+    // explicit driver class: Spark Class.forName's it on the executor
+    // side, which is robust even where DriverManager autoload isn't
+    p.setProperty("driver", "org.apache.derby.jdbc.EmbeddedDriver")
+    p
+  }
+
+  private def seed(url: String, rows: Int): Unit = {
+    val conn = java.sql.DriverManager.getConnection(url)
+    try {
+      val st = conn.createStatement()
+      st.executeUpdate(
+        "CREATE TABLE ORDERS_SRC (" +
+          "ID BIGINT NOT NULL PRIMARY KEY, " +
+          "AMOUNT DOUBLE NOT NULL, STATUS VARCHAR(8) NOT NULL)")
+      st.close()
+      val ps = conn.prepareStatement("INSERT INTO ORDERS_SRC VALUES (?, ?, ?)")
+      (0 until rows).foreach { i =>
+        ps.setLong(1, i.toLong)
+        ps.setDouble(2, i * 1.5)
+        ps.setString(3, if (i % 3 == 0) "OPEN" else "DONE")
+        ps.addBatch()
+      }
+      ps.executeBatch()
+      ps.close()
+    } finally conn.close()
+  }
+
+  test("live JDBC extract: ranged parallel scan, pushdown into the " +
+      "database, atomic snapshot with content equality") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-derby")
+    val url = derbyUrl(dir)
+    try {
+      seed(url, 1000)
+
+      // bounds discovered from the database (one PK-index aggregate)
+      assert(JdbcExtract.bounds(spark, url, "ORDERS_SRC", "ID", props())
+        == (0L, 999L))
+
+      // ranged read: N REAL partitions, each a range-bounded cursor
+      val df = JdbcExtract.rangedRead(
+        spark, url, "ORDERS_SRC", "ID", 0L, 1000L, 4, props())
+      assert(df.rdd.getNumPartitions == 4,
+        "ranged JDBC read must plan one partition per range")
+      assert(df.count() == 1000)
+      // ranges partition exactly (no dropped/duplicated boundary rows)
+      assert(df.select(countDistinct(col("ID"))).head().getLong(0) == 1000)
+
+      // predicate pushdown: the filter must reach the JDBC source —
+      // i.e. run INSIDE the database — not in Spark after shipping
+      // every row (the plan's scan node lists it under PushedFilters)
+      val filtered = df.where(col("AMOUNT") > 600.0)
+      val planStr = filtered.queryExecution.executedPlan.toString
+      assert(planStr.contains("PushedFilters") &&
+        planStr.contains("GreaterThan(AMOUNT,600.0)"),
+        s"filter did not reach the JDBC source:\n$planStr")
+      assert(filtered.count() == 1000 - 401) // 1.5*401 = 601.5 first > 600
+
+      // the extract job: ranged read → publishAtomic generation; the
+      // publish itself verifies staged content, and we additionally
+      // assert equality against an independently constructed expected
+      val dest = s"$dir/snap/gen_001"
+      val rt = JdbcExtract.snapshot(
+        spark, url, "ORDERS_SRC", "ID", 4, dest, props())
+      assert(rt.verified && rt.originalRows == 1000)
+      val reloaded = spark.read.parquet(dest)
+      val expected = spark.range(0, 1000).select(
+        col("id").as("ID"),
+        (col("id") * 1.5).as("AMOUNT"),
+        when(col("id") % 3 === 0, "OPEN").otherwise("DONE").as("STATUS"))
+      assert(reloaded.count() == 1000)
+      assert(reloaded.exceptAll(expected).isEmpty &&
+        expected.exceptAll(reloaded).isEmpty,
+        "snapshot content must equal the live table")
+      // manifest-carrying generation, like every published snapshot
+      assert(graft.engine.Snapshot.readManifest(spark, dest).nonEmpty)
+
+      // snapshots are immutable: a second extract to the same
+      // generation refuses (retry discipline = new generation name)
+      intercept[graft.engine.Snapshot.SnapshotExistsException] {
+        JdbcExtract.snapshot(spark, url, "ORDERS_SRC", "ID", 4, dest, props())
+      }
+    } finally {
+      try { // embedded Derby holds file locks until shut down
+        java.sql.DriverManager.getConnection(s"jdbc:derby:$dir/db;shutdown=true")
+      } catch { case _: java.sql.SQLException => () } // success signal
+      org.apache.commons.io.FileUtils.deleteDirectory(dir.toFile)
+    }
+  }
+}
