@@ -71,6 +71,61 @@ object StreamScale {
       s"(users=$nUsers events=$nEvents -> state/users=" +
       f"${peakRows.toDouble / nUsers}%.2f)")
 
+    // ---- C123 (r14, VERDICT r13 next #5): the SAME sessionization on
+    // the transformWithState/state-v2 runtime under RocksDB, over the
+    // same 20-batch replay — the production-posture twin of the leg
+    // above. Reports the same telemetry (state rows/bytes per batch,
+    // wall) plus OUTPUT PARITY with the mapGroupsWithState run: the
+    // two APIs must emit the same number of closed sessions on the
+    // same input or they are not one operator. Timer hygiene is the
+    // scale risk this probes: state-v2 timers ACCUMULATE across
+    // batches (no setTimeoutTimestamp overwrite), so a leak shows up
+    // here as state rows growing past O(users).
+    val prevProvider =
+      spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state." +
+        "RocksDBStateStoreProvider")
+    val streamTws = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(inDir)
+      .as[graft.streaming.StreamingJobs.Event]
+    val tTws = System.nanoTime()
+    val qTws = graft.streaming.StreamingJobs.sessionizeTws(streamTws)
+      .writeStream.format("noop")
+      .option("checkpointLocation", s"$work/ckpt_tws")
+      .outputMode("append").start()
+    qTws.processAllAvailable()
+    val wallTws = (System.nanoTime() - tTws) / 1e9
+    val progTws = qTws.recentProgress.toSeq
+    qTws.stop()
+    prevProvider match {
+      case Some(p) =>
+        spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+      case None =>
+        spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+    var peakRowsTws = 0L
+    var peakBytesTws = 0L
+    var outRowsTws = 0L
+    progTws.foreach { p =>
+      val so = p.stateOperators.headOption
+      val rows = so.map(_.numRowsTotal).getOrElse(0L)
+      val bytes = so.map(_.memoryUsedBytes).getOrElse(0L)
+      peakRowsTws = math.max(peakRowsTws, rows)
+      peakBytesTws = math.max(peakBytesTws, bytes)
+      outRowsTws += Option(p.sink).map(_.numOutputRows).getOrElse(0L)
+      println(s"[streamscale] tws batch=${p.batchId} in=${p.numInputRows} " +
+        s"stateRows=$rows stateBytes=$bytes " +
+        s"watermark=${Option(p.eventTime.get("watermark")).getOrElse("-")}")
+    }
+    println(f"[streamscale] TWS-SESSIONIZE (RocksDB): wall=$wallTws%.1f s " +
+      s"batches=${progTws.size} peakStateRows=$peakRowsTws " +
+      s"peakStateBytes=$peakBytesTws sessionRowsOut=$outRowsTws " +
+      f"(state/users=${peakRowsTws.toDouble / nUsers}%.2f; " +
+      s"parity with mGWS: ${outRowsTws == outRows} " +
+      s"[$outRowsTws vs $outRows]; throughput ratio tws/mGWS=" +
+      f"${wallTws / wallSess}%.2f)")
+
     // ---- C63: CDC apply at scale — each micro-batch is a changelog
     // of per-user upserts merged into an immutable snapshot chain
     Seq.empty[(Long, Long, String)].toDF("user_id", "event_id", "event_type")
