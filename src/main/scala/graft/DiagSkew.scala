@@ -70,16 +70,19 @@ object DiagSkew {
     val noBroadcast = Seq(
       "spark.sql.autoBroadcastJoinThreshold" -> "-1",
       "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1")
-    val skewOff = noBroadcast :+
-      ("spark.sql.adaptive.skewJoin.enabled" -> "false")
     // Thresholds scaled to the local fixture (defaults assume ~256 MB
     // cluster partitions): split anything 2x the median and > 16 MB,
-    // advising ~16 MB splits.
-    val skewOn = noBroadcast ++ Seq(
-      "spark.sql.adaptive.skewJoin.enabled" -> "true",
+    // advising ~16 MB splits. The advisory size is set in BOTH variants
+    // so off-vs-aqe isolates the skew split itself, not AQE's
+    // small-partition coalescing.
+    val common = noBroadcast ++ Seq(
       "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2.0",
       "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "16m",
       "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "16m")
+    val skewOff = common :+
+      ("spark.sql.adaptive.skewJoin.enabled" -> "false")
+    val skewOn = common :+
+      ("spark.sql.adaptive.skewJoin.enabled" -> "true")
 
     def time(label: String, confs: Seq[(String, String)])(
         mk: => DataFrame): (Double, DataFrame) = {
@@ -101,13 +104,23 @@ object DiagSkew {
 
     val (tOff, dfOff) = time("off ", skewOff)(agg(fact.join(dim, "l_orderkey")))
     val (tAqe, dfAqe) = time("aqe ", skewOn)(agg(fact.join(dim, "l_orderkey")))
-    // honesty flag: did the AQE run actually split the hot partition?
+    // Honesty flag: did the AQE run actually split the hot partition?
+    // NOTE the capture path: Bench.materialize goes through df.write,
+    // which executes a SEPARATE QueryExecution — the DataFrame's own
+    // executedPlan would still be the un-executed AdaptiveSparkPlan
+    // (isFinalPlan=false, no AQEShuffleRead nodes). collect() executes
+    // the DataFrame's own QE (output here is a 5-row aggregate), so
+    // the final adaptive plan is inspectable afterwards.
     val aqePlan = withConf(skewOn: _*) {
       val df = agg(fact.join(dim, "l_orderkey"))
-      Bench.materialize(df)
+      df.collect()
       df.queryExecution.executedPlan.toString
     }
-    val skewFired = aqePlan.contains("skew=true")
+    aqePlan.linesIterator
+      .filter(l => l.contains("AQEShuffleRead") || l.contains("SortMergeJoin"))
+      .foreach(l => println(s"[diagskew] plan: ${l.trim.take(120)}"))
+    val skewFired =
+      aqePlan.contains("skew=true") || aqePlan.contains("skewed")
     val (tSalt, dfSalt) = time("salt", skewOff)(
       agg(graft.engine.Skew.saltedJoin(fact, dim, Seq("l_orderkey"), 8)))
 

@@ -94,7 +94,20 @@ object Skew {
   /** Salted equi-join for a skewed fact side: fact rows get a hash salt,
     * the (small) dimension side replicates across all salts, and the
     * join key becomes (key, salt) — one hot key now lands on numSalts
-    * reducers. Equivalent to fact.join(dim, keys) (asserted in SkewSpec). */
+    * reducers. Equivalent to fact.join(dim, keys) (asserted in SkewSpec).
+    *
+    * MEASURED BOUNDARY (r14, DiagSkew sf5/sf20, 30% hot key): for a
+    * batch SMJ this is the WRONG tool when the dim is fact-sized — the
+    * ×numSalts dim replication cost exceeded the skew it cured (salt
+    * 9.1/36.2 s vs un-mitigated 7.1/25.4 s), while AQE's runtime skew
+    * split — which replicates only the matching dim RANGES of the
+    * oversized partitions — won 2.5–2.7× (2.6/10.0 s, `skew=true`
+    * verified in the final plan; PlanSpec pins it). Keep AQE's default
+    * ON as the batch answer; reach for saltedJoin only where AQE
+    * cannot re-plan: stream-static joins (no runtime stats, fixed
+    * plan), skew inside a single in-flight partition, or a genuinely
+    * small dim whose replication is cheap (where broadcast is usually
+    * better still). */
   def saltedJoin(
       fact: DataFrame, dim: DataFrame, keys: Seq[String],
       numSalts: Int = 16): DataFrame = {

@@ -641,13 +641,21 @@ object Relational {
 
   /** EXT: salt-exploded skew join through engine.Skew.saltedJoin — the
     * manual skew mitigation for when AQE's runtime skew split isn't
-    * available (e.g. skew inside a single in-flight partition). A hot
+    * available (e.g. skew inside a single in-flight partition, or a
+    * stream-static join's fixed plan). A hot
     * orderkey's fact rows spread across `numSalts` shuffle partitions
     * via a deterministic per-row salt; the dim side replicates each row
     * once per salt, so the (key, salt) equi join sees every fact row
     * exactly once and the result equals the plain equi join — which IS
     * the oracle. Cost: dim side grows ×numSalts (fine for dimension
-    * tables); the fact side, where the skew lives, never replicates. */
+    * tables); the fact side, where the skew lives, never replicates.
+    * r14 A/B (DiagSkew, SCALE.md): for plain BATCH skew, AQE's runtime
+    * split beats this 2.5–2.7× at sf5/sf20 — and when the "dim" is
+    * fact-sized the salt's replication costs more than the skew it
+    * cures. The declared query keeps the operator honest (result ≡
+    * plain join, one exact decimal agg); the boundary note lives on
+    * [[graft.engine.Skew.saltedJoin]] and PlanSpec pins AQE's
+    * skew=true re-plan as the recommended batch default. */
   val joinSkewSalt: Q = Q(
     "q_join_skew_salt",
     (s, d) => {

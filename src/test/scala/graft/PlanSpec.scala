@@ -372,6 +372,64 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("AQE skew split is the recommended batch default: a skewed SMJ " +
+      "re-plans with skew=true and splits the hot partition") {
+    // r14 (VERDICT r13 next #7) — DiagSkew measured the A/B at
+    // sf5/sf20: hot-key SMJ baseline 7.1/25.4 s, AQE skew split ON
+    // 2.6/10.0 s (2.5-2.7x), manual Skew.saltedJoin 9.1/36.2 s —
+    // WORSE than the un-mitigated baseline when the dim is fact-sized,
+    // because saltedJoin replicates the WHOLE dim xN while AQE
+    // replicates only the matching dim ranges of the oversized
+    // partitions. The recommended default is therefore AQE's runtime
+    // split (session default ON), with saltedJoin reserved for the
+    // shapes AQE cannot re-plan: stream-static joins and skew inside a
+    // single in-flight partition. This pins (a) the session default,
+    // (b) that a genuinely skewed SMJ actually re-plans with
+    // skew=true under fixture-scaled thresholds.
+    assert(spark.conf.get("spark.sql.adaptive.skewJoin.enabled") == "true",
+      "AQE skew join must stay the session default")
+    val conf = spark.conf
+    val keys = Seq(
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.shuffle.partitions")
+    val saved = keys.map(k => k -> conf.getOption(k))
+    try {
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+      conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2.0")
+      conf.set(
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "16KB")
+      conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16KB")
+      conf.set("spark.sql.shuffle.partitions", "32")
+      // 90% of fact rows on one key, values made incompressible
+      // (xxhash64) — skew detection reads COMPRESSED map-output sizes,
+      // and a constant-key/sequential-value hot partition lz4-shrinks
+      // below any realistic threshold (found empirically r14)
+      val fact = spark.range(0, 1000000).selectExpr(
+        "CASE WHEN id % 10 < 9 THEN 0L ELSE id END AS k",
+        "xxhash64(id) AS v")
+      val dim = spark.range(0, 1000000, 97).selectExpr(
+        "id AS k", "xxhash64(id, id) AS w")
+      val joined = fact.join(dim, "k")
+        .groupBy(col("k") % 7).agg(count(lit(1)).as("n"))
+      joined.collect() // executes the DataFrame's OWN QueryExecution
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("skew=true"),
+        "skewed SMJ must re-plan with skew=true:\n" + plan.take(1500))
+      // node prints "AQEShuffleRead skewed" or "coalesced and skewed"
+      assert(plan.contains("skewed"),
+        "hot partition must be split by a skewed AQEShuffleRead:\n" +
+          plan.take(1500))
+    } finally saved.foreach {
+      case (k, Some(v)) => conf.set(k, v)
+      case (k, None) => conf.unset(k)
+    }
+  }
+
   test("partitioned snapshot write round-trips and prunes partitions") {
     val dir = java.nio.file.Files.createTempDirectory("graft_part_")
       .resolve("li").toString
