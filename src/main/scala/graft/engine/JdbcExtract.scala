@@ -68,6 +68,29 @@ object JdbcExtract {
     (row.getLong(0), row.getLong(1))
   }
 
+  /** Register a live database as a DataSource V2 JDBC CATALOG — the
+    * engine's strongest form of the reference's "run the work inside
+    * the database" posture (the SQL Server path submits the whole
+    * backup server-side, backup.sh:118-121). The V1 `spark.read.jdbc`
+    * path pushes FILTERS; the V2 catalog additionally compiles
+    * aggregates, limits and column pruning into the remote SQL
+    * (`PushedAggregates`/`PushedGroupByExpressions` in the scan), so a
+    * validation query like A15's non-empty count — or any
+    * extract-audit aggregate — ships ~one row over the wire instead of
+    * the table. Tables are then addressable as
+    * `<name>.<TABLE>` from plain SQL. */
+  def registerCatalog(
+      s: SparkSession, name: String, url: String,
+      driver: String = "", pushDownAggregate: Boolean = true): Unit = {
+    s.conf.set(s"spark.sql.catalog.$name",
+      "org.apache.spark.sql.execution.datasources.v2.jdbc.JDBCTableCatalog")
+    s.conf.set(s"spark.sql.catalog.$name.url", url)
+    if (driver.nonEmpty) s.conf.set(s"spark.sql.catalog.$name.driver", driver)
+    s.conf.set(s"spark.sql.catalog.$name.pushDownAggregate",
+      pushDownAggregate.toString)
+    s.conf.set(s"spark.sql.catalog.$name.pushDownLimit", "true")
+  }
+
   /** The live-extract job: ranged read → atomic snapshot generation.
     * Bounds are discovered from the database unless given; the upper
     * bound is max+1 so the last range's `< hi` keeps the max row.

@@ -31,10 +31,11 @@ class JdbcExtractSpec extends SparkSpec {
     try {
       val st = conn.createStatement()
       st.executeUpdate(
-        "CREATE TABLE items (id BIGINT PRIMARY KEY, name VARCHAR(32))")
-      val ins = conn.prepareStatement("INSERT INTO items VALUES (?, ?)")
+        "CREATE TABLE items (id BIGINT PRIMARY KEY, name VARCHAR(32), par BIGINT)")
+      val ins = conn.prepareStatement("INSERT INTO items VALUES (?, ?, ?)")
       (0 until 100).foreach { i =>
         ins.setLong(1, i.toLong); ins.setString(2, s"item-$i")
+        ins.setLong(3, (i % 2).toLong)
         ins.addBatch()
       }
       ins.executeBatch()
@@ -163,6 +164,40 @@ class JdbcExtractSpec extends SparkSpec {
         java.sql.DriverManager.getConnection(s"jdbc:derby:$dir/db;shutdown=true")
       } catch { case _: java.sql.SQLException => () } // success signal
       org.apache.commons.io.FileUtils.deleteDirectory(dir.toFile)
+    }
+  }
+
+  test("V2 JDBC catalog pushes aggregates into the database") {
+    // The reference's server-side posture (rds_backup_database runs
+    // INSIDE the engine, backup.sh:118-121): through the V2 catalog, a
+    // validation aggregate ships ~one row over the wire — the scan
+    // carries PushedAggregates, and no Spark-side partial aggregation
+    // of raw rows remains below it.
+    JdbcExtract.registerCatalog(spark, "graftdb", memUrl,
+      driver = "org.apache.derby.jdbc.EmbeddedDriver")
+    try {
+      val agg = spark.sql(
+        "SELECT count(*) AS n, max(id) AS max_id FROM graftdb.APP.ITEMS")
+      val plan = agg.queryExecution.executedPlan.toString
+      assert(plan.contains("PushedAggregates"),
+        s"aggregate did not reach the database:\n$plan")
+      assert(plan.contains("COUNT(") && plan.contains("MAX("),
+        s"both aggregates must push:\n$plan")
+      val row = agg.head()
+      assert(row.getLong(0) == 100 && row.getLong(1) == 99)
+      // grouped aggregate pushes the GROUP BY too
+      // GROUP BY must be a plain column to compile into the remote SQL
+      // (an expression grouping like id % 2 stays Spark-side)
+      val grouped = spark.sql("SELECT par, count(*) AS n " +
+        "FROM graftdb.APP.ITEMS GROUP BY par ORDER BY par")
+      val gplan = grouped.queryExecution.executedPlan.toString
+      assert(gplan.contains("PushedAggregates"),
+        s"grouped aggregate did not push:\n$gplan")
+      assert(grouped.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+        == Seq((0L, 50L), (1L, 50L)))
+    } finally {
+      Seq("", ".url", ".driver", ".pushDownAggregate", ".pushDownLimit")
+        .foreach(sfx => spark.conf.unset(s"spark.sql.catalog.graftdb$sfx"))
     }
   }
 }
