@@ -802,6 +802,39 @@ object Relational {
     FROM events JOIN hot ON cast(ts AS date) = hot.day
     GROUP BY event_type ORDER BY event_type"""))
 
+  /** EXT (r14): join-STRATEGY hints — the user-facing knob for
+    * overriding Catalyst's physical join choice when the operator
+    * knows something the stats don't. `hint("shuffle_hash")` on the
+    * build side plans a ShuffledHashJoin instead of the default
+    * sort-merge: same one shuffle on the key, but the build side
+    * hash-maps per partition and NEITHER side sorts — a win when one
+    * side is much smaller per key range yet too big to broadcast
+    * (PlanSpec pins both the ShuffledHashJoin node and the absence of
+    * a sort below it). The result is hint-invariant — the oracle is
+    * the plain join, so hash-equality proves the hint changed only
+    * the physical strategy. At 100 TB this is the join form for
+    * medium×large where sort spill, not hash memory, is the
+    * bottleneck; the hint's risk (build side must fit per-partition
+    * memory) is exactly why it is opt-in per query, not a default. */
+  val joinShuffleHash: Q = Q(
+    "q_join_shuffle_hash",
+    (s, d) => {
+      val li = Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_quantity"))
+      val ord = Tables.orders(s, d)
+        .select(col("o_orderkey").as("l_orderkey"), col("o_orderstatus"))
+        .hint("shuffle_hash")
+      li.join(ord, Seq("l_orderkey"))
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n_items"),
+          Det.dsum(col("l_quantity"), 2).as("sum_qty"))
+        .orderBy("o_orderstatus")
+    },
+    Some("""SELECT o_orderstatus, count(*) AS n_items,
+      CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY o_orderstatus ORDER BY o_orderstatus"""))
+
   val all: Seq[Q] = Seq(
     scanProjectFilter, joinInnerEqui, joinBroadcast, joinLeftOuter,
     joinRightOuter, joinFullOuter, joinSemi, joinAnti, joinThetaRange,
@@ -809,5 +842,5 @@ object Relational {
     joinAsofTolerance, joinAsofSql,
     joinInterval, joinNonEqui, joinSkewSalt, sortLimit, unionAll,
     unionDistinct, intersectQ, exceptQ, dateSpine, joinNullSafe,
-    joinBucketed, joinPartitionPruned)
+    joinBucketed, joinPartitionPruned, joinShuffleHash)
 }

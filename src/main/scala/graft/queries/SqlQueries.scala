@@ -229,6 +229,83 @@ object SqlQueries {
     FROM spine s LEFT JOIN rev r ON r.month_start = s.month_start
     ORDER BY s.month_start"""))
 
+  /** EXT (r14): Spark 4 SQL PIPE syntax (SPARK-49555) — the linear
+    * `FROM … |> WHERE … |> EXTEND … |> AGGREGATE … |> ORDER BY` form
+    * that reads in dataflow order (the GoogleSQL pipe dialect). This
+    * is a PARSER frontend, not an engine: the pipe chain lowers to the
+    * same logical plan as the classic statement, so the DuckDB oracle
+    * is the semantically-identical classic SQL — hash-equality across
+    * the two syntaxes IS the test that the frontend adds no semantics.
+    * `EXTEND` computes the exact-decimal discounted price once;
+    * `AGGREGATE … GROUP BY` emits group keys then aggregates; money
+    * follows the Det decimal discipline with the per-dialect big-sum
+    * double conversion. */
+  val sqlPipe: Q = Q(
+    "q_sql_pipe",
+    (s, d) => withViews(s, d)(s"""
+      FROM lineitem
+      |> WHERE l_quantity > 5
+      |> EXTEND CAST(l_extendedprice AS DECIMAL(12,2))
+           * (CAST(1 AS DECIMAL(8,4)) - CAST(l_discount AS DECIMAL(8,4)))
+           AS disc_price
+      |> AGGREGATE count(*) AS n_items,
+           ${Det.sqlBigToDoubleSpark(
+             "CAST(sum(disc_price) AS DECIMAL(24,6))")} AS revenue
+         GROUP BY l_returnflag, l_linestatus
+      |> ORDER BY l_returnflag, l_linestatus"""),
+    Some(s"""SELECT l_returnflag, l_linestatus, count(*) AS n_items,
+      ${Det.sqlBigToDouble(
+        """CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+        * (CAST(1 AS DECIMAL(8,4)) - CAST(l_discount AS DECIMAL(8,4))))
+        AS DECIMAL(24,6))""")} AS revenue
+    FROM lineitem WHERE l_quantity > 5
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus"""))
+
+  /** EXT (r14): Spark 4.1 SQL-language UDFs (`CREATE FUNCTION …
+    * RETURN <expr>`) — reusable scalar logic DECLARED IN SQL and
+    * inlined by Catalyst at analysis time, so unlike JVM/Python UDFs
+    * they stay inside whole-stage codegen and cost nothing over the
+    * hand-expanded expression (the only UDF form this engine permits
+    * in a hot path). One money UDF in the exact-decimal domain and one
+    * banding UDF used in BOTH the projection and the GROUP BY prove
+    * the definitions compose like built-ins. CREATE OR REPLACE keeps
+    * the declaration idempotent per session. The DuckDB oracle inlines
+    * the same expressions — hash-equality is the proof that the UDF
+    * layer added no semantics. */
+  val sqlUdf: Q = Q(
+    "q_sql_udf",
+    (s, d) => {
+      s.sql("""CREATE OR REPLACE TEMPORARY FUNCTION graft_disc_price(
+        p DECIMAL(12,2), disc DECIMAL(8,4)) RETURNS DECIMAL(21,6)
+        RETURN p * (CAST(1 AS DECIMAL(8,4)) - disc)""")
+      s.sql("""CREATE OR REPLACE TEMPORARY FUNCTION graft_qty_band(
+        q DOUBLE) RETURNS STRING
+        RETURN CASE WHEN q < 10 THEN 'low'
+                    WHEN q < 30 THEN 'mid' ELSE 'high' END""")
+      withViews(s, d)(s"""
+        SELECT graft_qty_band(l_quantity) AS band,
+          count(*) AS n_items,
+          ${Det.sqlBigToDoubleSpark(
+            """CAST(sum(graft_disc_price(
+              CAST(l_extendedprice AS DECIMAL(12,2)),
+              CAST(l_discount AS DECIMAL(8,4)))) AS DECIMAL(24,6))""")}
+            AS revenue
+        FROM lineitem
+        GROUP BY graft_qty_band(l_quantity)
+        ORDER BY band""")
+    },
+    Some(s"""SELECT
+      CASE WHEN l_quantity < 10 THEN 'low'
+           WHEN l_quantity < 30 THEN 'mid' ELSE 'high' END AS band,
+      count(*) AS n_items,
+      ${Det.sqlBigToDouble(
+        """CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+        * (CAST(1 AS DECIMAL(8,4)) - CAST(l_discount AS DECIMAL(8,4))))
+        AS DECIMAL(24,6))""")} AS revenue
+    FROM lineitem
+    GROUP BY 1 ORDER BY band"""))
+
   val all: Seq[Q] = Seq(sqlQ3, sqlQ5, sqlQ10, sqlSubquery, sqlLateral,
-    sqlRecursiveSpine)
+    sqlRecursiveSpine, sqlPipe, sqlUdf)
 }

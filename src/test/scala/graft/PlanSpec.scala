@@ -430,6 +430,19 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("shuffle_hash hint plans a ShuffledHashJoin with no sort under it") {
+    val plan = executed("q_join_shuffle_hash")
+    assert(plan.contains("ShuffledHashJoin"),
+      "hint must override the default SMJ:\n" + plan.take(1200))
+    assert(!plan.contains("SortMergeJoin"), plan.take(1200))
+    // the strategy's point: neither side sorts below the join (the
+    // only Sort in the plan is the final ORDER BY above the aggregate)
+    val joinIdx = plan.indexOf("ShuffledHashJoin")
+    assert(!plan.substring(joinIdx).contains("+- *Sort") &&
+      !plan.substring(joinIdx).contains("+- Sort"),
+      "no sort may appear below the hash join:\n" + plan.take(1500))
+  }
+
   test("partitioned snapshot write round-trips and prunes partitions") {
     val dir = java.nio.file.Files.createTempDirectory("graft_part_")
       .resolve("li").toString
