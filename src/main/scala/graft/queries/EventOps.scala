@@ -538,7 +538,107 @@ object EventOps {
     GROUP BY step1, step2, step3
     ORDER BY n DESC, step1, step2, step3 LIMIT 20"""))
 
+  /** EXT (r14): LINEAR interpolation on the user×day grid — the
+    * metric-backfill companion to [[eventFfill]]'s LOCF: between two
+    * observed days the filled value moves along the straight line
+    * between the observations (the standard time-series `interpolate
+    * (method='linear')`), outside them it stays null and is labeled
+    * `edge`. Same scale shape as ffill (spine = users × broadcast date
+    * bounds, one user-keyed window pass each direction); prev/next
+    * observation values AND days carry via
+    * last/first(ignoreNulls) over the asymmetric frames. Float
+    * discipline: both engines evaluate the IDENTICAL IEEE sequence
+    * `prev + (next − prev) · (gapPos / gapLen)` on the same doubles —
+    * each op correctly rounded, same operand order — with round(6)
+    * guarding the final ulp (the q_agg_corr rule). */
+  val eventInterpolate: Q = Q(
+    "q_event_interpolate",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val ev = Tables.events(s, d)
+        .where(col("value").isNotNull)
+        .select(col("user_id"), to_date(col("ts")).as("day"),
+          col("ts"), col("event_id"), col("value"))
+      val wLast = Window.partitionBy(col("user_id"), col("day"))
+        .orderBy(col("ts").desc, col("event_id").desc)
+      val daily = ev.withColumn("rn", row_number().over(wLast))
+        .where(col("rn") === 1)
+        .select(col("user_id"), col("day"), col("value").as("obs"))
+      val bounds = ev.agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+      val spine = ev.select(col("user_id")).distinct()
+        .crossJoin(broadcast(bounds))
+        .select(col("user_id"),
+          explode(sequence(col("d0"), col("d1"))).as("day"))
+      val wBack = Window.partitionBy(col("user_id")).orderBy(col("day"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wFwd = Window.partitionBy(col("user_id")).orderBy(col("day"))
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+      val g = spine.join(daily, Seq("user_id", "day"), "left")
+        .select(col("user_id"), col("day"), col("obs"),
+          last(col("obs"), ignoreNulls = true).over(wBack).as("prev"),
+          last(when(col("obs").isNotNull, col("day")), ignoreNulls = true)
+            .over(wBack).as("prev_day"),
+          first(col("obs"), ignoreNulls = true).over(wFwd).as("next"),
+          first(when(col("obs").isNotNull, col("day")), ignoreNulls = true)
+            .over(wFwd).as("next_day"))
+      g.select(col("user_id"), col("day"),
+        round(
+          when(col("obs").isNotNull, col("obs"))
+            .when(col("prev").isNotNull && col("next").isNotNull,
+              col("prev") + (col("next") - col("prev"))
+                * (datediff(col("day"), col("prev_day")).cast("double")
+                  / datediff(col("next_day"), col("prev_day"))
+                    .cast("double"))), 6).as("value_interp"),
+        when(col("obs").isNotNull, "observed")
+          .when(col("prev").isNotNull && col("next").isNotNull, "interp")
+          .otherwise("edge").as("kind"))
+        .orderBy("user_id", "day")
+    },
+    Some("""WITH e AS (
+      SELECT user_id, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+        CAST(ts AS TIMESTAMP) AS ts, event_id, value
+      FROM events WHERE value IS NOT NULL),
+    daily AS (
+      SELECT user_id, day, value AS obs FROM (
+        SELECT *, row_number() OVER (PARTITION BY user_id, day
+          ORDER BY ts DESC, event_id DESC) AS rn
+        FROM e) WHERE rn = 1),
+    bounds AS (SELECT min(day) AS d0, max(day) AS d1 FROM e),
+    spine AS (
+      SELECT u.user_id,
+        CAST(unnest(generate_series(CAST(b.d0 AS TIMESTAMP),
+          CAST(b.d1 AS TIMESTAMP), INTERVAL 1 DAY)) AS DATE) AS day
+      FROM (SELECT DISTINCT user_id FROM e) u, bounds b),
+    g AS (
+      SELECT s.user_id, s.day, d.obs,
+        last_value(d.obs IGNORE NULLS) OVER (PARTITION BY s.user_id
+          ORDER BY s.day ROWS UNBOUNDED PRECEDING) AS prev,
+        last_value(CASE WHEN d.obs IS NOT NULL THEN s.day END IGNORE NULLS)
+          OVER (PARTITION BY s.user_id
+            ORDER BY s.day ROWS UNBOUNDED PRECEDING) AS prev_day,
+        first_value(d.obs IGNORE NULLS) OVER (PARTITION BY s.user_id
+          ORDER BY s.day ROWS BETWEEN CURRENT ROW
+            AND UNBOUNDED FOLLOWING) AS next,
+        first_value(CASE WHEN d.obs IS NOT NULL THEN s.day END IGNORE NULLS)
+          OVER (PARTITION BY s.user_id
+            ORDER BY s.day ROWS BETWEEN CURRENT ROW
+              AND UNBOUNDED FOLLOWING) AS next_day
+      FROM spine s LEFT JOIN daily d
+        ON s.user_id = d.user_id AND s.day = d.day)
+    SELECT user_id, day,
+      round(CASE
+        WHEN obs IS NOT NULL THEN obs
+        WHEN prev IS NOT NULL AND next IS NOT NULL THEN
+          prev + (next - prev)
+            * (CAST(day - prev_day AS DOUBLE)
+              / CAST(next_day - prev_day AS DOUBLE))
+        END, 6) AS value_interp,
+      CASE WHEN obs IS NOT NULL THEN 'observed'
+           WHEN prev IS NOT NULL AND next IS NOT NULL THEN 'interp'
+           ELSE 'edge' END AS kind
+    FROM g ORDER BY user_id, day"""))
+
   val all: Seq[Q] = Seq(eventFunnel, eventRetention, eventScd2,
     eventTransitions, eventOhlc, eventFfill, eventSessions, eventAnomaly,
-    eventAttribution, eventPaths)
+    eventAttribution, eventPaths, eventInterpolate)
 }
