@@ -518,7 +518,86 @@ object ScalarFns {
         AS VARCHAR) AS month_start
     FROM orders ORDER BY o_orderkey"""))
 
+  /** EXT (r14): `variant_explode` — the VARIANT fan-out generator
+    * (Spark 4's lateral TVF over the binary semi-structured type),
+    * completing the VARIANT family beside q_fn_variant's scalar
+    * extraction: one parse, then every FIELD of the object becomes a
+    * (pos, key, value) row — the dynamic-schema ingestion shape where
+    * field names are data, not schema. The object is widened from the
+    * fixture (`{"et":"<type>","k":<n>}`) so the fan-out is 2 fields
+    * per event; values project through `to_json(value)` (minified —
+    * matches DuckDB's JSON-extract rendering for ints and strings).
+    * DuckDB has no json_each here; the mirror enumerates
+    * `unnest(json_keys(...))` and re-derives pos as the key's rank —
+    * field order in the variant binary is sorted-by-key, which for
+    * these keys equals alphabetical. */
+  val fnVariantExplode: Q = Q(
+    "q_fn_variant_explode",
+    (s, d) => {
+      Tables.events(s, d).createOrReplaceTempView("events_ve")
+      s.sql("""
+        SELECT event_id, f.pos, f.key, to_json(f.value) AS value_json
+        FROM (SELECT event_id,
+                parse_json(concat('{"et":"', event_type, '",',
+                  substring(props, 2))) AS v
+              FROM events_ve) t,
+          LATERAL variant_explode(t.v) AS f
+        ORDER BY event_id, key""")
+    },
+    Some("""WITH t AS (
+      SELECT event_id,
+        ('{"et":"' || event_type || '",' || substring(props, 2))::JSON AS v
+      FROM events),
+    x AS (
+      SELECT event_id, unnest(json_keys(v)) AS key, v FROM t)
+    SELECT event_id,
+      CAST(row_number() OVER (PARTITION BY event_id ORDER BY key) - 1
+        AS INT) AS pos,
+      key,
+      CAST(json_extract(v, '$.' || key) AS VARCHAR) AS value_json
+    FROM x ORDER BY event_id, key"""))
+
+  /** EXT (r14): Spark 4 COLLATIONS — string equality as a TYPE
+    * property (`collate(s, 'UTF8_LCASE')`), not an expression rewrite:
+    * grouping/distinct over a collated column compares
+    * case-insensitively inside codegen, the SQL-standard form of the
+    * lower()-wrapper idiom (and at 100 TB the collation survives into
+    * shuffles and joins where a forgotten lower() silently forks
+    * keys). Each event type is fanned to three case variants; the
+    * binary-collation distinct count sees all of them, the LCASE
+    * count collapses them. Counts-only output keeps the oracle exact
+    * (a collated GROUP BY's representative value is
+    * first-encountered, i.e. nondeterministic — never declare it). */
+  val fnCollation: Q = Q(
+    "q_fn_collation",
+    (s, d) =>
+      Tables.events(s, d)
+        .select(col("event_type"),
+          explode(array(
+            col("event_type"),
+            upper(col("event_type")),
+            concat(upper(expr("left(event_type, 1)")),
+              expr("substring(event_type, 2)")))).as("v"))
+        .groupBy(col("event_type"))
+        .agg(
+          countDistinct(col("v")).as("n_binary"),
+          countDistinct(expr("collate(v, 'UTF8_LCASE')")).as("n_lcase"),
+          count(lit(1)).as("n_rows"))
+        .orderBy("event_type"),
+    Some("""WITH x AS (
+      SELECT event_type, unnest([
+        event_type,
+        upper(event_type),
+        upper(substring(event_type, 1, 1)) || substring(event_type, 2)
+      ]) AS v
+      FROM events)
+    SELECT event_type,
+      count(DISTINCT v) AS n_binary,
+      count(DISTINCT lower(v)) AS n_lcase,
+      count(*) AS n_rows
+    FROM x GROUP BY event_type ORDER BY event_type"""))
+
   val all: Seq[Q] = Seq(fnString, fnDate, fnMath, fnArray, fnJson, fnNull,
     fnTryCast, fnHash, fnRegex, fnStruct, fnBitwise, fnZorder, fnUrl,
-    fnInterval, fnVariant)
+    fnInterval, fnVariant, fnVariantExplode, fnCollation)
 }
