@@ -54,4 +54,39 @@ object Gate {
       s"data-quality gate '${obs.name}' rejected the run: $row")
     row
   }
+
+  /** STREAMING form (r14): attach the metric aggregates by NAME — an
+    * `Observation` object binds to one batch action, but a stream
+    * emits one observed row PER MICRO-BATCH, surfaced in each
+    * `StreamingQueryProgress.observedMetrics`. Same zero-extra-pass
+    * economics: the tasks already streaming the batch compute the
+    * aggregates, so a 100 TB streaming ingest gets per-batch quality
+    * telemetry for free. */
+  def observedStream(
+      df: DataFrame, name: String,
+      metrics: Seq[org.apache.spark.sql.Column]): DataFrame =
+    df.observe(name, metrics.head, metrics.tail: _*)
+
+  /** Per-batch gate over a streaming query's progress: every batch's
+    * observed row for `name` is checked against `rule`; the first
+    * violating batch fails loudly with its batch id and metric row
+    * (the foreachBatch publisher pairs this with quarantining that
+    * batch's staging output). Returns the per-batch metric rows in
+    * batch order for telemetry. */
+  def requireStream(
+      query: org.apache.spark.sql.streaming.StreamingQuery, name: String,
+      rule: Map[String, Any] => Boolean): Seq[Map[String, Any]] =
+    query.recentProgress.toSeq
+      .flatMap { p =>
+        Option(p.observedMetrics.get(name)).map { row =>
+          val m = row.schema.fieldNames.zip(row.toSeq).toMap[String, Any]
+          (p.batchId, m)
+        }
+      }
+      .sortBy(_._1)
+      .map { case (batchId, m) =>
+        if (!rule(m)) throw new IllegalStateException(
+          s"streaming data-quality gate '$name' rejected batch $batchId: $m")
+        m
+      }
 }

@@ -306,6 +306,42 @@ object SqlQueries {
     FROM lineitem
     GROUP BY 1 ORDER BY band"""))
 
+  /** EXT (r14): PARAMETERIZED SQL + the `IDENTIFIER()` clause — the
+    * injection-safe templating surface (SQL text is constant; values
+    * AND the table name bind as typed arguments, so a hostile string
+    * can never splice syntax). Every production scheduler templates
+    * queries; string concatenation is how that goes wrong. The named
+    * markers (`:seg`, `:cutoff`, `:cap`) bind literals; `IDENTIFIER
+    * (:tab)` binds the relation name through the parser's identifier
+    * rule — `'orders; DROP …'` fails to resolve rather than executes.
+    * The oracle is the same statement with the bindings inlined:
+    * hash-equality proves binding ≡ inlining. */
+  val sqlParams: Q = Q(
+    "q_sql_params",
+    (s, d) => {
+      Tables.customer(s, d).createOrReplaceTempView("customer")
+      Tables.orders(s, d).createOrReplaceTempView("orders")
+      s.sql(
+        """SELECT c_mktsegment,
+          count(*) AS n_orders,
+          CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE)
+            AS total_value
+        FROM IDENTIFIER(:tab) JOIN customer ON o_custkey = c_custkey
+        WHERE o_orderdate < :cutoff AND o_totalprice < :cap
+        GROUP BY c_mktsegment
+        ORDER BY c_mktsegment""",
+        Map("tab" -> "orders",
+          "cutoff" -> java.sql.Timestamp.valueOf("2001-06-01 00:00:00"),
+          "cap" -> 200000.0))
+    },
+    Some("""SELECT c_mktsegment, count(*) AS n_orders,
+      CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE)
+        AS total_value
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    WHERE o_orderdate < TIMESTAMP '2001-06-01 00:00:00'
+      AND o_totalprice < 200000.0
+    GROUP BY c_mktsegment ORDER BY c_mktsegment"""))
+
   val all: Seq[Q] = Seq(sqlQ3, sqlQ5, sqlQ10, sqlSubquery, sqlLateral,
-    sqlRecursiveSpine, sqlPipe, sqlUdf)
+    sqlRecursiveSpine, sqlPipe, sqlUdf, sqlParams)
 }

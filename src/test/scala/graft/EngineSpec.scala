@@ -497,4 +497,45 @@ class GateSpec extends SparkSpec {
     assert(e.getMessage.contains("reject_gate")
       && e.getMessage.contains("n_rows"))
   }
+
+  test("streaming gate observes every micro-batch on its own pass; a " +
+      "violating batch fails loudly with its batch id") {
+    // r14: the per-batch form — one observed row per micro-batch in
+    // QueryProgress.observedMetrics, computed by the batch's own
+    // tasks. Three batches stream a documents-shaped feed; batch
+    // metrics must sum to the direct whole-input aggregate, and a
+    // rule violated only by the batch carrying an empty doc must name
+    // THAT batch.
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[(Long, String, Long)]
+    val df = mem.toDF().toDF("doc_id", "text", "n_chars")
+    val gated = engine.Gate.observedStream(
+      df, "stream_ingest", engine.Gate.corpusMetrics)
+    val q = gated.writeStream.format("noop").outputMode("append").start()
+    try {
+      mem.addData((1L, "alpha", 5L), (2L, "beta", 4L))
+      q.processAllAvailable()
+      mem.addData((3L, "gamma", 5L))
+      q.processAllAvailable()
+      mem.addData((4L, "", 0L), (5L, "delta", 5L)) // the bad batch
+      q.processAllAvailable()
+      // telemetry path: all three batch rows, summing to the input
+      val rows = engine.Gate.requireStream(q, "stream_ingest",
+        m => m("n_rows").asInstanceOf[Long] > 0)
+      assert(rows.size == 3)
+      assert(rows.map(_("n_rows").asInstanceOf[Long]).sum == 5L)
+      assert(rows.map(_("total_chars").asInstanceOf[Long]).sum == 19L)
+      // gate path: the empty-doc rule must reject exactly the batch
+      // that carried it, naming the batch id and metrics
+      val e = intercept[IllegalStateException] {
+        engine.Gate.requireStream(q, "stream_ingest",
+          m => m("empty_docs").asInstanceOf[Long] == 0L)
+      }
+      assert(e.getMessage.contains("batch 2") &&
+        e.getMessage.contains("empty_docs"),
+        e.getMessage)
+    } finally q.stop()
+  }
 }
