@@ -571,9 +571,59 @@ object Aggregates {
 
   private def split_part_tokens = split(lower(col("text")), " ")
 
+  /** EXT (r14): segment-overlap via KMV bottom-k sketches
+    * (functions.KmvSketch) — the audience-intersection question
+    * ("distinct users in BOTH the high-value-purchase and the
+    * high-value-error segment") that `approx_count_distinct`'s HLL
+    * fundamentally cannot answer: HLLs don't intersect, KMV sketches
+    * do (they are uniform hash-space samples, so set algebra composes
+    * — Beyer et al. 2007). Each segment is one sketch-aggregation pass
+    * with O(k) state per group (vs collect_set's unbounded state);
+    * the two 1-row sketches meet in a broadcast cross join and every
+    * set estimate is native array algebra on the sorted sketches
+    * (stored pre-biased so signed array_sort == unsigned hash order).
+    *
+    * Oracle regime: with k = 65536 ≫ the fixture's distinct users the
+    * sketches retain every hash, so all four outputs are EXACT and the
+    * oracle is plain COUNT(DISTINCT) algebra — hash-exact through the
+    * sf1 verify scale. The n ≫ k estimator path (and why
+    * inclusion-exclusion is the wrong intersection estimator there) is
+    * pinned by KmvSpec with the analytic ~1/√(k−2) bound. */
+  val aggKmvOverlap: Q = Q(
+    "q_agg_kmv_overlap",
+    (s, d) => {
+      val k = 65536
+      val kmv = udaf(new graft.functions.KmvSketch.Agg(k),
+        org.apache.spark.sql.Encoders.scalaLong)
+      val ev = Tables.events(s, d)
+      def seg(t: String) = ev
+        .where(col("event_type") === t && col("value") > 90)
+        .select(xxhash64(col("user_id")).as("h"))
+      val ska = seg("purchase").agg(kmv(col("h")).as("ska"))
+      val skb = seg("error").agg(kmv(col("h")).as("skb"))
+      ska.crossJoin(broadcast(skb))
+        .select(
+          size(col("ska")).cast("long").as("a_users"),
+          size(col("skb")).cast("long").as("b_users"),
+          size(slice(array_sort(array_union(col("ska"), col("skb"))),
+            1, k)).cast("long").as("either_users"),
+          (size(col("ska")) + size(col("skb"))
+            - size(slice(array_sort(array_union(col("ska"), col("skb"))),
+              1, k))).cast("long").as("both_users"))
+    },
+    Some("""WITH a AS (SELECT DISTINCT user_id FROM events
+        WHERE event_type = 'purchase' AND value > 90),
+      b AS (SELECT DISTINCT user_id FROM events
+        WHERE event_type = 'error' AND value > 90)
+    SELECT (SELECT count(*) FROM a) AS a_users,
+      (SELECT count(*) FROM b) AS b_users,
+      (SELECT count(*) FROM (SELECT user_id FROM a
+        UNION SELECT user_id FROM b)) AS either_users,
+      (SELECT count(*) FROM a JOIN b USING (user_id)) AS both_users"""))
+
   val all: Seq[Q] = Seq(
     aggHashGroup, aggDistinct, aggApproxDistinct, aggHllSketch, aggRollup,
     aggCube, aggPartialFinal, aggStats, aggPivot, aggSample, aggCollect,
     aggUnpivot, sampleWeighted, aggPercentile, aggCorr, aggHistogram,
-    aggMode, samplePerGroup, sampleSplit)
+    aggMode, samplePerGroup, sampleSplit, aggKmvOverlap)
 }

@@ -638,7 +638,65 @@ object EventOps {
            ELSE 'edge' END AS kind
     FROM g ORDER BY user_id, day"""))
 
+  /** EXT (r14): sequence-pattern matching over per-user event journeys
+    * — the MATCH_RECOGNIZE shape (SQL:2016 row-pattern recognition,
+    * which Spark does not ship): each user's events are ordered into a
+    * one-char-per-event journey string (C=click V=view P=purchase
+    * S=signup E=error) and a regex counts non-overlapping occurrences
+    * of click → any views → purchase (`CV*P`). Funnels ([[eventFunnel]])
+    * ask "did steps happen in order, ever"; this asks "how many times
+    * did the CONTIGUOUS motif fire", which funnels and lag-windows
+    * ([[eventPaths]], fixed arity) cannot express — quantifiers need a
+    * state machine, and a regex over the materialized journey IS that
+    * state machine.
+    *
+    * Scale: one user-keyed shuffle; the collect_list state is bounded
+    * by the per-entity event count (the same bounded-sequence premise
+    * as [[eventSessions]]/[[eventPaths]] — journeys are session-scale,
+    * not corpus-scale), and partials combine map-side, so the shuffle
+    * moves ≤ one journey per user per map split. The regex runs once
+    * per user over a bounded string — no cross-row state survives it.
+    * Determinism: order inside the journey is (ts, event_id) via a
+    * struct array_sort (field-order lexicographic), unique by event_id.
+    * Both engines scan non-overlapping leftmost with greedy `V*`
+    * (java.util.regex find-loop ≡ RE2 FindAll on this pattern — no
+    * backrefs, no lookaround, match can never be empty). */
+  val eventPattern: Q = Q(
+    "q_event_pattern",
+    (s, d) => {
+      val ev = Tables.events(s, d)
+        .select(col("user_id"), col("ts"), col("event_id"),
+          when(col("event_type") === "click", "C")
+            .when(col("event_type") === "view", "V")
+            .when(col("event_type") === "purchase", "P")
+            .when(col("event_type") === "signup", "S")
+            .otherwise("E").as("c"))
+      ev.groupBy(col("user_id"))
+        .agg(
+          count(lit(1)).as("n_events"),
+          concat_ws("",
+            transform(
+              array_sort(collect_list(
+                struct(col("ts"), col("event_id"), col("c")))),
+              x => x.getField("c"))).as("journey"))
+        .select(col("user_id"), col("n_events"),
+          size(regexp_extract_all(col("journey"), lit("CV*P"), lit(0)))
+            .cast("long").as("n_matches"))
+        .orderBy("user_id")
+    },
+    Some("""WITH j AS (
+      SELECT user_id, count(*) AS n_events,
+        string_agg(CASE event_type
+            WHEN 'click' THEN 'C' WHEN 'view' THEN 'V'
+            WHEN 'purchase' THEN 'P' WHEN 'signup' THEN 'S'
+            ELSE 'E' END, ''
+          ORDER BY CAST(ts AS TIMESTAMP), event_id) AS journey
+      FROM events GROUP BY user_id)
+    SELECT user_id, n_events,
+      CAST(len(regexp_extract_all(journey, 'CV*P')) AS BIGINT) AS n_matches
+    FROM j ORDER BY user_id"""))
+
   val all: Seq[Q] = Seq(eventFunnel, eventRetention, eventScd2,
     eventTransitions, eventOhlc, eventFfill, eventSessions, eventAnomaly,
-    eventAttribution, eventPaths, eventInterpolate)
+    eventAttribution, eventPaths, eventInterpolate, eventPattern)
 }
