@@ -883,10 +883,142 @@ object TextOps {
         AS entropy
     FROM withtot GROUP BY doc_id ORDER BY doc_id"""))
 
+  /** EXT (r14): hybrid retrieval with reciprocal-rank fusion — the
+    * two-leg search shape every modern retrieval stack runs (lexical
+    * BM25 + embedding cosine, fused by RRF: Cormack et al. 2009,
+    * Σ 1/(60+rank)). Rank fusion is rank-space, not score-space, so
+    * the legs need no score calibration against each other — which is
+    * exactly why RRF is the production default.
+    *
+    * Leg shapes: the lexical leg is [[textBm25]]'s machinery (filter
+    * inside the token array before the Generate, broadcast df/stats);
+    * the vector leg is a brute-force cosine scan against one probe
+    * vector — the declared baseline; at 100 TB the scan swaps for the
+    * IVF/LSH candidate path (q_sim_ivf_topk / q_sim_lsh_topk) and the
+    * fusion is unchanged. Each leg cuts to its top-100 via
+    * orderBy+limit (TakeOrderedAndProject — no global sort), and the
+    * partitionless row_number windows run AFTER the cut, over ≤100
+    * rows — the one place an unpartitioned window is scale-correct.
+    * Fusion is a full outer join of two 100-row sets.
+    *
+    * Determinism: legs rank on round(score, 6) with doc_id tiebreak;
+    * RRF terms are 1/(60+rank) on integer ranks — bit-identical
+    * doubles in both engines, summed in the same (lex, vec) order. */
+  val searchHybrid: Q = Q(
+    "q_search_hybrid",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val terms = Seq("spark", "vector", "query")
+      val docs = Tables.documents(s, d)
+      // lexical leg: BM25(k1=1.2, b=0.75) over the fixed query terms
+      val dl = docs.select(col("doc_id"),
+        size(filter(tokens, t => t =!= "")).cast("double").as("dl"))
+      val stats = dl.agg(
+        count(lit(1)).cast("double").as("n_docs"),
+        (sum(col("dl").cast("long")).cast("double")
+          / count(lit(1))).as("avgdl"))
+      val tf = docs
+        .select(col("doc_id"),
+          explode(filter(tokens,
+            t => terms.map(q => t === q).reduce(_ || _))).as("t"))
+        .groupBy(col("doc_id"), col("t"))
+        .agg(count(lit(1)).cast("double").as("tf"))
+      val df = tf.groupBy(col("t")).agg(count(lit(1)).cast("double").as("df"))
+      val perTerm = terms.map(t =>
+        coalesce(max(when(col("t") === t, col("sc"))), lit(0.0)))
+      val lex = tf
+        .join(broadcast(df), "t")
+        .join(dl, "doc_id")
+        .crossJoin(broadcast(stats))
+        .select(col("doc_id"), col("t"),
+          (log(lit(1.0) + (col("n_docs") - col("df") + lit(0.5))
+              / (col("df") + lit(0.5)))
+            * col("tf") * lit(2.2)
+            / (col("tf")
+              + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / col("avgdl"))))
+            .as("sc"))
+        .groupBy(col("doc_id"))
+        .agg(round(perTerm.reduce(_ + _), 6).as("bm25"))
+      val wLex = Window.orderBy(col("bm25").desc, col("doc_id"))
+      val lexTop = lex.orderBy(col("bm25").desc, col("doc_id")).limit(100)
+        .select(col("doc_id"),
+          row_number().over(wLex).cast("long").as("rank_lex"))
+      // vector leg: cosine against the vec_id=0 probe embedding
+      val emb = Tables.embeddings(s, d)
+      val probe = emb.where(col("vec_id") === 0)
+        .select(col("embedding").as("qv"))
+      val vec = emb.where(col("vec_id") =!= 0)
+        .crossJoin(broadcast(probe))
+        .select(col("vec_id").as("doc_id"),
+          round(graft.functions.CosineSimilarity(s,
+            col("embedding"), col("qv")), 6).as("cos"))
+      val wVec = Window.orderBy(col("cos").desc, col("doc_id"))
+      val vecTop = vec.orderBy(col("cos").desc, col("doc_id")).limit(100)
+        .select(col("doc_id"),
+          row_number().over(wVec).cast("long").as("rank_vec"))
+      lexTop.join(vecTop, Seq("doc_id"), "full")
+        .select(col("doc_id"), col("rank_lex"), col("rank_vec"),
+          round(
+            coalesce(lit(1.0) / (lit(60) + col("rank_lex")), lit(0.0))
+              + coalesce(lit(1.0) / (lit(60) + col("rank_vec")), lit(0.0)),
+            6).as("rrf"))
+        .orderBy(col("rrf").desc, col("doc_id"))
+        .limit(20)
+    },
+    Some(s"""WITH dl AS (
+      SELECT doc_id,
+        CAST(len(list_filter($sqlTokens, t -> t != '')) AS DOUBLE) AS dl
+      FROM documents),
+    stats AS (
+      SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+        CAST(sum(CAST(dl AS BIGINT)) AS DOUBLE) / count(*) AS avgdl
+      FROM dl),
+    tf AS (
+      SELECT doc_id, t, CAST(count(*) AS DOUBLE) AS tf
+      FROM (SELECT doc_id, unnest($sqlTokens) AS t FROM documents)
+      WHERE t IN ('spark', 'vector', 'query')
+      GROUP BY doc_id, t),
+    df AS (SELECT t, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY t),
+    sc AS (
+      SELECT doc_id, t,
+        ln(1.0e0 + (n_docs - df + 0.5e0) / (df + 0.5e0))
+          * tf * 2.2e0
+          / (tf + 1.2e0 * (0.25e0 + 0.75e0 * dl / avgdl)) AS sc
+      FROM tf JOIN df USING (t) JOIN dl USING (doc_id) CROSS JOIN stats),
+    lex AS (
+      SELECT doc_id,
+        round(coalesce(max(CASE WHEN t = 'spark' THEN sc END), 0.0e0)
+          + coalesce(max(CASE WHEN t = 'vector' THEN sc END), 0.0e0)
+          + coalesce(max(CASE WHEN t = 'query' THEN sc END), 0.0e0), 6)
+          AS bm25
+      FROM sc GROUP BY doc_id),
+    lex_top AS (
+      SELECT doc_id,
+        CAST(row_number() OVER (ORDER BY bm25 DESC, doc_id) AS BIGINT)
+          AS rank_lex
+      FROM lex ORDER BY bm25 DESC, doc_id LIMIT 100),
+    qv AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+    vec AS (
+      SELECT vec_id AS doc_id,
+        round(${graft.functions.Vectors.sqlCosine("embedding", "qv")}, 6)
+          AS cos
+      FROM embeddings CROSS JOIN qv WHERE vec_id != 0),
+    vec_top AS (
+      SELECT doc_id,
+        CAST(row_number() OVER (ORDER BY cos DESC, doc_id) AS BIGINT)
+          AS rank_vec
+      FROM vec ORDER BY cos DESC, doc_id LIMIT 100)
+    SELECT coalesce(l.doc_id, v.doc_id) AS doc_id,
+      rank_lex, rank_vec,
+      round(coalesce(1.0e0 / (60 + rank_lex), 0.0e0)
+        + coalesce(1.0e0 / (60 + rank_vec), 0.0e0), 6) AS rrf
+    FROM lex_top l FULL JOIN vec_top v ON l.doc_id = v.doc_id
+    ORDER BY rrf DESC, doc_id LIMIT 20"""))
+
   val all: Seq[Q] = Seq(
     dedupExact, textTokens, textStats, textTfidf, textLangid, textQuality,
     textFingerprint, textTokencount, textBpeTokens, textNgramFreq,
     textRedact, textNormalize, textRepetition, textSourceOverlap,
     textCmsTopk, textUnigramLogprob, textBm25, dedupIncremental,
-    textEntropy)
+    textEntropy, searchHybrid)
 }
