@@ -34,14 +34,11 @@ object Bench {
     "q_ref_orc_source", "q_ref_json_source", "q_ref_xml_source")
 
   def main(args: Array[String]): Unit = {
-    // --canonical: run the full schedule 3× in this JVM and publish the
-    // MEDIAN-BY-TOTAL run's map (r8 verdict: four same-day canonical
-    // runs of identical code spread ±6%; a single-shot headline made
-    // sub-10% round-over-round deltas unreadable, and the committed
-    // number was silently best-of-N). The median run is published
-    // verbatim — value and per-query map from the SAME run, so the map
-    // still sums to the headline — and all three runs land in
-    // bench_history.jsonl.
+    // --canonical: run the full schedule 3× in this JVM and publish
+    // the PER-QUERY-MEDIAN composite (r14; see the comment at the
+    // composite below for the evidence that retired r8's
+    // median-by-total run). All three raw runs land in
+    // bench_history.jsonl and their totals in runs_total.
     val canonical = args.contains("--canonical")
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -93,14 +90,22 @@ object Bench {
       warmupFailed = Some(String.valueOf(e.getMessage))
       System.err.println(s"[bench] warm-up failed: ${e.getMessage}")
     }
-    // Host-speed calibration (r14, VERDICT r13 next #2): one fixed
-    // Spark-free CPU work unit per process, published beside every
-    // total as calib_sec + total_over_calib so cross-day totals stop
-    // needing drift-vs-regression forensics (see [[Calib]]). Measured
-    // after the warm-up so JIT/GC churn from session bootstrap doesn't
-    // land in the probe.
-    val calibSec = Calib.seconds()
-    System.err.println(f"[bench] calib_sec: $calibSec%.3f")
+    // Host-speed calibration (r14, VERDICT r13 next #2): fixed
+    // Spark-free CPU work units published beside every total so
+    // cross-day totals stop needing drift-vs-regression forensics
+    // (see [[Calib]]). TWO probes, measured immediately before EACH
+    // schedule iteration (after the warm-up, so JIT/GC churn from
+    // session bootstrap doesn't land in them): a single-thread unit
+    // (calib_sec — CPU frequency / per-core steal) and the same unit
+    // on `cpus` concurrent threads (calib_par_sec — parallel-capacity
+    // steal from competing multi-core loads). The r14 session that
+    // motivated the pair measured 319 s vs 134 s on back-to-back
+    // identical runs with the single-thread probe flat at ~0.95 s:
+    // this host's drift lives in parallel capacity, which only the
+    // concurrent probe sees. Per-iteration (not once per process)
+    // because the contention arrives in multi-minute bursts — one
+    // probe at t=0 said nothing about iteration 3.
+    val parThreads = cpus.toIntOption.getOrElse(4)
     // Fixed, reproducible order — name-sorted compute queries first,
     // the I/O block last — so round-over-round totals compare the same
     // schedule (hash-map iteration order reshuffles on every added
@@ -121,21 +126,45 @@ object Bench {
       }
       (results, failed.toSeq)
     }
+    case class Run(res: Seq[(String, Double)], failed: Seq[String],
+      calib: Double, calibPar: Double)
     val runs = (1 to (if (canonical) 3 else 1)).map { i =>
-      val r = runSchedule()
+      val cs = Calib.seconds()
+      val cp = Calib.parallelSeconds(parThreads)
+      System.err.println(
+        f"[bench] iter $i calib_sec: $cs%.3f calib_par_sec: $cp%.3f")
+      val (res, fl) = runSchedule()
       if (canonical) System.err.println(
-        f"[bench] canonical run $i/3 total ${r._1.map(_._2).sum}%.1f s")
-      r
+        f"[bench] canonical run $i/3 total ${res.map(_._2).sum}%.1f s")
+      Run(res, fl, cs, cp)
     }
-    // Median by total among CLEAN runs (a failed run's total is not a
-    // comparable data point); if every run failed, fall back to all.
+    // Composite over CLEAN runs (a failed run's times are not
+    // comparable data points); if every run failed, fall back to all.
     val pool = {
-      val clean = runs.filter(_._2.isEmpty)
+      val clean = runs.filter(_.failed.isEmpty)
       if (clean.nonEmpty) clean else runs
     }
-    val (results, failedSeq) =
-      pool.sortBy(_._1.map(_._2).sum).apply(pool.size / 2)
-    val failed = failedSeq
+    def med(vs: Seq[Double]): Double = vs.sorted.apply(vs.size / 2)
+    // Canonical value = PER-QUERY median across the pool, summed —
+    // not the median-by-total run published verbatim (pre-r14). The
+    // r14 canonical that forced the change: ambient contention bursts
+    // spiked DIFFERENT queries in each iteration (iter 1
+    // q_window_frame 11.9 s vs 0.75 steady, iter 2 q_ref_csv_source
+    // 52.2 s vs 1.1, iter 3 q_dedup_semantic 41 s vs 1.7), so every
+    // candidate total carried ~70-95 s of noise and the median run was
+    // still 2× steady-state. A spike must hit the SAME query in 2 of 3
+    // iterations to survive a per-query median — the composite
+    // reconstructs the uncontended steady-state the round-over-round
+    // trend needs. The map still sums to the headline by construction;
+    // the three raw run totals are published beside it (runs_total)
+    // and every raw run is in bench_history.jsonl, so nothing is
+    // hidden.
+    val results: Seq[(String, Double)] = ordered.map { case (name, _) =>
+      name -> med(pool.map(_.res.toMap.apply(name)))
+    }
+    val failed = pool.flatMap(_.failed).distinct
+    val calibSec = med(pool.map(_.calib))
+    val calibParSec = med(pool.map(_.calibPar))
     // Locale.ROOT: a comma-decimal default locale would render the
     // stdout line as invalid JSON.
     def fmt(v: Double, dp: Int) = String.format(Locale.ROOT, s"%.${dp}f",
@@ -164,24 +193,31 @@ object Bench {
       if (clean) s""""value":${fmt(total, dp)}"""
       else s""""value":null,"value_degraded":${fmt(total, dp)}"""
     def fullJson(res: Seq[(String, Double)], fl: Seq[String],
-        extra: String): String = {
+        cSec: Double, cPar: Double, extra: String): String = {
       val tot = res.map(_._2).sum
       val flJson = fl.map(n => s""""$n"""").mkString("[", ",", "]")
       val head =
         if (warmupFailed.isEmpty && fl.isEmpty) s""""value":${fmt(tot, 3)}"""
         else s""""value":null,"value_degraded":${fmt(tot, 3)}"""
-      s"""{"metric":"total",$head,"unit":"sec","calib_sec":${fmt(calibSec, 3)
-      },"total_over_calib":${fmt(tot / calibSec, 1)},"queries":${
+      s"""{"metric":"total",$head,"unit":"sec","calib_sec":${fmt(cSec, 3)
+      },"calib_par_sec":${fmt(cPar, 3)
+      },"total_over_calib":${fmt(tot / cSec, 1)
+      },"total_over_calib_par":${fmt(tot / cPar, 1)},"queries":${
         res.map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")
       },"failed":$flJson$warmupJson$extra,"sf":"$sfDir"}"""
     }
-    // Tag is explicit about the limitation (r9 advice): the median is
-    // drawn from three back-to-back schedules in ONE warm JVM/session,
-    // which tames intra-session draw but does NOT sample the ±6%
-    // inter-session (forked-JVM, page-cache, ambient) variance the r8
-    // spread measured — cross-session comparison is the driver's job.
-    val full = fullJson(results, failed,
-      if (canonical) s""","canonical":"median-of-3-intra-jvm"""" else "")
+    // Tag is explicit about the limitation (r9 advice): the composite
+    // is drawn from three back-to-back schedules in ONE warm
+    // JVM/session, which tames intra-session draw but does NOT sample
+    // the inter-session (forked-JVM, page-cache, ambient) variance —
+    // cross-session comparison is the driver's job, now aided by the
+    // per-iteration calib pairs above.
+    val runsTotal = runs
+      .map(r => fmt(r.res.map(_._2).sum, 3)).mkString("[", ",", "]")
+    val full = fullJson(results, failed, calibSec, calibParSec,
+      if (canonical)
+        s""","canonical":"median-per-query-of-3","runs_total":$runsTotal"""
+      else "")
     // The repo-root bench.json is the CANONICAL published number
     // (BASELINE.md points at it) and only a --canonical median-of-3 may
     // write it: three consecutive rounds (r10-r12) the driver's
@@ -217,10 +253,11 @@ object Bench {
     }
     if (isDefaultOut) {
       val ts = System.currentTimeMillis()
-      val lines = runs.zipWithIndex.map { case ((res, fl), i) =>
+      val lines = runs.zipWithIndex.map { case (r, i) =>
         val tag = if (canonical) s""","canonical_iter":${i + 1}""" else ""
-        "{" + s""""ts_ms":$ts,""" + fullJson(res, fl, tag).stripPrefix("{") +
-          "\n"
+        "{" + s""""ts_ms":$ts,""" +
+          fullJson(r.res, r.failed, r.calib, r.calibPar, tag)
+            .stripPrefix("{") + "\n"
       }.mkString
       try {
         val ch = java.nio.channels.FileChannel.open(
@@ -241,7 +278,9 @@ object Bench {
     val top = results.sortBy(-_._2).take(25)
     val omitted = results.size - top.size
     println(s"""{"metric":"total",${headline(3)},"unit":"sec","calib_sec":${
-      fmt(calibSec, 3)},"total_over_calib":${fmt(total / calibSec, 1)
+      fmt(calibSec, 3)},"calib_par_sec":${fmt(calibParSec, 3)
+    },"total_over_calib":${fmt(total / calibSec, 1)
+    },"total_over_calib_par":${fmt(total / calibParSec, 1)
     },"queries":${
       top.map { case (k, v) => entry(k, v, 3) }.mkString("{", ",", "}")
     },"queries_omitted":$omitted,"failed":$failedJson$warmupJson,"detail":"$out","sf":"$sfDir"}""")

@@ -21,18 +21,23 @@ object BenchOne {
       spark.conf.set(k, v)
       println(s"[benchone] conf $k=$v")
     }
-    // Same host-speed probe as Bench: steady-state comparisons across
-    // host-days divide by this (see [[Calib]]).
-    val calibSec = Calib.seconds()
-    println(f"[benchone] calib_sec: $calibSec%.3f")
+    // Same host-speed probes as Bench, re-measured before EVERY
+    // iteration (see [[Calib]]): the single-thread probe tracks
+    // per-core speed, the `cpus`-thread probe tracks the parallel-
+    // capacity steal that r14 showed dominates this host's drift. An
+    // iteration whose calib_par is inflated is contaminated — read the
+    // /calib_par column for cross-host-day comparisons.
     (1 to iters).foreach { i =>
+      val cs = Calib.seconds()
+      val cp = Calib.parallelSeconds(cpus.toIntOption.getOrElse(4))
       val t0 = System.nanoTime()
       // Same full-materialization metric as Bench (noop sink): count()
       // would let Catalyst prune the projections and drop the sort.
       Bench.materialize(SparkEntry.queries(name)(spark, sfDir))
       val sec = (System.nanoTime() - t0) / 1e9
-      println(
-        f"[benchone] $name iter$i: $sec%.2f s (/calib ${sec / calibSec}%.2f)")
+      println(f"[benchone] $name iter$i: $sec%.2f s" +
+        f" (calib $cs%.3f par $cp%.3f; /calib ${sec / cs}%.2f" +
+        f" /calib_par ${sec / cp}%.2f)")
     }
     spark.stop()
   }
