@@ -621,9 +621,57 @@ object Aggregates {
         UNION SELECT user_id FROM b)) AS either_users,
       (SELECT count(*) FROM a JOIN b USING (user_id)) AS both_users"""))
 
+  /** EXT (r14): weighted median — the robust location statistic when
+    * rows carry unequal mass (median *unit* price weighted by quantity,
+    * vs [[aggPercentile]]'s per-row median). No engine has a native
+    * one; the portable exact form is the cumulative-mass definition:
+    * the smallest value whose running weight reaches half the total.
+    * Entirely in the exact decimal domain (the [[Det]] discipline):
+    * weights and values are raw 2-decimal columns cast via [[Det.dec]],
+    * the running sum is a keyed cumulative window over the
+    * per-(group, value) pre-aggregate, and `2·cum ≥ tot` compares
+    * exact decimals — bit-identical in both engines with no float
+    * anywhere until the final ≤2^53 exact cast of the answer.
+    *
+    * Scale: the pre-aggregate collapses the corpus to distinct
+    * (group, value) pairs with map-side combine; the window and both
+    * aggregates key on the group — one exchange chain, no global sort.
+    * The cumulative window within a group is ordered by value over the
+    * COLLAPSED domain (bounded by distinct prices, not rows). */
+  val aggWeightedMedian: Q = Q(
+    "q_agg_weighted_median",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val g = Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"),
+          Det.dec(col("l_extendedprice")).as("p"))
+        .agg(sum(Det.dec(col("l_quantity"))).as("wt"))
+      val tot = g.groupBy(col("l_returnflag"))
+        .agg(sum(col("wt")).as("tot"))
+      val wc = Window.partitionBy(col("l_returnflag")).orderBy(col("p"))
+      g.withColumn("cum", sum(col("wt")).over(wc))
+        .join(tot, "l_returnflag")
+        .where(col("cum") * 2 >= col("tot"))
+        .groupBy(col("l_returnflag"))
+        .agg(min(col("p")).cast("double").as("wmedian_price"))
+        .orderBy("l_returnflag")
+    },
+    Some("""WITH g AS (
+      SELECT l_returnflag, CAST(l_extendedprice AS DECIMAL(12,2)) AS p,
+        sum(CAST(l_quantity AS DECIMAL(12,2))) AS wt
+      FROM lineitem GROUP BY 1, 2),
+    t AS (SELECT l_returnflag, sum(wt) AS tot FROM g GROUP BY 1),
+    c AS (SELECT l_returnflag, p,
+        sum(wt) OVER (PARTITION BY l_returnflag ORDER BY p) AS cum
+      FROM g)
+    SELECT c.l_returnflag, CAST(min(p) AS DOUBLE) AS wmedian_price
+    FROM c JOIN t USING (l_returnflag) WHERE 2 * cum >= tot
+    GROUP BY c.l_returnflag ORDER BY c.l_returnflag"""))
+
   val all: Seq[Q] = Seq(
     aggHashGroup, aggDistinct, aggApproxDistinct, aggHllSketch, aggRollup,
     aggCube, aggPartialFinal, aggStats, aggPivot, aggSample, aggCollect,
     aggUnpivot, sampleWeighted, aggPercentile, aggCorr, aggHistogram,
-    aggMode, samplePerGroup, sampleSplit, aggKmvOverlap)
+    aggMode, samplePerGroup, sampleSplit, aggKmvOverlap,
+    aggWeightedMedian)
 }

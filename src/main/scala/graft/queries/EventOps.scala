@@ -696,7 +696,59 @@ object EventOps {
       CAST(len(regexp_extract_all(journey, 'CV*P')) AS BIGINT) AS n_matches
     FROM j ORDER BY user_id"""))
 
+  /** EXT (r14): trailing-7-day active users per day (WAU-by-day) — the
+    * engagement staple alongside [[eventRetention]]'s cohort grid. The
+    * naive form is a per-day DISTINCT over a 7-day self-join (or a
+    * sliding `count(DISTINCT)` window, which no engine distributes):
+    * days × active-users pair blowup. The scale form inverts it as
+    * COVER EXPLOSION: each distinct (user, day) activity contributes
+    * membership to the 7 report days it covers — one constant-factor
+    * explode (×7), then one keyed distinct aggregate. Linear in
+    * activity, keyed shuffles only, map-side partial distinct; the
+    * window length is a plan constant (7× map fan-out), not a join
+    * arm. Report days are clipped to the observed [min+6, max] range
+    * so every emitted day has a full trailing week (partial-window
+    * edge days would under-count). Counts and dates — exact in both
+    * engines by construction. */
+  val eventRollingActive: Q = Q(
+    "q_event_rolling_active",
+    (s, d) => {
+      val act = Tables.events(s, d)
+        .select(col("user_id"),
+          date_trunc("day", col("ts")).cast("date").as("day"))
+        .distinct()
+      val bounds = act.agg(
+        date_add(min(col("day")), 6).as("first_full"),
+        max(col("day")).as("last_day"))
+      act
+        .select(col("user_id"),
+          explode(sequence(col("day"), date_add(col("day"), 6)))
+            .as("report_day"))
+        .groupBy(col("report_day"))
+        .agg(countDistinct(col("user_id")).as("wau"))
+        .join(broadcast(bounds),
+          col("report_day").between(col("first_full"), col("last_day")))
+        .select(col("report_day"), col("wau"))
+        .orderBy("report_day")
+    },
+    Some("""WITH act AS (
+      SELECT DISTINCT user_id,
+        CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE) AS day
+      FROM events),
+    bounds AS (
+      SELECT min(day) + 6 AS first_full, max(day) AS last_day FROM act),
+    cover AS (
+      SELECT user_id,
+        CAST(unnest(generate_series(day, day + 6, INTERVAL 1 DAY)) AS DATE)
+          AS report_day
+      FROM act)
+    SELECT report_day, count(DISTINCT user_id) AS wau
+    FROM cover JOIN bounds
+      ON report_day BETWEEN first_full AND last_day
+    GROUP BY report_day ORDER BY report_day"""))
+
   val all: Seq[Q] = Seq(eventFunnel, eventRetention, eventScd2,
     eventTransitions, eventOhlc, eventFfill, eventSessions, eventAnomaly,
-    eventAttribution, eventPaths, eventInterpolate, eventPattern)
+    eventAttribution, eventPaths, eventInterpolate, eventPattern,
+    eventRollingActive)
 }

@@ -1172,8 +1172,99 @@ object PipelineOps {
     FROM packed p JOIN wts w USING (source)
     ORDER BY p.source, p.doc_id"""))
 
+  /** EXT (r14): PageRank centrality on the user↔event-type bipartite
+    * interaction graph — the iterative message-passing family
+    * ([[connectedComponents]] is its min-semiring cousin; this is the
+    * weighted-sum semiring), the standard "which catalog entities
+    * matter, weighted by who touches them" ranking (Brin & Page 1998).
+    * Nodes are users and event types, one edge pair per DISTINCT
+    * (user, type) interaction, K = 3 power iterations, d = 0.85.
+    *
+    * Float-parity discipline: classic PageRank sums doubles, whose
+    * value depends on reduction order — never declarable. This is
+    * INTEGER PageRank: ranks carry a fixed 1e9 mass scale and every
+    * step is BIGINT arithmetic — `rank div deg` (truncating division;
+    * all values positive, so Spark's `div` ≡ DuckDB's `//`), exact
+    * BIGINT sums (order-independent), then `(85·Σ) div 100`. The
+    * truncation leaks ≤1 unit of mass per edge per iteration —
+    * immaterial at 1e9 scale and IDENTICAL in both engines, so the
+    * result is bit-exact by construction, not by rounding luck. The
+    * oracle unrolls the 3 iterations as chained CTEs (aggregates are
+    * illegal in a recursive member; K is fixed, so unrolling is the
+    * honest form).
+    *
+    * Scale: the edge list (one `distinct` over the event scan) joins
+    * its out-degrees once and is materialized via [[cut]] — the three
+    * iteration plans re-read the ~|V×types| checkpoint, NEVER the
+    * event corpus (the zero-rescan discipline of [[pipelineCurate]]).
+    * Each iteration is one keyed join + one keyed aggregate — two
+    * exchanges over the edge list, map-side-combined; K is a constant,
+    * so the whole query is O(K·|E|) with bounded lineage (larger-K
+    * callers should cut() per round like [[connectedComponents]]).
+    * Node count never gathers to the driver. At ~1e9 nodes the 1e9
+    * mass scale approaches BIGINT range on the total-mass invariant —
+    * production at that node count drops the scale to 1e6 (same
+    * construction, 3 fewer digits of rank resolution). */
+  val graphPagerank: Q = Q(
+    "q_graph_pagerank",
+    (s, d) => {
+      val pairs = Tables.events(s, d)
+        .select(col("user_id"), col("event_type")).distinct()
+      val u = concat(lit("u:"), col("user_id").cast("string"))
+      val e = concat(lit("e:"), col("event_type"))
+      val edges = pairs.select(u.as("src"), e.as("dst"))
+        .unionByName(pairs.select(e.as("src"), u.as("dst")))
+      val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+      val ed = cut(edges.join(deg, "src"))
+      // Every node has in-edges (both directions of every interaction
+      // exist), so the per-iteration groupBy(dst) re-covers the full
+      // node set — no dangling-mass term. The initial ranks derive
+      // from the CHECKPOINT (one O(E)→O(V) distinct), not from `deg`:
+      // deg's plan hangs off the raw corpus scan, and seeding r0 from
+      // it re-reads the corpus — the zero-rescan pin in PipelineSpec
+      // caught exactly that in the first cut of this query.
+      var ranks = ed.select(col("src").as("node")).distinct()
+        .select(col("node"), lit(1000000000L).as("pr"))
+      for (_ <- 1 to 3) {
+        ranks = ed.join(ranks, ed("src") === ranks("node"))
+          .select(col("dst"), expr("pr div deg").as("c"))
+          .groupBy(col("dst"))
+          .agg(expr("150000000L + (85 * sum(c)) div 100").as("pr"))
+          .select(col("dst").as("node"), col("pr"))
+      }
+      ranks.where(col("node").startsWith("e:"))
+        .select(expr("substr(node, 3)").as("event_type"), col("pr"))
+        .orderBy(col("pr").desc, col("event_type"))
+    },
+    Some("""WITH pairs AS (
+      SELECT DISTINCT user_id, event_type FROM events),
+    edges AS (
+      SELECT 'u:' || CAST(user_id AS VARCHAR) AS src,
+        'e:' || event_type AS dst FROM pairs
+      UNION ALL
+      SELECT 'e:' || event_type, 'u:' || CAST(user_id AS VARCHAR)
+      FROM pairs),
+    deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src),
+    ed AS (SELECT e.src, e.dst, d.deg FROM edges e JOIN deg d USING (src)),
+    r0 AS (SELECT src AS node, CAST(1000000000 AS BIGINT) AS pr FROM deg),
+    r1 AS (
+      SELECT ed.dst AS node,
+        CAST(150000000 + (85 * sum(r0.pr // ed.deg)) // 100 AS BIGINT) AS pr
+      FROM ed JOIN r0 ON ed.src = r0.node GROUP BY ed.dst),
+    r2 AS (
+      SELECT ed.dst AS node,
+        CAST(150000000 + (85 * sum(r1.pr // ed.deg)) // 100 AS BIGINT) AS pr
+      FROM ed JOIN r1 ON ed.src = r1.node GROUP BY ed.dst),
+    r3 AS (
+      SELECT ed.dst AS node,
+        CAST(150000000 + (85 * sum(r2.pr // ed.deg)) // 100 AS BIGINT) AS pr
+      FROM ed JOIN r2 ON ed.src = r2.node GROUP BY ed.dst)
+    SELECT substr(node, 3) AS event_type, pr
+    FROM r3 WHERE node LIKE 'e:%'
+    ORDER BY pr DESC, event_type"""))
+
   val all: Seq[Q] = Seq(dedupComponents, dedupClusterKeep, textPack,
     textQualityFilter, textChunk, textDecontaminate, profileTable,
     textMixWeights, textMixTemperature, profileSkew,
-    profileExpectations, profileDrift, pipelineCurate)
+    profileExpectations, profileDrift, pipelineCurate, graphPagerank)
 }

@@ -835,6 +835,44 @@ object Relational {
     FROM lineitem JOIN orders ON l_orderkey = o_orderkey
     GROUP BY o_orderstatus ORDER BY o_orderstatus"""))
 
+  /** EXT (r14): deterministic dense surrogate-key assignment — the
+    * global ordinal every dimension-table build needs, WITHOUT the
+    * global sort that makes the naive form a scale-killer. The oracle
+    * states the spec in its natural (and single-partition) form,
+    * `row_number() OVER (ORDER BY source, doc_id)`; the engine
+    * computes the identical ids distributed: per-source counts → each
+    * source's starting offset via a broadcast self-join over the
+    * k-row count table (k = #sources, so the O(k²) inequality join is
+    * noise and stays off the big table) → per-source `row_number` in
+    * a KEYED window (parallel across sources; the only sort, and it's
+    * distributed) → id = offset + rank. Rejected alternatives:
+    * `monotonically_increasing_id` (nondeterministic, gappy — re-runs
+    * mint different keys, which corrupts an idempotent dimension
+    * load); a single unpartitioned window (the oracle's own form —
+    * one task sorts the corpus). Skew note: one giant source bounds
+    * the window's parallelism; if ids need no source-major order, the
+    * same two-phase shape over `repartitionByRange` buckets (bucket
+    * counts → offsets → per-bucket rank) spreads arbitrarily. */
+  val genSurrogateId: Q = Q(
+    "q_gen_surrogate_id",
+    (s, d) => {
+      val docs = Tables.documents(s, d).select(col("source"), col("doc_id"))
+      val counts = docs.groupBy(col("source")).agg(count(lit(1)).as("n"))
+      val offs = counts.as("a")
+        .join(broadcast(counts.as("b")),
+          col("b.source") < col("a.source"), "left")
+        .groupBy(col("a.source").as("source"))
+        .agg(coalesce(sum(col("b.n")), lit(0L)).as("off"))
+      val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+      docs.join(broadcast(offs), "source")
+        .select(col("doc_id"), col("source"),
+          (col("off") + row_number().over(w)).as("sid"))
+        .orderBy("sid")
+    },
+    Some("""SELECT doc_id, source,
+      CAST(row_number() OVER (ORDER BY source, doc_id) AS BIGINT) AS sid
+    FROM documents ORDER BY sid"""))
+
   val all: Seq[Q] = Seq(
     scanProjectFilter, joinInnerEqui, joinBroadcast, joinLeftOuter,
     joinRightOuter, joinFullOuter, joinSemi, joinAnti, joinThetaRange,
@@ -842,5 +880,5 @@ object Relational {
     joinAsofTolerance, joinAsofSql,
     joinInterval, joinNonEqui, joinSkewSalt, sortLimit, unionAll,
     unionDistinct, intersectQ, exceptQ, dateSpine, joinNullSafe,
-    joinBucketed, joinPartitionPruned, joinShuffleHash)
+    joinBucketed, joinPartitionPruned, joinShuffleHash, genSurrogateId)
 }

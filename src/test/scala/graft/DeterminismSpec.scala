@@ -18,7 +18,9 @@ class DeterminismSpec extends SparkSpec {
     "q_stream_tumbling", // windowed decimal sums
     "q_agg_hash_group", // the flagship
     "q_sim_pq_topk",    // driver codebooks + ADC doubles + re-rank ties
-    "q_window_chunked_running") // two-phase window rewrite
+    "q_window_chunked_running", // two-phase window rewrite
+    "q_graph_pagerank",        // integer-semiring iteration (r14)
+    "q_agg_weighted_median")   // decimal cumulative-mass argmin (r14)
 
   test("float-bearing queries are bit-identical across partition counts") {
     val conf = "spark.sql.shuffle.partitions"

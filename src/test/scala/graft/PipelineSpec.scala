@@ -159,6 +159,40 @@ class PipelineSpec extends SparkSpec {
     assert(bySrc.values.forall(_.size == 1), "weight must be per-source")
   }
 
+  test("q_graph_pagerank: iterations read the cut edge table, never the corpus; " +
+      "ranks conserve bounded mass") {
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    def unwrap(p: SparkPlan): Seq[SparkPlan] = p match {
+      case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+      case s: QueryStageExec => Seq(s.plan)
+      case other => other.children
+    }
+    def collectAll[T](p: SparkPlan)(f: PartialFunction[SparkPlan, T]): Seq[T] =
+      (if (f.isDefinedAt(p)) Seq(f(p)) else Nil) ++
+        unwrap(p).flatMap(collectAll(_)(f))
+    val df = q("q_graph_pagerank")
+    val rows = df.collect()
+    assert(rows.nonEmpty, "pagerank must rank event types")
+    // Zero-rescan pin: the 3 iteration plans all hang off the cut()
+    // edge checkpoint — a parquet scan in the final plan means an
+    // iteration re-derived edges from the events corpus.
+    val scans = collectAll(df.queryExecution.executedPlan) {
+      case s: FileSourceScanExec => s }
+    assert(scans.isEmpty,
+      s"pagerank iterations re-read the corpus: ${scans.size} scans")
+    // Mass sanity: every rank holds the teleport floor (the +0.15·S
+    // term survives truncation exactly).
+    val n = rows.length
+    rows.foreach { r =>
+      val pr = r.getLong(1)
+      assert(pr >= 150000000L, s"rank below teleport floor: $r")
+    }
+    val evTypes = q("q_graph_pagerank").select("event_type").collect()
+      .map(_.getString(0))
+    assert(evTypes.distinct.length == n, "one row per event type")
+  }
+
   test("q_text_quality_filter drops bottom quintile per lang and degenerates") {
     val df = q("q_text_quality_filter").cache()
     assert(df.where(col("lang_pctile") < 0.2 || col("n_tokens") === 0).isEmpty)

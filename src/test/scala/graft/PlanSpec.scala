@@ -230,6 +230,22 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("TakeOrderedAndProject"), plan.take(800))
   }
 
+  test("surrogate ids: ranking window is KEYED (distributed), offsets " +
+      "broadcast, and ids are a dense 1..N permutation") {
+    val df = q("q_gen_surrogate_id")
+    val plan = df.queryExecution.executedPlan.toString
+    // The oracle's single-partition `row_number() OVER (ORDER BY ...)`
+    // must NOT be the engine's plan: the only window runs per-source.
+    assert(plan.contains("Window [row_number()"), plan.take(1200))
+    assert(plan.contains("windowspecdefinition(source"),
+      s"ranking window lost its partition key:\n${plan.take(1200)}")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"offset attach must broadcast:\n${plan.take(1200)}")
+    val ids = df.collect().map(_.getLong(2))
+    assert(ids.toSeq == (1L to ids.length).toSeq,
+      s"ids are not dense 1..N: ${ids.take(10).mkString(",")}")
+  }
+
   test("OHLC bars plan window-free and match the row_number form") {
     // r11 de-cliff: open/close via min/max of struct(ts, event_id,
     // value) — one partial-aggregating groupBy, no per-(type, day)
