@@ -633,24 +633,59 @@ object Aggregates {
     * exact decimals — bit-identical in both engines with no float
     * anywhere until the final ≤2^53 exact cast of the answer.
     *
-    * Scale: the pre-aggregate collapses the corpus to distinct
-    * (group, value) pairs with map-side combine; the window and both
-    * aggregates key on the group — one exchange chain, no global sort.
-    * The cumulative window within a group is ordered by value over the
-    * COLLAPSED domain (bounded by distinct prices, not rows). */
+    * Scale — HISTOGRAM REFINEMENT, the distributed exact-quantile
+    * pattern. The naive forms all died at sf5 (30M rows): extended
+    * price is NEAR-UNIQUE (qty × part price), so a per-(group, value)
+    * pre-aggregate stays corpus-sized — the plain cumulative window
+    * then sorts ~N/3 rows in ONE task per flag (measured 23–67 s,
+    * thrashing), and even [[graft.engine.Skew.chunkedRunning]] stayed
+    * ~20–49 s because the bottleneck was never the window: it was
+    * shuffling a corpus-sized near-unique key set at all (map-side
+    * combine combines nothing). The exact-median answer that never
+    * shuffles the corpus:
+    *
+    *  1. coarse EXACT histogram — one pass, mass per (flag,
+    *     64-price-unit bucket): ~1.6k buckets × 3 flags out of a
+    *     map-side-combined aggregate (the bucket key is what makes
+    *     partial aggregation work again);
+    *  2. boundary bucket per flag on that TINY table (prefix window
+    *     over ~1.6k rows): the unique bucket where cumulative mass
+    *     crosses half;
+    *  3. refine INSIDE the boundary bucket only — broadcast the
+    *     3-row boundary set back onto a second narrow scan, keep
+    *     ~1/1600th of the corpus, and run the per-value cumulative
+    *     there (thousands of rows per flag).
+    *
+    * All masses are exact decimals at every level, so the refinement
+    * is exactly the plain definition — and the ORACLE is the plain
+    * single-window form, cross-checking the rewrite end-to-end. Two
+    * narrow column-pruned scans, shuffle output bounded by bucket
+    * count + boundary-bucket rows, never by rows or distinct prices. */
   val aggWeightedMedian: Q = Q(
     "q_agg_weighted_median",
     (s, d) => {
       import org.apache.spark.sql.expressions.Window
-      val g = Tables.lineitem(s, d)
-        .groupBy(col("l_returnflag"),
-          Det.dec(col("l_extendedprice")).as("p"))
-        .agg(sum(Det.dec(col("l_quantity"))).as("wt"))
-      val tot = g.groupBy(col("l_returnflag"))
-        .agg(sum(col("wt")).as("tot"))
-      val wc = Window.partitionBy(col("l_returnflag")).orderBy(col("p"))
-      g.withColumn("cum", sum(col("wt")).over(wc))
-        .join(tot, "l_returnflag")
+      val li = Tables.lineitem(s, d).select(col("l_returnflag"),
+        Det.dec(col("l_extendedprice")).as("p"),
+        Det.dec(col("l_quantity")).as("w"))
+        .withColumn("b", expr("CAST(p AS INT) DIV 64"))
+      val hist = li.groupBy(col("l_returnflag"), col("b"))
+        .agg(sum(col("w")).as("m"))
+      val wPre = Window.partitionBy(col("l_returnflag")).orderBy(col("b"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val boundary = hist
+        .select(col("l_returnflag"), col("b"), col("m"),
+          coalesce(sum(col("m")).over(wPre), lit(0)).as("pre"),
+          sum(col("m")).over(Window.partitionBy(col("l_returnflag")))
+            .as("tot"))
+        .where(col("pre") * 2 < col("tot")
+          && (col("pre") + col("m")) * 2 >= col("tot"))
+        .select(col("l_returnflag"), col("b"), col("pre"), col("tot"))
+      val wIn = Window.partitionBy(col("l_returnflag")).orderBy(col("p"))
+      li.join(broadcast(boundary), Seq("l_returnflag", "b"))
+        .groupBy(col("l_returnflag"), col("p"), col("pre"), col("tot"))
+        .agg(sum(col("w")).as("wt"))
+        .withColumn("cum", col("pre") + sum(col("wt")).over(wIn))
         .where(col("cum") * 2 >= col("tot"))
         .groupBy(col("l_returnflag"))
         .agg(min(col("p")).cast("double").as("wmedian_price"))
