@@ -230,6 +230,19 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("TakeOrderedAndProject"), plan.take(800))
   }
 
+  test("hybrid search cuts each leg with TakeOrderedAndProject before " +
+      "the bounded rank windows") {
+    val plan = executed("q_search_hybrid")
+    // Both legs' top-100 cuts AND the final top-20 must be
+    // TakeOrderedAndProject (no full sort of either leg's score set);
+    // the unpartitioned rank windows then see ≤100 rows by plan shape.
+    val cuts = "TakeOrderedAndProject".r.findAllIn(plan).size
+    assert(cuts >= 3, s"expected >=3 TakeOrderedAndProject, got $cuts:\n${
+      plan.take(1500)}")
+    assert(!plan.contains("Sort [bm25"),
+      s"lexical leg fell back to a full sort:\n${plan.take(1500)}")
+  }
+
   test("surrogate ids: ranking window is KEYED (distributed), offsets " +
       "broadcast, and ids are a dense 1..N permutation") {
     val df = q("q_gen_surrogate_id")
