@@ -703,10 +703,75 @@ object Aggregates {
     FROM c JOIN t USING (l_returnflag) WHERE 2 * cum >= tot
     GROUP BY c.l_returnflag ORDER BY c.l_returnflag"""))
 
+  /** EXT (r14): exact higher central moments — skewness and excess
+    * kurtosis per group, the distribution-shape statistics
+    * [[aggStats]] stops short of. Spark's native `skewness`/`kurtosis`
+    * are float accumulations (order-dependent — never declarable);
+    * here the four raw power sums Σx..Σx⁴ run in EXACT integer
+    * arithmetic (quantity is integral ≤50, so Σx⁴ ≤ n·6.25e6 stays
+    * far under 2^53 even at 120M rows — one map-side-combined
+    * aggregate, order-independent), and the closed-form conversion to
+    * central moments is the IDENTICAL IEEE double expression text in
+    * both engines (sqrt, not pow(·,1.5) — sqrt is correctly rounded
+    * everywhere). One shuffle of 4 longs per group. */
+  val aggMoments: Q = Q(
+    "q_agg_moments",
+    (s, d) => {
+      val x = col("x")
+      val agg = Tables.lineitem(s, d)
+        .select(col("l_returnflag"), col("l_quantity").cast("long").as("x"))
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"), sum(x).as("s1"),
+          sum(x * x).as("s2"), sum(x * x * x).as("s3"),
+          sum(x * x * x * x).as("s4"))
+      agg.select(col("l_returnflag"), col("n"),
+        expr(MomentsFormula("mean")).as("mean"),
+        expr(MomentsFormula("m2")).as("variance_pop"),
+        expr(MomentsFormula("skew")).as("skewness"),
+        expr(MomentsFormula("kurt")).as("kurtosis_excess"))
+        .orderBy("l_returnflag")
+    },
+    Some(s"""WITH a AS (
+      SELECT l_returnflag, count(*) AS n,
+        CAST(sum(x) AS BIGINT) AS s1,
+        CAST(sum(x * x) AS BIGINT) AS s2,
+        CAST(sum(x * x * x) AS BIGINT) AS s3,
+        CAST(sum(x * x * x * x) AS BIGINT) AS s4
+      FROM (SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS x
+            FROM lineitem)
+      GROUP BY l_returnflag)
+    SELECT l_returnflag, n,
+      ${MomentsFormula("mean")} AS mean,
+      ${MomentsFormula("m2")} AS variance_pop,
+      ${MomentsFormula("skew")} AS skewness,
+      ${MomentsFormula("kurt")} AS kurtosis_excess
+    FROM a ORDER BY l_returnflag"""))
+
+  /** The shared moments formula TEXT — interpolated into BOTH the
+    * Spark `expr` and the DuckDB oracle so the IEEE evaluation tree is
+    * identical by construction (same parser precedence both sides). */
+  private object MomentsFormula {
+    private val nd = "CAST(n AS DOUBLE)"
+    private val m = s"(CAST(s1 AS DOUBLE) / $nd)"
+    private val q2 = s"(CAST(s2 AS DOUBLE) / $nd)"
+    private val q3 = s"(CAST(s3 AS DOUBLE) / $nd)"
+    private val q4 = s"(CAST(s4 AS DOUBLE) / $nd)"
+    private val m2 = s"($q2 - $m * $m)"
+    private val m3 = s"($q3 - 3 * $m * $q2 + 2 * $m * $m * $m)"
+    private val m4 =
+      s"($q4 - 4 * $m * $q3 + 6 * $m * $m * $q2 - 3 * $m * $m * $m * $m)"
+    def apply(which: String): String = which match {
+      case "mean" => m
+      case "m2"   => m2
+      case "skew" => s"($m3 / ($m2 * sqrt($m2)))"
+      case "kurt" => s"($m4 / ($m2 * $m2) - 3)"
+    }
+  }
+
   val all: Seq[Q] = Seq(
     aggHashGroup, aggDistinct, aggApproxDistinct, aggHllSketch, aggRollup,
     aggCube, aggPartialFinal, aggStats, aggPivot, aggSample, aggCollect,
     aggUnpivot, sampleWeighted, aggPercentile, aggCorr, aggHistogram,
     aggMode, samplePerGroup, sampleSplit, aggKmvOverlap,
-    aggWeightedMedian)
+    aggWeightedMedian, aggMoments)
 }
