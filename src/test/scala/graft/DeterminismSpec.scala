@@ -20,7 +20,8 @@ class DeterminismSpec extends SparkSpec {
     "q_sim_pq_topk",    // driver codebooks + ADC doubles + re-rank ties
     "q_window_chunked_running", // two-phase window rewrite
     "q_graph_pagerank",        // integer-semiring iteration (r14)
-    "q_agg_weighted_median")   // decimal cumulative-mass argmin (r14)
+    "q_agg_weighted_median",   // decimal cumulative-mass argmin (r14)
+    "q_agg_moments")           // integer power sums -> IEEE closed form (r14)
 
   test("float-bearing queries are bit-identical across partition counts") {
     val conf = "spark.sql.shuffle.partitions"
