@@ -342,6 +342,25 @@ object SqlQueries {
       AND o_totalprice < 200000.0
     GROUP BY c_mktsegment ORDER BY c_mktsegment"""))
 
+  /** EXT (r14): `GROUP BY ALL` + `ORDER BY ALL` — the
+    * every-non-aggregate-column shorthand DuckDB introduced and Spark
+    * adopted (SPARK-44186): wide report queries stop hand-maintaining
+    * the grouping list as projections evolve. BOTH engines run the
+    * LITERAL SAME statement text — the one declared query whose Spark
+    * SQL and oracle SQL are character-identical, pinning that the
+    * dialect feature resolves to the same grouping in both. Counts and
+    * an exact decimal sum only (the Det float discipline applies to
+    * dialect demos too). */
+  val sqlGroupByAll: Q = {
+    val stmt = """SELECT l_returnflag, l_linestatus,
+      count(*) AS n,
+      CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty
+    FROM lineitem
+    GROUP BY ALL
+    ORDER BY ALL"""
+    Q("q_sql_group_by_all", (s, d) => withViews(s, d)(stmt), Some(stmt))
+  }
+
   val all: Seq[Q] = Seq(sqlQ3, sqlQ5, sqlQ10, sqlSubquery, sqlLateral,
-    sqlRecursiveSpine, sqlPipe, sqlUdf, sqlParams)
+    sqlRecursiveSpine, sqlPipe, sqlUdf, sqlParams, sqlGroupByAll)
 }
