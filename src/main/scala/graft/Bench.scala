@@ -144,7 +144,15 @@ object Bench {
       val clean = runs.filter(_.failed.isEmpty)
       if (clean.nonEmpty) clean else runs
     }
-    def med(vs: Seq[Double]): Double = vs.sorted.apply(vs.size / 2)
+    // True median: even-sized pools (one of three iterations failed)
+    // average the two middle values — the pre-r15 upper-middle pick
+    // published the PESSIMISTIC sample for every query whenever the
+    // pool was even, inconsistently with the odd-pool case.
+    def med(vs: Seq[Double]): Double = {
+      val s = vs.sorted
+      if (s.size % 2 == 1) s(s.size / 2)
+      else (s(s.size / 2 - 1) + s(s.size / 2)) / 2.0
+    }
     // Canonical value = PER-QUERY median across the pool, summed —
     // not the median-by-total run published verbatim (pre-r14). The
     // r14 canonical that forced the change: ambient contention bursts

@@ -1,8 +1,9 @@
 package graft.functions
 
-import org.apache.spark.sql.{Encoder, Encoders}
+import org.apache.spark.sql.{Column, Encoder, Encoders}
 import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
 import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions._
 
 /** K-minimum-values (KMV / bottom-k) distinct sketch (Bar-Yossef et
   * al. 2002, "Counting distinct elements in a data stream"; Beyer et
@@ -88,11 +89,55 @@ object KmvSketch {
   private def frac(biased: Long): Double =
     (biased.toDouble - Long.MinValue.toDouble) / math.pow(2.0, 64)
 
+  /** True when the sketch holds k values — the exact/estimator
+    * boundary. A saturated sketch CANNOT distinguish "exactly k
+    * distinct" from "vastly more than k" (the bottom-k window looks
+    * identical); that ambiguity is inherent to KMV, not a bug here.
+    * Callers must branch on this explicitly — once saturated,
+    * `size(sketch)` is a floor, never a count, and every derived
+    * set-algebra quantity must come from [[estimate]] /
+    * [[intersectEstimate]] (noisy-but-unbiased even at n == k) rather
+    * than raw sizes. The r14 declared query trusted raw sizes and was
+    * therefore silently wrong at sf ≥ 5 where segments exceed k; the
+    * r15 form routes every output through the estimator algebra, which
+    * degenerates to exact arithmetic below saturation. */
+  def saturated(sketch: Seq[Long], k: Int): Boolean = sketch.size >= k
+
   /** Unbiased distinct estimate: exact size below k, (k−1)/U(k) at and
-    * beyond (Beyer et al. 2007). */
+    * beyond (Beyer et al. 2007). At exactly n == k distinct the true
+    * answer is in hand but indistinguishable from the n ≫ k case (see
+    * [[saturated]]), so the estimator is returned — the correct choice
+    * when the caller can't know which side of the boundary it is on. */
   def estimate(sketch: Seq[Long], k: Int): Double =
     if (sketch.size < k) sketch.size.toDouble
     else (k - 1).toDouble / frac(sketch.last)
+
+  /** Column-native twin of [[estimate]] — IDENTICAL algebra expressed
+    * on a sketch column, so declared queries estimate without leaving
+    * codegen (KmvSpec pins the two forms equal on both regimes). */
+  def estimateCol(sk: Column, k: Int): Column =
+    when(size(sk) < k, size(sk).cast("double"))
+      .otherwise(lit((k - 1).toDouble) /
+        ((element_at(sk, -1).cast("double") - lit(Long.MinValue.toDouble))
+          / lit(math.pow(2.0, 64))))
+
+  /** Column-native union sketch: bottom-k of the merged sketches
+    * (valid because stored values are biased — signed `array_sort`
+    * order equals unsigned hash order). */
+  def unionCol(a: Column, b: Column, k: Int): Column =
+    slice(array_sort(array_union(a, b)), 1, k)
+
+  /** Column-native twin of [[intersectEstimate]]: overlap counted
+    * inside the union's bottom-k window, scaled by the union estimate.
+    * The `size(u) < k` branch keeps the exact regime BIT-exact (no
+    * (x/n)·n float round-trip where the integer answer is in hand). */
+  def intersectEstimateCol(a: Column, b: Column, k: Int): Column = {
+    val u = unionCol(a, b, k)
+    val ovl = size(array_intersect(u, array_intersect(a, b)))
+    when(size(u) === 0, lit(0.0))
+      .when(size(u) < k, ovl.cast("double"))
+      .otherwise(ovl.cast("double") / size(u) * estimateCol(u, k))
+  }
 
   /** KMV sketch of the UNION of two sets = bottom-k of the merged
     * sketches (both must be bottom-k of the same hash function). */
@@ -104,7 +149,8 @@ object KmvSketch {
     * inclusion-exclusion, which compounds three estimates' errors):
     * the fraction of the union window present in both sketches times
     * the union estimate. Exact when both inputs are in the exact
-    * regime and the union fits in k. */
+    * regime and the union fits in k (explicit branch — same bit-exact
+    * discipline as [[intersectEstimateCol]]). */
   def intersectEstimate(a: Seq[Long], b: Seq[Long], k: Int): Double = {
     val u = unionSketch(a, b, k)
     if (u.isEmpty) 0.0
@@ -112,7 +158,8 @@ object KmvSketch {
       val sa = a.toSet
       val sb = b.toSet
       val overlap = u.count(v => sa.contains(v) && sb.contains(v))
-      overlap.toDouble / u.size * estimate(u, k)
+      if (u.size < k) overlap.toDouble
+      else overlap.toDouble / u.size * estimate(u, k)
     }
   }
 }

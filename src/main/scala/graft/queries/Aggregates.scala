@@ -583,17 +583,30 @@ object Aggregates {
     * set estimate is native array algebra on the sorted sketches
     * (stored pre-biased so signed array_sort == unsigned hash order).
     *
-    * Oracle regime: with k = 65536 ≫ the fixture's distinct users the
-    * sketches retain every hash, so all four outputs are EXACT and the
-    * oracle is plain COUNT(DISTINCT) algebra — hash-exact through the
-    * sf1 verify scale. The n ≫ k estimator path (and why
-    * inclusion-exclusion is the wrong intersection estimator there) is
-    * pinned by KmvSpec with the analytic ~1/√(k−2) bound. */
+    * Regime discipline (r15 — the r14 form was silently wrong at
+    * scale): raw sketch sizes and inclusion-exclusion are only valid
+    * while every segment's TRUE distinct count is ≤ k, but the fixture
+    * scales users linearly (15k·sf), so sf5 (75k users) and sf20
+    * (300k) saturate a k = 65536 sketch — sizes would cap at k and
+    * `|A|+|B|−|A∪B|` would degenerate to ~k garbage. Every output now
+    * rides [[graft.functions.KmvSketch.estimateCol]] /
+    * [[KmvSketch.intersectEstimateCol]] — the Beyer et al.
+    * set-operation estimators as column algebra, which REDUCE TO EXACT
+    * INTEGER ARITHMETIC below saturation (explicit `size < k`
+    * branches, no float round-trips) and stay unbiased above it. The
+    * oracle is plain COUNT(DISTINCT) algebra, hash-exact at the
+    * sf ≤ 1 verify scales (15k users ≪ k puts every sketch in the
+    * exact branch); at sf ≥ 5 the same query emits valid ESTIMATES
+    * (~0.4% rel. σ at k = 65536) instead of silent caps — KmvSpec pins
+    * the column algebra ≡ the Scala estimators on BOTH regimes, plus
+    * the analytic ~1/√(k−2) bound and why inclusion-exclusion is the
+    * wrong intersection estimator once saturated. */
   val aggKmvOverlap: Q = Q(
     "q_agg_kmv_overlap",
     (s, d) => {
+      import graft.functions.KmvSketch
       val k = 65536
-      val kmv = udaf(new graft.functions.KmvSketch.Agg(k),
+      val kmv = udaf(new KmvSketch.Agg(k),
         org.apache.spark.sql.Encoders.scalaLong)
       val ev = Tables.events(s, d)
       def seg(t: String) = ev
@@ -603,13 +616,15 @@ object Aggregates {
       val skb = seg("error").agg(kmv(col("h")).as("skb"))
       ska.crossJoin(broadcast(skb))
         .select(
-          size(col("ska")).cast("long").as("a_users"),
-          size(col("skb")).cast("long").as("b_users"),
-          size(slice(array_sort(array_union(col("ska"), col("skb"))),
-            1, k)).cast("long").as("either_users"),
-          (size(col("ska")) + size(col("skb"))
-            - size(slice(array_sort(array_union(col("ska"), col("skb"))),
-              1, k))).cast("long").as("both_users"))
+          round(KmvSketch.estimateCol(col("ska"), k))
+            .cast("long").as("a_users"),
+          round(KmvSketch.estimateCol(col("skb"), k))
+            .cast("long").as("b_users"),
+          round(KmvSketch.estimateCol(
+            KmvSketch.unionCol(col("ska"), col("skb"), k), k))
+            .cast("long").as("either_users"),
+          round(KmvSketch.intersectEstimateCol(col("ska"), col("skb"), k))
+            .cast("long").as("both_users"))
     },
     Some("""WITH a AS (SELECT DISTINCT user_id FROM events
         WHERE event_type = 'purchase' AND value > 90),

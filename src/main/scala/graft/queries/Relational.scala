@@ -639,47 +639,45 @@ object Relational {
     FROM spine LEFT JOIN per_day USING (day)
     ORDER BY day"""))
 
-  /** EXT: salt-exploded skew join through engine.Skew.saltedJoin — the
-    * manual skew mitigation for when AQE's runtime skew split isn't
-    * available (e.g. skew inside a single in-flight partition, or a
-    * stream-static join's fixed plan). A hot
-    * orderkey's fact rows spread across `numSalts` shuffle partitions
-    * via a deterministic per-row salt; the dim side replicates each row
-    * once per salt, so the (key, salt) equi join sees every fact row
-    * exactly once and the result equals the plain equi join — which IS
-    * the oracle. Cost: dim side grows ×numSalts (fine for dimension
-    * tables); the fact side, where the skew lives, never replicates.
-    * r14 A/B (DiagSkew, SCALE.md): for plain BATCH skew, AQE's runtime
-    * split beats this 2.5–2.7× at sf5/sf20 — and when the "dim" is
-    * fact-sized the salt's replication costs more than the skew it
-    * cures. The declared query keeps the operator honest (result ≡
-    * plain join, one exact decimal agg); the boundary note lives on
-    * [[graft.engine.Skew.saltedJoin]] and PlanSpec pins AQE's
-    * skew=true re-plan as the recommended batch default. */
+  /** EXT (re-scoped r15): salted skew join in its MEASURED niche — the
+    * batch-parity form of the stream-static enrichment join, the one
+    * shape where manual salting is the only mitigation left. The r14
+    * A/B (DiagSkew, SCALE.md) settled the batch question: against a
+    * fact-sized "dim", ×8 whole-side replication was WORSE than no
+    * mitigation (9.1 vs 7.1 s sf5) and AQE's runtime skew split beat
+    * both 2.5–2.7× — so no batch query here salts, and PlanSpec pins
+    * AQE skew=true as the batch default. But a stream-static join's
+    * plan is FROZEN at start: AQE never re-plans inside a micro-batch,
+    * so a hot user lands on one reducer every batch forever, and when
+    * the dim is too large or too frequently refreshed to broadcast,
+    * spreading fact rows over (key, salt) reducers is the one lever
+    * left. This declared query is that twin's oracle-checkable half:
+    * events (fact — where the skew lives, never replicated) salted
+    * ×8 against a genuinely DIM-SIZED side (customer: 1% of events'
+    * rows, so replication is cheap — the boundary the r14 A/B drew),
+    * shuffle_hash-hinted to pin the non-broadcast form the streaming
+    * premise implies. Result ≡ the plain equi join — which IS the
+    * oracle; the live readStream form is
+    * [[graft.streaming.StreamingJobs.saltedEnrichment]] (StreamingSpec
+    * pins streaming↔batch parity and the no-broadcast plan). */
   val joinSkewSalt: Q = Q(
     "q_join_skew_salt",
     (s, d) => {
-      val fact = Tables.lineitem(s, d)
-      val dim = Tables.orders(s, d)
-        .withColumnRenamed("o_orderkey", "l_orderkey")
-      graft.engine.Skew.saltedJoin(fact, dim, Seq("l_orderkey"), numSalts = 8)
-        .groupBy(col("o_orderpriority"))
+      val ev = Tables.events(s, d)
+      val dim = Tables.customer(s, d)
+        .select(col("c_custkey").as("user_id"), col("c_mktsegment"))
+        .hint("shuffle_hash")
+      graft.engine.Skew.saltedJoin(ev, dim, Seq("user_id"), numSalts = 8)
+        .groupBy(col("c_mktsegment"))
         .agg(
-          count(lit(1)).as("n_items"),
-          // bigToDouble: 5 priority groups over the whole fact table
-          // pass 2^53 unscaled at sf1 (r6 sf1 run caught the last-ULP
-          // divergence of the direct decimal→double cast).
-          Det.bigToDouble(sum(Det.dec(col("l_extendedprice"), 2, 12)
-            * (lit(1).cast("decimal(8,4)") - Det.dec(col("l_discount"), 4, 8)))
-            .cast("decimal(24,6)")).as("revenue"))
-        .orderBy("o_orderpriority")
+          count(lit(1)).as("n_events"),
+          Det.dsum(col("value"), 4).as("sum_value"))
+        .orderBy("c_mktsegment")
     },
-    Some(s"""SELECT o_orderpriority, count(*) AS n_items,
-      ${Det.sqlBigToDouble("""CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
-        * (CAST(1 AS DECIMAL(8,4)) - CAST(l_discount AS DECIMAL(8,4))))
-        AS DECIMAL(24,6))""")} AS revenue
-    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
-    GROUP BY o_orderpriority ORDER BY o_orderpriority"""))
+    Some(s"""SELECT c_mktsegment, count(*) AS n_events,
+      ${Det.sqlSum("value", 4)} AS sum_value
+    FROM events JOIN customer ON user_id = c_custkey
+    GROUP BY c_mktsegment ORDER BY c_mktsegment"""))
 
   /** EXT: null-safe equi join (`<=>` / IS NOT DISTINCT FROM) — the join
     * form where NULL keys MATCH each other instead of silently dropping

@@ -58,6 +58,33 @@ object StreamingJobs {
       .select(col("window.start").as("w_start"), col("c_mktsegment"),
         col("n"))
 
+  /** EXT (r15): SALTED stream-static enrichment — the niche where
+    * manual salting is the ONLY skew mitigation. A stream-static join
+    * compiles ONCE into the streaming plan: AQE never re-plans it
+    * (there are no runtime shuffle stats to adapt on inside a
+    * micro-batch's fixed plan), so a hot user_id concentrates every
+    * micro-batch on one reducer forever — the exact failure AQE's
+    * skew=true split cures in batch (SCALE.md r14 A/B: AQE beats
+    * manual salt 2.5–2.7× THERE, which is why the batch default keeps
+    * AQE on and no batch query salts). Here the premise is inverted:
+    * the dim is too large / too frequently refreshed to broadcast
+    * (shuffle_hash-hinted to pin the shuffled form the premise
+    * implies) and the plan is frozen, so spreading each fact row over
+    * `numSalts` (key, salt) reducers — dim replicated ×numSalts, cheap
+    * because it IS dim-sized — is the one lever left. Result ≡ the
+    * plain stream-static join (StreamingSpec pins parity and the
+    * no-broadcast plan shape); batch-parity oracle form:
+    * queries.Relational.joinSkewSalt. */
+  def saltedEnrichment(
+      events: DataFrame, dim: DataFrame, numSalts: Int = 8): DataFrame =
+    graft.engine.Skew.saltedJoin(
+      events.withWatermark("ts", "10 minutes"),
+      dim.hint("shuffle_hash"), Seq("user_id"), numSalts)
+      .groupBy(window(col("ts"), "1 hour"), col("c_mktsegment"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("w_start"), col("c_mktsegment"),
+        col("n"))
+
   final case class SessionAcc(
       seq: Long, startSec: Long, lastSec: Long, n: Long)
   final case class UserSession(

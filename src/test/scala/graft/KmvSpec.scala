@@ -71,6 +71,42 @@ class KmvSpec extends SparkSpec {
     assert(math.abs(iEst - 10000) / 10000 < 0.2, s"intersect est $iEst")
   }
 
+  test("column-native estimator algebra ≡ the Scala estimators, both regimes") {
+    // the declared query rides estimateCol/intersectEstimateCol; this
+    // pins them to the driver-side reference implementations on an
+    // EXACT-regime pair (all sizes < k) and a SATURATED pair (n ≫ k) —
+    // the regime the r14 raw-size form silently corrupted.
+    import spark.implicits._
+    val kmvK = 512
+    val kmv = udaf(new KmvSketch.Agg(kmvK),
+      org.apache.spark.sql.Encoders.scalaLong)
+    def sk(lo: Long, hi: Long) = spark.range(lo, hi)
+      .select(xxhash64(col("id")).as("h"))
+      .agg(kmv(col("h")).as("sk")).collect()(0).getSeq[Long](0)
+    for ((a, b) <- Seq(
+        (sk(0, 200), sk(150, 400)),        // exact: 200/250/350 distinct
+        (sk(0, 20000), sk(15000, 40000))   // saturated: n ≫ k
+      )) {
+      assert(KmvSketch.saturated(a, kmvK) == (a.size >= kmvK))
+      val row = Seq((a, b)).toDF("a", "b")
+        .select(
+          KmvSketch.estimateCol(col("a"), kmvK).as("ea"),
+          KmvSketch.estimateCol(
+            KmvSketch.unionCol(col("a"), col("b"), kmvK), kmvK).as("eu"),
+          KmvSketch.intersectEstimateCol(col("a"), col("b"), kmvK).as("ei"))
+        .collect()(0)
+      assert(row.getDouble(0) == KmvSketch.estimate(a, kmvK))
+      assert(row.getDouble(1) ==
+        KmvSketch.estimate(KmvSketch.unionSketch(a, b, kmvK), kmvK))
+      assert(row.getDouble(2) == KmvSketch.intersectEstimate(a, b, kmvK))
+    }
+    // saturated-regime accuracy of the column path end-to-end: the
+    // intersection estimate must track truth, not cap at k
+    val (a, b) = (sk(0, 20000), sk(15000, 40000))
+    val iEst = KmvSketch.intersectEstimate(a, b, kmvK)
+    assert(math.abs(iEst - 5000) / 5000 < 0.3, s"saturated intersect $iEst")
+  }
+
   test("q_agg_kmv_overlap is exact COUNT(DISTINCT) algebra at fixture scale") {
     val got = q("q_agg_kmv_overlap").collect()(0)
     val ev = engine.Tables.events(spark, sf)

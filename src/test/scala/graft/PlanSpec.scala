@@ -312,22 +312,30 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("cell"), plan.take(1200))
   }
 
-  test("skew-salt join keys on (orderkey, salt) and equals the plain join") {
+  test("skew-salt join keys on (user_id, salt), stays non-broadcast, " +
+      "and equals the plain join") {
+    // r15 re-scope: the declared query is now the batch-parity twin of
+    // the STREAM-STATIC salted enrichment (the niche the r14 A/B
+    // proved is the only place manual salting wins — AQE can't re-plan
+    // a frozen streaming plan). Its premise is a dim too big/volatile
+    // to broadcast, so the plan must be a SHUFFLED join on (key, salt):
+    // a broadcast would mean no shuffle and nothing for the salt to
+    // spread; a plan that dropped salt from the keys would ×8 the join
+    // output silently.
     val plan = executed("q_join_skew_salt")
-    // The salt must be part of the join key — that's the whole point
-    // (hot keys spread over `salts` shuffle partitions); a plan that
-    // dropped salt from the keys would silently ×8 the join output.
     assert(plan.contains("salt"), plan.take(1200))
-    assert(!plan.contains("CartesianProduct")
+    assert(plan.contains("ShuffledHashJoin"), plan.take(1200))
+    assert(!plan.contains("BroadcastHashJoin")
+      && !plan.contains("CartesianProduct")
       && !plan.contains("BroadcastNestedLoopJoin"), plan.take(1200))
     val salted = q("q_join_skew_salt").collect().toSeq
     val plain = {
-      val l = engine.Tables.lineitem(spark, sf)
-      val o = engine.Tables.orders(spark, sf)
-      l.join(o, l("l_orderkey") === o("o_orderkey"))
-        .groupBy(col("o_orderpriority"))
-        .agg(count(lit(1)).as("n_items"))
-        .orderBy("o_orderpriority")
+      val ev = engine.Tables.events(spark, sf)
+      val c = engine.Tables.customer(spark, sf)
+      ev.join(c, ev("user_id") === c("c_custkey"))
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_events"))
+        .orderBy("c_mktsegment")
         .collect().toSeq
     }
     assert(salted.map(r => (r.getString(0), r.getLong(1))) ==

@@ -85,6 +85,47 @@ class StreamingSpec extends SparkSpec {
     assert(rows.toSeq == Seq(("BUILDING", 2L), ("MACHINERY", 1L)))
   }
 
+  test("salted stream-static enrichment: result ≡ plain join, plan stays " +
+      "shuffled on (user_id, salt) — the niche AQE cannot re-plan") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    // skewed stream: user 1 is hot (4 of 6 events)
+    val data = Seq(
+      Event(1, ts(5), 1, "click", 1.0), Event(2, ts(10), 1, "click", 1.0),
+      Event(3, ts(15), 1, "click", 1.0), Event(4, ts(20), 1, "click", 1.0),
+      Event(5, ts(25), 2, "click", 1.0), Event(6, ts(30), 3, "click", 1.0))
+    val dim = Seq((1L, "BUILDING"), (2L, "MACHINERY"), (3L, "BUILDING"))
+      .toDF("user_id", "c_mktsegment")
+    val in = MemoryStream[Event]
+    in.addData(data: _*)
+    val job = StreamingJobs.saltedEnrichment(in.toDF(), dim)
+    val sq = job.writeStream.outputMode(OutputMode.Complete)
+      .format("memory").queryName("salted_enrich_out").start()
+    sq.processAllAvailable()
+    // the streaming plan is FROZEN (no AQE): the join must be the
+    // shuffled (key, salt) form, never a broadcast — a broadcast has
+    // no shuffle for the salt to spread, and at scale the premise is
+    // a dim too large/volatile to broadcast
+    val plan = sq.asInstanceOf[org.apache.spark.sql.execution.streaming
+      .runtime.StreamingQueryWrapper].streamingQuery.lastExecution
+      .executedPlan.toString
+    sq.stop()
+    assert(plan.contains("salt"), plan.take(1500))
+    assert(plan.contains("ShuffledHashJoin"), plan.take(1500))
+    assert(!plan.contains("BroadcastHashJoin"), plan.take(1500))
+    val got = spark.table("salted_enrich_out")
+      .orderBy("c_mktsegment")
+      .collect().map(r => (r.getString(1), r.getLong(2))).toSeq
+    // parity oracle: the plain (unsalted, unhinted) batch join
+    val plain = data.toDF().join(dim, "user_id")
+      .groupBy(window(col("ts"), "1 hour"), col("c_mktsegment"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy("c_mktsegment")
+      .collect().map(r => (r.getString(1), r.getLong(2))).toSeq
+    assert(got == plain, s"salted streaming $got vs plain batch $plain")
+    assert(got == Seq(("BUILDING", 5L), ("MACHINERY", 1L)))
+  }
+
   test("sessionizeWithIds: gap closes a session with a stable per-user seq") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
