@@ -91,6 +91,110 @@ object JdbcExtract {
     s.conf.set(s"spark.sql.catalog.$name.pushDownLimit", "true")
   }
 
+  /** Generation dir name for the PK range (`from`, `to`] published by
+    * one incremental fold: `gen_<from+1>_<to>` (inclusive bounds in
+    * the name). EXACT-match parsing only — publishAtomic stages under
+    * `gen_…​.__staging__<uuid>`, which also starts with the prefix, so
+    * a prefix test would let a crashed publish's leftover staging dir
+    * advance the watermark past data that never became visible. */
+  private val GenRe = "^gen_(-?\\d+)_(-?\\d+)$".r
+
+  private def genDirs(s: SparkSession, root: String): Seq[(Long, Long, String)] = {
+    val p = new org.apache.hadoop.fs.Path(root)
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) Seq.empty
+    else fs.listStatus(p).toSeq.flatMap { st =>
+      st.getPath.getName match {
+        case GenRe(lo, hi) => Some((lo.toLong, hi.toLong, st.getPath.toString))
+        case _ => None
+      }
+    }
+  }
+
+  /** The extract root's high watermark: the max PK covered by any
+    * PUBLISHED generation. DERIVED, never stored — the generation dir
+    * (whose name carries its range and which becomes visible in one
+    * rename) IS the watermark record, so "watermark atomic with the
+    * published data" holds by construction: there is no second write
+    * to crash between. A crash before the publish rename leaves the
+    * watermark where it was (the next fold re-extracts the same
+    * range); a crash after leaves it advanced with the data already
+    * visible. Never ahead of published data, never behind it. */
+  def watermark(s: SparkSession, root: String): Option[Long] = {
+    val his = genDirs(s, root).map(_._2)
+    if (his.isEmpty) None else Some(his.max)
+  }
+
+  /** High-watermark INCREMENTAL extract — the production daily shape
+    * the full-table [[snapshot]] (the reference's own posture,
+    * backup.sh's complete `pg_dump`) doesn't cover: pull only rows
+    * with `pk > watermark`, publish them as one atomic batch-sized
+    * generation `gen_<from>_<to>` under `root`, and let readers union
+    * the generations ([[readIncremental]]) — the same log-structured
+    * fold discipline as queries.IncrementalDedup.advanceIndex, applied
+    * to the extract itself. Each fold ships ONLY the delta over the
+    * wire (the explicit `pk > last AND pk <= liveMax` predicate
+    * compiles into the remote WHERE — the ranged-read bounds alone
+    * would NOT filter: Spark's JDBC partition bounds assign stragglers
+    * to the edge partitions rather than dropping them, so relying on
+    * them silently re-extracts the whole history into the first fold's
+    * edge partition).
+    *
+    * Exactly-once under crash/retry, with NO watermark-vs-data races
+    * by construction (see [[watermark]]): a retry after a crash
+    * re-derives `last` from what is actually visible and re-covers
+    * exactly the unpublished range. Racing folds from the SAME
+    * watermark collide on the generation name and the loser gets
+    * SnapshotExistsException (publishAtomic's create-if-absent
+    * rename); this module assumes ONE scheduled extractor per root —
+    * the reference's cron posture — and the collision check is the
+    * backstop that makes a misconfigured second writer loud instead of
+    * double-counting.
+    *
+    * @param maxPerFold cap on rows per generation (`to` ≤ `from` +
+    *   maxPerFold): bounds a catch-up fold after downtime so one
+    *   generation never swallows an unbounded backlog; run repeatedly
+    *   to drain.
+    * @return the published inclusive range and round-trip stats, or
+    *   None when the source has no rows past the watermark. */
+  def incremental(
+      s: SparkSession, url: String, table: String, pk: String,
+      numPartitions: Int, root: String,
+      props: Properties = new Properties(),
+      maxPerFold: Option[Long] = None): Option[(Long, Long, Snapshot.RoundTrip)] = {
+    val last: Option[Long] = watermark(s, root)
+    val fromExcl = last.getOrElse {
+      // first fold: start just below the live minimum
+      val row = s.read.jdbc(url,
+        s"(SELECT MIN($pk) AS lo FROM $table) lo_q", props).head()
+      if (row.isNullAt(0)) return None // empty source
+      row.getLong(0) - 1
+    }
+    val row = s.read.jdbc(url,
+      s"(SELECT MAX($pk) AS hi FROM $table) hi_q", props).head()
+    if (row.isNullAt(0)) return None
+    val liveMax = row.getLong(0)
+    if (liveMax <= fromExcl) return None // caught up
+    val toIncl = maxPerFold.fold(liveMax)(m =>
+      math.min(liveMax, math.addExact(fromExcl, m)))
+    val delta = rangedRead(s, url, table, pk,
+      fromExcl + 1, toIncl + 1, numPartitions, props)
+      .where(org.apache.spark.sql.functions.col(pk) > fromExcl
+        && org.apache.spark.sql.functions.col(pk) <= toIncl)
+    val dest = s"$root/gen_${fromExcl + 1}_$toIncl"
+    val rt = Snapshot.publishAtomic(s, delta, dest)
+    Some((fromExcl + 1, toIncl, rt))
+  }
+
+  /** Reader over an incremental root: the union of all PUBLISHED
+    * generations — exact dir list, never a glob (a glob on the prefix
+    * would read a crashed publish's staging leftovers as data). */
+  def readIncremental(s: SparkSession, root: String): DataFrame = {
+    val dirs = genDirs(s, root).map(_._3)
+    require(dirs.nonEmpty, s"no published generations under $root")
+    s.read.parquet(dirs: _*)
+  }
+
   /** The live-extract job: ranged read → atomic snapshot generation.
     * Bounds are discovered from the database unless given; the upper
     * bound is max+1 so the last range's `< hi` keeps the max row.

@@ -167,6 +167,86 @@ class JdbcExtractSpec extends SparkSpec {
     }
   }
 
+  test("incremental extract: two folds + crash-between = exactly-once " +
+      "rows, watermark never ahead of published data") {
+    // In-memory Derby so inserts between folds are instant; its own db
+    // name keeps this independent of the other tests' tables.
+    val u = "jdbc:derby:memory:graftincr;create=true"
+    val conn = java.sql.DriverManager.getConnection(u)
+    def insert(lo: Int, hi: Int): Unit = {
+      val ps = conn.prepareStatement("INSERT INTO EVENTS_SRC VALUES (?, ?)")
+      (lo until hi).foreach { i =>
+        ps.setLong(1, i.toLong); ps.setDouble(2, i * 2.0); ps.addBatch()
+      }
+      ps.executeBatch(); ps.close()
+    }
+    conn.createStatement().executeUpdate(
+      "CREATE TABLE EVENTS_SRC (ID BIGINT NOT NULL PRIMARY KEY, V DOUBLE)")
+    insert(0, 50)
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-incr").toString + "/events"
+    try {
+      // fold 1: bootstraps from the live min, covers everything
+      val Some((f1lo, f1hi, rt1)) =
+        JdbcExtract.incremental(spark, u, "EVENTS_SRC", "ID", 4, root)
+      assert((f1lo, f1hi) == (0L, 49L) && rt1.verified)
+      assert(JdbcExtract.watermark(spark, root) == Some(49L))
+      // caught up → no-op, no empty generation published
+      assert(JdbcExtract.incremental(
+        spark, u, "EVENTS_SRC", "ID", 4, root).isEmpty)
+
+      // new rows arrive; a previous attempt CRASHED mid-publish,
+      // leaving its staging dir behind (publishAtomic stages under
+      // gen_<range>.__staging__<uuid> — same prefix as a real
+      // generation, the trap the exact-match parser exists for)
+      insert(50, 80)
+      val stale = new java.io.File(s"$root/gen_50_79.__staging__dead")
+      assert(stale.mkdirs())
+      java.nio.file.Files.writeString(
+        stale.toPath.resolve("junk.parquet"), "not parquet")
+      // the watermark must NOT advance past data that never published
+      assert(JdbcExtract.watermark(spark, root) == Some(49L))
+
+      // the retry fold re-covers exactly the unpublished range
+      val Some((f2lo, f2hi, _)) =
+        JdbcExtract.incremental(spark, u, "EVENTS_SRC", "ID", 4, root)
+      assert((f2lo, f2hi) == (50L, 79L))
+      assert(JdbcExtract.watermark(spark, root) == Some(79L))
+
+      // exactly-once: the union of generations is the source, no dups
+      val ids = JdbcExtract.readIncremental(spark, root)
+        .groupBy(col("ID")).count()
+      assert(ids.count() == 80 && ids.where(col("count") =!= 1).isEmpty,
+        "incremental union must hold every source row exactly once")
+
+      // catch-up after downtime is BATCH-BOUNDED: maxPerFold caps each
+      // generation; repeated folds drain the backlog
+      insert(80, 100)
+      val Some((f3lo, f3hi, _)) = JdbcExtract.incremental(
+        spark, u, "EVENTS_SRC", "ID", 4, root, maxPerFold = Some(10L))
+      assert((f3lo, f3hi) == (80L, 89L))
+      val Some((f4lo, f4hi, _)) = JdbcExtract.incremental(
+        spark, u, "EVENTS_SRC", "ID", 4, root, maxPerFold = Some(10L))
+      assert((f4lo, f4hi) == (90L, 99L))
+      assert(JdbcExtract.readIncremental(spark, root).count() == 100)
+
+      // the delta predicate reaches the DATABASE (remote WHERE), so a
+      // fold ships only new rows — the same shape incremental() builds
+      val delta = JdbcExtract.rangedRead(
+        spark, u, "EVENTS_SRC", "ID", 50L, 80L, 4)
+        .where(col("ID") > 49L && col("ID") <= 79L)
+      val plan = delta.queryExecution.executedPlan.toString
+      assert(plan.contains("GreaterThan(ID,49)")
+        && plan.contains("LessThanOrEqual(ID,79)"),
+        s"delta predicate did not push into the source:\n$plan")
+    } finally {
+      conn.close()
+      try java.sql.DriverManager
+        .getConnection("jdbc:derby:memory:graftincr;drop=true")
+      catch { case _: java.sql.SQLException => () }
+    }
+  }
+
   test("V2 JDBC catalog pushes aggregates into the database") {
     // The reference's server-side posture (rds_backup_database runs
     // INSIDE the engine, backup.sh:118-121): through the V2 catalog, a
