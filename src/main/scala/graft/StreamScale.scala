@@ -23,6 +23,7 @@ object StreamScale {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("testdata-sf5")
     val chunks = if (args.length > 1) args(1).toInt else 20
+    if (args.contains("composed")) { runComposed(sfDir, chunks); return }
     val spark = Sessions.local(
       sys.env.getOrElse("SPARK_GRAFT_CPUS", "16"), "graft-streamscale")
     import spark.implicits._
@@ -232,6 +233,77 @@ object StreamScale {
       s"committedSurfaceLag=${logEnd - committed} " +
       s"(the _committed monitor trails the checkpoint by one batch — " +
       s"Spark fires commit(end) when the NEXT batch starts)")
+    org.apache.commons.io.FileUtils.deleteDirectory(
+      new java.io.File(work))
+    spark.stop()
+  }
+
+  /** r15 (VERDICT r14 missing #3): the COMPOSED production pipeline at
+    * 50× — feed source → transformWithState sessionization on RocksDB
+    * → exactly-once CDC apply into snapshot generations — with an
+    * injected crash mid-run (post-publish, pre-commit: the
+    * at-least-once window) and a restart from the checkpoint. Twin
+    * CLEAN run (separate dirs, same feed log) is the parity oracle:
+    * the crash/restart snapshot must equal it bit-for-bit. Reports the
+    * three claims a deployment rests on: exactly-once generations
+    * (skip path taken, parity holds), FLAT state (peak state rows ≈
+    * users, never events), drained lag (processed-through == log end)
+    * across the restart. */
+  private def runComposed(sfDir: String, chunks: Int): Unit = {
+    import graft.streaming.ComposedPipeline
+    val spark = Sessions.local(
+      sys.env.getOrElse("SPARK_GRAFT_CPUS", "16"), "graft-streamcompose")
+    val ev = graft.engine.Tables.events(spark, sfDir)
+    val nEvents = ev.count()
+    val nUsers = ev.select("user_id").distinct().count()
+    val work = java.nio.file.Files
+      .createTempDirectory("graft_streamcompose_").toString
+    val feedDir = s"$work/feed"
+    val parts = 4
+    val replayed = ComposedPipeline.replayToFeed(ev, feedDir, parts)
+    val cap = math.max(10000L, nEvents / chunks)
+    println(s"[streamcompose] events=$nEvents users=$nUsers " +
+      s"replayed=$replayed parts=$parts maxBatchRecords=$cap sf=$sfDir")
+
+    // leg 1: crash at ~mid-replay, then restart from the checkpoint
+    val crashAt = chunks / 2
+    val t0 = System.nanoTime()
+    val s1 = ComposedPipeline.run(spark, feedDir, s"$work/snap_crash",
+      s"$work/ckpt_crash", cap, crashAfterBatch = Some(crashAt.toLong))
+    println(s"[streamcompose] crash-leg: batches=${s1.batches} " +
+      s"crashed=${s1.crashed} gens=${s1.generations} " +
+      s"peakStateRows=${s1.peakStateRows}")
+    require(s1.crashed, "injected crash did not fire — raise chunks")
+    val s2 = ComposedPipeline.run(spark, feedDir, s"$work/snap_crash",
+      s"$work/ckpt_crash", cap)
+    val wallCrash = (System.nanoTime() - t0) / 1e9
+    println(s"[streamcompose] restart-leg: batches=${s2.batches} " +
+      s"gens=${s2.generations} skippedReapplies=${s2.skippedReapplies} " +
+      s"peakStateRows=${s2.peakStateRows} processedLag=${s2.processedLag}")
+
+    // leg 2: clean single run, the parity oracle
+    val t1 = System.nanoTime()
+    val sc = ComposedPipeline.run(spark, feedDir, s"$work/snap_clean",
+      s"$work/ckpt_clean", cap)
+    val wallClean = (System.nanoTime() - t1) / 1e9
+
+    val crashFinal = ComposedPipeline
+      .latestSnapshot(spark, s"$work/snap_crash").get
+    val cleanFinal = ComposedPipeline
+      .latestSnapshot(spark, s"$work/snap_clean").get
+    val crashRows = crashFinal.count()
+    val parity = crashRows == cleanFinal.count() &&
+      crashFinal.exceptAll(cleanFinal).isEmpty &&
+      cleanFinal.exceptAll(crashFinal).isEmpty
+    val dupKeys = crashFinal.groupBy("user_id", "session_seq").count()
+      .where(org.apache.spark.sql.functions.col("count") > 1).count()
+    println(f"[streamcompose] COMPOSED: wallCrashPath=$wallCrash%.1f s " +
+      f"(incl. restart) wallClean=$wallClean%.1f s " +
+      s"sessions=$crashRows dupKeys=$dupKeys " +
+      s"parityWithCleanRun=$parity " +
+      s"stateFlat=${s2.peakStateRows <= nUsers * 2} " +
+      s"lagDrained=${s2.processedLag == 0L && sc.processedLag == 0L} " +
+      s"exactlyOnce=${parity && dupKeys == 0}")
     org.apache.commons.io.FileUtils.deleteDirectory(
       new java.io.File(work))
     spark.stop()

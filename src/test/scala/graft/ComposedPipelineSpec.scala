@@ -1,0 +1,91 @@
+package graft
+
+import graft.streaming.{ComposedPipeline, FeedSource}
+import org.apache.spark.sql.functions._
+
+/** The composed production pipeline (feed source → transformWithState
+  * sessionization on RocksDB → exactly-once CDC apply into snapshot
+  * generations) with a crash injected in the at-least-once window —
+  * after a batch's generation published, before Spark committed the
+  * batch — and a restart from the checkpoint. The end-state must be
+  * bit-identical to a clean run's: the re-executed batch's apply must
+  * SKIP (its generation is the processed marker), never double-apply.
+  * StreamScale's `composed` mode replays the same pipeline at sf5
+  * (SCALE.md r15). */
+class ComposedPipelineSpec extends SparkSpec {
+
+  /** 40 users × 50 events each, 2 sessions per user (a >30 min gap
+    * mid-stream), plus a late no-op tail that pushes the watermark far
+    * enough to close every second session. */
+  private def seedFeed(feedDir: String): Long = {
+    val base = java.sql.Timestamp.valueOf("2024-01-01 08:00:00").getTime
+    val parts = 2
+    val recs = (0 until 40).flatMap { u =>
+      (0 until 50).map { i =>
+        // 25 events spaced 1 min, then a 2 h gap, then 25 more
+        val ts = base + (if (i < 25) i * 60000L
+          else 2 * 3600000L + i * 60000L)
+        (ts, u.toLong, i.toLong, if (i % 7 == 0) "purchase" else "click")
+      }
+    } :+ ((base + 12 * 3600000L, 999L, 9999L, "view"))
+    // per-partition buffers in ts order (the sessionizer's documented
+    // per-user arrival assumption)
+    recs.sortBy(r => (r._1, r._3)).groupBy(r => (r._2 % parts).toInt)
+      .toSeq.sortBy(_._1)
+      .foreach { case (p, rs) =>
+        FeedSource.append(feedDir, p, rs.map(r =>
+          (r._1, r._2.toString, s"${r._2 * 1000 + r._3},${r._4},1.5")))
+      }
+    recs.size.toLong
+  }
+
+  test("crash between generation publish and batch commit: restart " +
+      "skips the re-apply and the snapshot equals a clean run's") {
+    val work = java.nio.file.Files
+      .createTempDirectory("graft_composed_").toString
+    val feedDir = s"$work/feed"
+    val n = seedFeed(feedDir)
+    val cap = 250L // forces a multi-batch replay (~8 batches/partition)
+
+    // crash leg: fail after batch 3's generation landed
+    val s1 = ComposedPipeline.run(spark, feedDir, s"$work/snap_crash",
+      s"$work/ckpt_crash", cap, crashAfterBatch = Some(3L))
+    assert(s1.crashed, "the injected crash must fire")
+    val gensAtCrash = ComposedPipeline.generationIds(spark, s"$work/snap_crash")
+    // restart from the same checkpoint: drains the log; batch 3 is
+    // re-executed (it never committed) and its apply must skip
+    val s2 = ComposedPipeline.run(spark, feedDir, s"$work/snap_crash",
+      s"$work/ckpt_crash", cap)
+    assert(!s2.crashed && s2.processedLag == 0L,
+      s"restart must drain the feed (lag ${s2.processedLag})")
+    if (gensAtCrash.contains(3L))
+      assert(s2.skippedReapplies >= 1,
+        "the re-executed batch must take the skip path, not double-apply")
+
+    // clean leg: same feed, fresh dirs — the parity oracle
+    val sc = ComposedPipeline.run(spark, feedDir, s"$work/snap_clean",
+      s"$work/ckpt_clean", cap)
+    assert(!sc.crashed && sc.processedLag == 0L)
+
+    val crashFinal =
+      ComposedPipeline.latestSnapshot(spark, s"$work/snap_crash").get
+    val cleanFinal =
+      ComposedPipeline.latestSnapshot(spark, s"$work/snap_clean").get
+    // exactly-once: no (user, session) applied twice anywhere
+    assert(crashFinal.groupBy("user_id", "session_seq").count()
+      .where(col("count") > 1).isEmpty,
+      "a session row was applied more than once across the crash")
+    // and the crash/restart path converges to the clean run's table
+    assert(crashFinal.count() == cleanFinal.count() &&
+      crashFinal.exceptAll(cleanFinal).isEmpty &&
+      cleanFinal.exceptAll(crashFinal).isEmpty,
+      "crash/restart snapshot must equal the clean run's")
+    // the fixture's first session per user must have closed: 40 users
+    // × session 1 at least (session 2 closes via the late tail)
+    assert(cleanFinal.where(col("session_seq") === 1).count() == 40)
+    assert(n > 0 && s1.batches + s2.batches >= sc.batches,
+      "sanity: the crash path re-ran at least the uncommitted batch")
+    org.apache.commons.io.FileUtils.deleteDirectory(
+      new java.io.File(work))
+  }
+}
