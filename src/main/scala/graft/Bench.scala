@@ -126,6 +126,62 @@ object Bench {
       }
       (results, failed.toSeq)
     }
+    // Locale.ROOT: a comma-decimal default locale would render the
+    // stdout line as invalid JSON.
+    def fmt(v: Double, dp: Int) = String.format(Locale.ROOT, s"%.${dp}f",
+      Double.box(v))
+    def entry(k: String, v: Double, dp: Int) = s""""$k":${fmt(v, dp)}"""
+    // Durable full-detail copy: the driver captures only a bounded tail
+    // of stdout, and an ~85-entry full-precision map overflows it (the
+    // r1/r2 bench lines truncated from the head and never parsed). All
+    // queries, full precision, always in the file. A failed query's
+    // time-to-failure still appears in the map (and the total), but its
+    // name in "failed" marks the number as a failure duration, not a
+    // result.
+    val warmupJson = warmupFailed
+      .map(m => s""","warmup_failed":true,"warmup_error":"${
+        m.replace("\\", "\\\\").replace("\"", "\\\"")
+          .replaceAll("[\\n\\r\\t]", " ").take(200)
+      }"""")
+      .getOrElse("")
+    def fullJson(res: Seq[(String, Double)], fl: Seq[String],
+        cSec: Double, cPar: Double, extra: String): String = {
+      val tot = res.map(_._2).sum
+      val flJson = fl.map(n => s""""$n"""").mkString("[", ",", "]")
+      val head =
+        if (warmupFailed.isEmpty && fl.isEmpty) s""""value":${fmt(tot, 3)}"""
+        else s""""value":null,"value_degraded":${fmt(tot, 3)}"""
+      s"""{"metric":"total",$head,"unit":"sec","calib_sec":${fmt(cSec, 3)
+      },"calib_par_sec":${fmt(cPar, 3)
+      },"total_over_calib":${fmt(tot / cSec, 1)
+      },"total_over_calib_par":${fmt(tot / cPar, 1)},"queries":${
+        res.map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")
+      },"failed":$flJson$warmupJson$extra,"sf":"$sfDir"}"""
+    }
+    val out = args.filterNot(_ == "--canonical").headOption
+      .orElse(sys.env.get("SPARK_GRAFT_BENCH_OUT"))
+      .getOrElse(if (canonical) "bench.json" else "bench_last.json")
+    // Default-out test normalizes paths (r8 advice: a literal compare
+    // silently skipped history for an absolute path to the same file).
+    val isDefaultOut = Seq("bench.json", "bench_last.json").exists { d =>
+      Paths.get(out).toAbsolutePath.normalize ==
+        Paths.get(d).toAbsolutePath.normalize
+    }
+    // Each line is appended as ONE byte[] through a FileChannel so a
+    // forked-JVM kill mid-run can't leave a torn line (Files.writeString
+    // with APPEND may split across syscalls).
+    def appendHistory(line: String): Unit = try {
+      val ch = java.nio.channels.FileChannel.open(
+        Paths.get("bench_history.jsonl"),
+        java.nio.file.StandardOpenOption.CREATE,
+        java.nio.file.StandardOpenOption.WRITE,
+        java.nio.file.StandardOpenOption.APPEND)
+      try ch.write(java.nio.ByteBuffer.wrap(
+        line.getBytes(java.nio.charset.StandardCharsets.UTF_8)))
+      finally ch.close()
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] history append failed: ${e.getMessage}")
+    }
     case class Run(res: Seq[(String, Double)], failed: Seq[String],
       calib: Double, calibPar: Double)
     val runs = (1 to (if (canonical) 3 else 1)).map { i =>
@@ -136,6 +192,18 @@ object Bench {
       val (res, fl) = runSchedule()
       if (canonical) System.err.println(
         f"[bench] canonical run $i/3 total ${res.map(_._2).sum}%.1f s")
+      // Per-round audit trail (r6/r7 advice), appended PER ITERATION
+      // since r15 (not after all three): a multi-hour sf20 canonical
+      // killed at iteration 3 used to lose iterations 1-2's full
+      // per-query maps — the stderr totals survived but nothing
+      // comparable did. Canonical runs (default out) append ALL
+      // iterations tagged with their index; ad-hoc runs with an
+      // explicit output path stay out of the history.
+      if (isDefaultOut) {
+        val tag = if (canonical) s""","canonical_iter":$i""" else ""
+        appendHistory("{" + s""""ts_ms":${System.currentTimeMillis()},""" +
+          fullJson(res, fl, cs, cp, tag).stripPrefix("{") + "\n")
+      }
       Run(res, fl, cs, cp)
     }
     // Composite over CLEAN runs (a failed run's times are not
@@ -173,25 +241,8 @@ object Bench {
     val failed = pool.flatMap(_.failed).distinct
     val calibSec = med(pool.map(_.calib))
     val calibParSec = med(pool.map(_.calibPar))
-    // Locale.ROOT: a comma-decimal default locale would render the
-    // stdout line as invalid JSON.
-    def fmt(v: Double, dp: Int) = String.format(Locale.ROOT, s"%.${dp}f",
-      Double.box(v))
-    def entry(k: String, v: Double, dp: Int) = s""""$k":${fmt(v, dp)}"""
     val total = results.map(_._2).sum
     val failedJson = failed.map(n => s""""$n"""").mkString("[", ",", "]")
-    // Durable full-detail copy: the driver captures only a bounded tail of
-    // stdout, and an ~85-entry full-precision map overflows it (the r1/r2
-    // bench lines truncated from the head and never parsed). All queries,
-    // full precision, always in the file. A failed query's time-to-failure
-    // still appears in the map (and the total), but its name in "failed"
-    // marks the number as a failure duration, not a result.
-    val warmupJson = warmupFailed
-      .map(m => s""","warmup_failed":true,"warmup_error":"${
-        m.replace("\\", "\\\\").replace("\"", "\\\"")
-          .replaceAll("[\\n\\r\\t]", " ").take(200)
-      }"""")
-      .getOrElse("")
     // A degraded run (failed warm-up or failed queries) must not publish
     // a headline total that trend tooling can mistake for a clean
     // round-over-round data point (r6 advice): "value" goes null and the
@@ -200,20 +251,6 @@ object Bench {
     def headline(dp: Int) =
       if (clean) s""""value":${fmt(total, dp)}"""
       else s""""value":null,"value_degraded":${fmt(total, dp)}"""
-    def fullJson(res: Seq[(String, Double)], fl: Seq[String],
-        cSec: Double, cPar: Double, extra: String): String = {
-      val tot = res.map(_._2).sum
-      val flJson = fl.map(n => s""""$n"""").mkString("[", ",", "]")
-      val head =
-        if (warmupFailed.isEmpty && fl.isEmpty) s""""value":${fmt(tot, 3)}"""
-        else s""""value":null,"value_degraded":${fmt(tot, 3)}"""
-      s"""{"metric":"total",$head,"unit":"sec","calib_sec":${fmt(cSec, 3)
-      },"calib_par_sec":${fmt(cPar, 3)
-      },"total_over_calib":${fmt(tot / cSec, 1)
-      },"total_over_calib_par":${fmt(tot / cPar, 1)},"queries":${
-        res.map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")
-      },"failed":$flJson$warmupJson$extra,"sf":"$sfDir"}"""
-    }
     // Tag is explicit about the limitation (r9 advice): the composite
     // is drawn from three back-to-back schedules in ONE warm
     // JVM/session, which tames intra-session draw but does NOT sample
@@ -234,51 +271,12 @@ object Bench {
     // repo published a single draw as the headline. Single-shot runs
     // with no explicit output now land in bench_last.json; the
     // "canonical" stamp above only ever appears on a median-of-3, so a
-    // driver run cannot impersonate one.
-    val out = args.filterNot(_ == "--canonical").headOption
-      .orElse(sys.env.get("SPARK_GRAFT_BENCH_OUT"))
-      .getOrElse(if (canonical) "bench.json" else "bench_last.json")
+    // driver run cannot impersonate one. (`out`/`isDefaultOut` are
+    // computed before the run loop — the per-iteration history append
+    // needs them.)
     try Files.writeString(Paths.get(out), full + "\n")
     catch { case e: Throwable =>
       System.err.println(s"[bench] file write failed: ${e.getMessage}")
-    }
-    // Per-round audit trail (r6/r7 advice): the canonical bench.json is
-    // overwritten every driver round and the driver's BENCH_r{N}.json
-    // keeps only the stdout top-25, so no self-contained full-map
-    // history survived. Canonical runs (default out) therefore ALSO
-    // append to bench_history.jsonl — append-only, so no later run can
-    // clobber an earlier record; under --canonical ALL runs are
-    // appended (tagged with their index), not just the published
-    // median. Ad-hoc runs with an explicit output path stay out of the
-    // history. The default-out test normalizes paths (r8 advice: a
-    // literal compare silently skipped history for an absolute path to
-    // the same file), and each line is appended as ONE byte[] through a
-    // FileChannel so a forked-JVM kill mid-run can't leave a torn line
-    // (Files.writeString with APPEND may split across syscalls).
-    val isDefaultOut = Seq("bench.json", "bench_last.json").exists { d =>
-      Paths.get(out).toAbsolutePath.normalize ==
-        Paths.get(d).toAbsolutePath.normalize
-    }
-    if (isDefaultOut) {
-      val ts = System.currentTimeMillis()
-      val lines = runs.zipWithIndex.map { case (r, i) =>
-        val tag = if (canonical) s""","canonical_iter":${i + 1}""" else ""
-        "{" + s""""ts_ms":$ts,""" +
-          fullJson(r.res, r.failed, r.calib, r.calibPar, tag)
-            .stripPrefix("{") + "\n"
-      }.mkString
-      try {
-        val ch = java.nio.channels.FileChannel.open(
-          Paths.get("bench_history.jsonl"),
-          java.nio.file.StandardOpenOption.CREATE,
-          java.nio.file.StandardOpenOption.WRITE,
-          java.nio.file.StandardOpenOption.APPEND)
-        try ch.write(java.nio.ByteBuffer.wrap(
-          lines.getBytes(java.nio.charset.StandardCharsets.UTF_8)))
-        finally ch.close()
-      } catch { case e: Throwable =>
-        System.err.println(s"[bench] history append failed: ${e.getMessage}")
-      }
     }
     // Stdout gets ONE compact line guaranteed to fit the tail buffer:
     // the slowest 25 queries at 3 decimals (~0.8 KB). The rest of the
