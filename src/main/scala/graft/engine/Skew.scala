@@ -96,7 +96,7 @@ object Skew {
     * join key becomes (key, salt) — one hot key now lands on numSalts
     * reducers. Equivalent to fact.join(dim, keys) (asserted in SkewSpec).
     *
-    * MEASURED BOUNDARY (r14, DiagSkew sf5/sf20, 30% hot key): for a
+    * MEASURED BOUNDARY (r14, `graft.Diag skew` sf5/sf20, 30% hot key): for a
     * batch SMJ this is the WRONG tool when the dim is fact-sized — the
     * ×numSalts dim replication cost exceeded the skew it cured (salt
     * 9.1/36.2 s vs un-mitigated 7.1/25.4 s), while AQE's runtime skew

@@ -405,7 +405,7 @@ object DedupOps {
     *   the candidate-join shape; both are exact for their score class. */
   /** @param probe diagnostic tap: called with (stage, frame) at each
     *   intermediate stage. The default no-op leaves the production plan
-    *   byte-identical; graft.Diag3 passes a counting probe to attribute
+    *   byte-identical; `graft.Diag ngramstages` passes a counting probe to attribute
     *   candidate volume per stage across scale points. */
   private[graft] def ngramRawPairs(
       s: SparkSession, grams: DataFrame,
@@ -466,7 +466,7 @@ object DedupOps {
     // ranked-prefix chain and once directly as the join's postings
     // probe — and without an exchange separating the consumers the
     // full postings machinery (explode + repartition + window over
-    // 107M rows at sf40) recomputes PER CONSUMER: Diag3 measured the
+    // 107M rows at sf40) recomputes PER CONSUMER: `graft.Diag ngramstages` measured the
     // probed join stage at ≈ 2× the shared-chain cost, and the full
     // query scaled 3.0× on the 2× sf20→sf40 step while jaccard (one
     // consumer) scaled 2.0×. A post-filter repartition on

@@ -642,7 +642,7 @@ object Relational {
   /** EXT (re-scoped r15): salted skew join in its MEASURED niche — the
     * batch-parity form of the stream-static enrichment join, the one
     * shape where manual salting is the only mitigation left. The r14
-    * A/B (DiagSkew, SCALE.md) settled the batch question: against a
+    * A/B (`graft.Diag skew`, SCALE.md) settled the batch question: against a
     * fact-sized "dim", ×8 whole-side replication was WORSE than no
     * mitigation (9.1 vs 7.1 s sf5) and AQE's runtime skew split beat
     * both 2.5–2.7× — so no batch query here salts, and PlanSpec pins

@@ -411,7 +411,7 @@ class PlanSpec extends SparkSpec {
 
   test("AQE skew split is the recommended batch default: a skewed SMJ " +
       "re-plans with skew=true and splits the hot partition") {
-    // r14 (VERDICT r13 next #7) — DiagSkew measured the A/B at
+    // r14 (VERDICT r13 next #7) — the skew A/B (now `graft.Diag skew`) measured at
     // sf5/sf20: hot-key SMJ baseline 7.1/25.4 s, AQE skew split ON
     // 2.6/10.0 s (2.5-2.7x), manual Skew.saltedJoin 9.1/36.2 s —
     // WORSE than the un-mitigated baseline when the dim is fact-sized,
