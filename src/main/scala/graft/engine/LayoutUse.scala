@@ -23,7 +23,7 @@ import org.apache.spark.sql.SparkSession
   * before the marker existed grandfather to the dir's mtime. All
   * layouts here are re-derivable caches, so the worst case of any
   * clock lie is a rebuild, never data loss. */
-private[engine] object LayoutUse {
+private[graft] object LayoutUse {
   val LastUsedFile = "_graft_last_used"
 
   /** Record a use of the layout at `path` (create-overwrite of the
@@ -69,10 +69,31 @@ private[engine] object LayoutUse {
         named.map(_._2).sortBy(st => -lastUsed(fs, st)).drop(keep)
       }
       .filter(st => now - lastUsed(fs, st) >= minIdleMs)
-      .map { st =>
+      .flatMap { st =>
         onDelete(st.getPath.getName)
-        fs.delete(st.getPath, true)
-        st.getPath.getName
+        // ATTACH-WINS re-check (r15): between the sweep's listing and
+        // this delete, an attach may have touched the marker — the
+        // classic TOCTOU window. Re-read the marker's mtime now and
+        // stand down if it advanced past the sweep's idle horizon.
+        // Deliberately AFTER onDelete: onDelete only drops catalog
+        // entries, which the next attach re-creates over the intact
+        // files (metadata-only heal), whereas a delete under a live
+        // attach destroys data a reader holds a listing of. The
+        // residual window between this getFileStatus and the delete
+        // syscall is why in-flight readers ALSO get the loud-failure
+        // guarantee (session default ignoreMissingFiles=false — a
+        // vanished file fails the scan, never silently returns
+        // empty; LayoutExpirySpec pins both halves).
+        val freshStatus =
+          try Some(fs.getFileStatus(st.getPath))
+          catch { case _: java.io.FileNotFoundException => None }
+        val stillIdle = freshStatus.forall(fresh =>
+          System.currentTimeMillis() - lastUsed(fs, fresh) >= minIdleMs)
+        if (!stillIdle) None
+        else {
+          fs.delete(st.getPath, true)
+          Some(st.getPath.getName)
+        }
       }
   }
 }
