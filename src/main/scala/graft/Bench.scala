@@ -31,7 +31,8 @@ object Bench {
     * inherent to the iterative algorithm). This set is therefore the
     * complete write set. */
   private val IoLast = Set("q_ref_round_trip", "q_ref_csv_source",
-    "q_ref_orc_source", "q_ref_json_source", "q_ref_xml_source")
+    "q_ref_orc_source", "q_ref_json_source", "q_ref_xml_source",
+    "q_ref_jdbc_incremental")
 
   def main(args: Array[String]): Unit = {
     // --canonical: run the full schedule 3× in this JVM and publish

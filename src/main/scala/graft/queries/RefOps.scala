@@ -489,8 +489,88 @@ object RefOps {
         FILTER (WHERE c_custkey % 13 != 3) AS DOUBLE) AS good_bal_sum
     FROM customer"""))
 
+  /** A1-INCREMENTAL as a declared, ORACLE-CHECKED query (r15): the
+    * high-watermark JDBC extract in the correctness gate, not just
+    * its spec. The Spark side seeds a LIVE embedded Derby database
+    * from the customer fixture (key-capped at 20k rows — the protocol
+    * demo is bounded; the ranged-parallel scale story is
+    * [[graft.engine.JdbcExtract]] + JdbcExtractSpec), folds TWO
+    * incremental generations — the second over rows that "arrive"
+    * only after the first fold, exactly the daily shape — and reads
+    * the union back through `readIncremental`. The oracle restates
+    * the postcondition directly over the fixture (the
+    * q_multimodal_decode pattern): the aggregates can only match
+    * COUNT/SUM/COUNT-DISTINCT over customer if the two folds covered
+    * every source row EXACTLY once — a missed range, a double-applied
+    * fold, or a watermark ahead of published data all break the hash.
+    * Exercised end-to-end per run: bounds discovery from the live
+    * min, the derived watermark, the remote-pushed delta predicate,
+    * and two atomic generation publishes.
+    *
+    * CONTRACT NOTE: like q_ref_csv_source, building this DataFrame
+    * runs the extract job (fresh in-memory db + root per call; the
+    * 20k-row seed collect is the bounded harness side of the live
+    * database, same class as TrainBpe's driver fit). */
+  val jdbcIncremental: Q = Q(
+    "q_ref_jdbc_incremental",
+    (s, d) => {
+      if (System.getProperty("derby.system.home") == null)
+        System.setProperty("derby.system.home",
+          sys.props("java.io.tmpdir")) // keep derby.log out of the repo
+      val tag = java.util.UUID.randomUUID().toString.take(8)
+      val url = s"jdbc:derby:memory:graftjinc_$tag;create=true"
+      val root = s"${sys.props("java.io.tmpdir")}/graft_jdbc_incr/$tag"
+      val props = new java.util.Properties()
+      props.setProperty("driver", "org.apache.derby.jdbc.EmbeddedDriver")
+      val rows = Tables.customer(s, d)
+        .where(col("c_custkey") <= 20000)
+        .select(col("c_custkey"),
+          (Det.dec(col("c_acctbal"), 2, 12) * 100).cast("long"))
+        .orderBy("c_custkey")
+        .collect() // bounded by the key cap: ≤20k (id, cents) pairs
+      val conn = java.sql.DriverManager.getConnection(url)
+      try {
+        conn.createStatement().executeUpdate(
+          "CREATE TABLE CUST_LIVE (ID BIGINT NOT NULL PRIMARY KEY, " +
+            "BAL BIGINT NOT NULL)")
+        def seed(slice: Array[org.apache.spark.sql.Row]): Unit = {
+          val ps = conn.prepareStatement("INSERT INTO CUST_LIVE VALUES (?, ?)")
+          slice.foreach { r =>
+            ps.setLong(1, r.getLong(0)); ps.setLong(2, r.getLong(1))
+            ps.addBatch()
+          }
+          ps.executeBatch(); ps.close()
+        }
+        val mid = rows.length / 2
+        seed(rows.take(mid)) // day 1 arrives
+        graft.engine.JdbcExtract.incremental(
+          s, url, "CUST_LIVE", "ID", 4, root, props)
+        seed(rows.drop(mid)) // day 2 arrives after the first fold
+        graft.engine.JdbcExtract.incremental(
+          s, url, "CUST_LIVE", "ID", 4, root, props)
+      } finally {
+        conn.close()
+        try java.sql.DriverManager
+          .getConnection(s"jdbc:derby:memory:graftjinc_$tag;drop=true")
+        catch { case _: java.sql.SQLException => () } // success signal
+      }
+      graft.engine.JdbcExtract.readIncremental(s, root)
+        .groupBy((col("ID") % 10).as("key_mod"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("BAL")).as("sum_bal_cents"),
+          countDistinct(col("ID")).as("n_distinct"))
+        .orderBy("key_mod")
+    },
+    Some("""SELECT c_custkey % 10 AS key_mod, count(*) AS n,
+      CAST(sum(CAST(CAST(c_acctbal AS DECIMAL(12,2)) * 100 AS BIGINT))
+        AS BIGINT) AS sum_bal_cents,
+      count(DISTINCT c_custkey) AS n_distinct
+    FROM customer WHERE c_custkey <= 20000
+    GROUP BY 1 ORDER BY key_mod"""))
+
   val all: Seq[Q] = Seq(
     lineFilter, grepExists, extractId, identifier, versionDispatch,
     statusLast, nonemptyGuard, roundTrip, csvSource, orcSource,
-    jsonSource, xmlSource, incremental, mergeUpsert, csvQuarantine)
+    jsonSource, xmlSource, incremental, mergeUpsert, csvQuarantine,
+    jdbcIncremental)
 }
