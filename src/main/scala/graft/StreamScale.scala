@@ -261,7 +261,9 @@ object StreamScale {
     val feedDir = s"$work/feed"
     val parts = 4
     val replayed = ComposedPipeline.replayToFeed(ev, feedDir, parts)
-    val cap = math.max(10000L, nEvents / chunks)
+    // maxBatchRecords is PER PARTITION (FeedSource admission), so a
+    // ~`chunks`-batch replay needs nEvents / (parts × chunks)
+    val cap = math.max(2500L, nEvents / (parts.toLong * chunks))
     println(s"[streamcompose] events=$nEvents users=$nUsers " +
       s"replayed=$replayed parts=$parts maxBatchRecords=$cap sf=$sfDir")
 

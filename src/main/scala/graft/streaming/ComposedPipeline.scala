@@ -180,8 +180,23 @@ object ComposedPipeline {
       .option("checkpointLocation", ckptDir)
       .outputMode("append")
       .foreachBatch { (batch: DataFrame, id: Long) =>
-        if (applyGeneration(s, snapRoot, batch, id)) applied += 1
-        else if (!batch.isEmpty) skipped += 1
+        // Drain EVERY partition before deciding anything (found by the
+        // sf5 crash/restart replay): Spark 4.x validates that all
+        // state-store partitions committed for the batch, so a
+        // re-executed batch whose generation already exists must still
+        // process the full DataFrame — gating the only action behind
+        // the dir check (or an isEmpty/limit-style probe) commits 0 of
+        // N state partitions and the restart dies with
+        // STATE_STORE_COMMIT_VALIDATION_FAILED. persist() keeps the
+        // decide-then-apply path one computation of the stateful plan.
+        batch.persist()
+        try {
+          val n = batch.count()
+          if (n > 0) {
+            if (applyGeneration(s, snapRoot, batch, id)) applied += 1
+            else skipped += 1
+          }
+        } finally batch.unpersist()
         if (crashAfterBatch.contains(id)) throw new InjectedCrash(id)
       }
       .start()
@@ -206,6 +221,11 @@ object ComposedPipeline {
       peakRows = math.max(peakRows, so.map(_.numRowsTotal).getOrElse(0L))
       peakBytes = math.max(peakBytes, so.map(_.memoryUsedBytes).getOrElse(0L))
       emitted += Option(p.sink).map(_.numOutputRows).getOrElse(0L)
+      System.err.println(s"[composed] batch=${p.batchId} " +
+        s"in=${p.numInputRows} " +
+        s"stateRows=${so.map(_.numRowsTotal).getOrElse(0L)} " +
+        s"out=${Option(p.sink).map(_.numOutputRows).getOrElse(0L)} " +
+        s"watermark=${Option(p.eventTime.get("watermark")).getOrElse("-")}")
     }
     val logEnd = FeedSource.endOffsets(feedDir).values.sum
     val processed = progress.flatMap(p =>
