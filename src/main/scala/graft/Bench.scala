@@ -162,11 +162,16 @@ object Bench {
     val out = args.filterNot(_ == "--canonical").headOption
       .orElse(sys.env.get("SPARK_GRAFT_BENCH_OUT"))
       .getOrElse(if (canonical) "bench.json" else "bench_last.json")
-    // Default-out test normalizes paths (r8 advice: a literal compare
-    // silently skipped history for an absolute path to the same file).
-    val isDefaultOut = Seq("bench.json", "bench_last.json").exists { d =>
-      Paths.get(out).toAbsolutePath.normalize ==
-        Paths.get(d).toAbsolutePath.normalize
+    // History-eligible outputs: the canonical files the repo commits —
+    // bench.json / bench_last.json plus the per-scale canonicals
+    // (bench_sf1.json, bench_sf20.json, …). Ad-hoc runs with any other
+    // explicit path stay out of the history. Path-normalized compare
+    // (r8 advice: a literal compare silently skipped history for an
+    // absolute path to the same file).
+    val isDefaultOut = {
+      val p = Paths.get(out).toAbsolutePath.normalize
+      p.getParent == Paths.get("").toAbsolutePath.normalize &&
+        p.getFileName.toString.matches("bench(_sf[0-9.]+)?(_last)?\\.json")
     }
     // Each line is appended as ONE byte[] through a FileChannel so a
     // forked-JVM kill mid-run can't leave a torn line (Files.writeString
