@@ -567,7 +567,22 @@ object ScalarFns {
     * binary-collation distinct count sees all of them, the LCASE
     * count collapses them. Counts-only output keeps the oracle exact
     * (a collated GROUP BY's representative value is
-    * first-encountered, i.e. nondeterministic — never declare it). */
+    * first-encountered, i.e. nondeterministic — never declare it).
+    *
+    * Scale (r15): the r14 form ran both countDistincts over the RAW
+    * exploded stream — a multi-distinct aggregate plans an Expand
+    * (one input copy per distinct spec), so 3·|events| exploded rows
+    * shuffled ×3 again: the suite's second-largest sf20 absolute
+    * (29.4 s steady) for a 5-group answer. Now the stream collapses
+    * to the DISTINCT DOMAIN first — groupBy(event_type, v) with
+    * map-side combine reduces 3·|events| to 15 rows before any
+    * Expand — and the distinct counts + collated distinct run on the
+    * collapsed table (n_rows = exact sum of the carried counts).
+    * Never worse at ANY cardinality: the pre-aggregate shuffles each
+    * distinct (key, v) once where Expand shuffles every INPUT row
+    * per distinct spec. Same outputs, same oracle (hash-exact
+    * sf0.01/sf1); idle best-of-4 steady: sf5 6.43 → 0.83 s, sf20
+    * 29.35 → 1.45 s (20×), growth 1.75× on the 4× step — scan-bound. */
   val fnCollation: Q = Q(
     "q_fn_collation",
     (s, d) =>
@@ -578,11 +593,13 @@ object ScalarFns {
             upper(col("event_type")),
             concat(upper(expr("left(event_type, 1)")),
               expr("substring(event_type, 2)")))).as("v"))
+        .groupBy(col("event_type"), col("v"))
+        .agg(count(lit(1)).as("c"))
         .groupBy(col("event_type"))
         .agg(
           countDistinct(col("v")).as("n_binary"),
           countDistinct(expr("collate(v, 'UTF8_LCASE')")).as("n_lcase"),
-          count(lit(1)).as("n_rows"))
+          sum(col("c")).as("n_rows"))
         .orderBy("event_type"),
     Some("""WITH x AS (
       SELECT event_type, unnest([
