@@ -162,6 +162,12 @@ object JdbcExtract {
       numPartitions: Int, root: String,
       props: Properties = new Properties(),
       maxPerFold: Option[Long] = None): Option[(Long, Long, Snapshot.RoundTrip)] = {
+    // Some(0) would publish an inverted-range empty generation
+    // gen_<w+1>_<w>, and the NEXT fold would die with a confusing
+    // SnapshotExistsException — fail the misconfiguration loudly here
+    // instead (ADVICE r15).
+    require(maxPerFold.forall(_ >= 1L),
+      s"maxPerFold must be >= 1, got $maxPerFold")
     val last: Option[Long] = watermark(s, root)
     val fromExcl = last.getOrElse {
       // first fold: start just below the live minimum

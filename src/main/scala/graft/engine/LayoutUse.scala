@@ -87,12 +87,19 @@ private[graft] object LayoutUse {
         val freshStatus =
           try Some(fs.getFileStatus(st.getPath))
           catch { case _: java.io.FileNotFoundException => None }
-        val stillIdle = freshStatus.forall(fresh =>
-          System.currentTimeMillis() - lastUsed(fs, fresh) >= minIdleMs)
-        if (!stillIdle) None
-        else {
-          fs.delete(st.getPath, true)
-          Some(st.getPath.getName)
+        freshStatus match {
+          // Dir already gone: some other actor removed it between the
+          // listing and the re-check — nothing for THIS sweep to
+          // delete, so don't claim it in the returned deleted-list
+          // (ADVICE r15: forall made a vanished dir read as "deleted
+          // by us" even though fs.delete would have been a no-op).
+          case None => None
+          case Some(fresh)
+            if System.currentTimeMillis() - lastUsed(fs, fresh) < minIdleMs =>
+            None // attach won the race — stand down
+          case Some(_) =>
+            fs.delete(st.getPath, true)
+            Some(st.getPath.getName)
         }
       }
   }

@@ -554,12 +554,22 @@ object RefOps {
           .getConnection(s"jdbc:derby:memory:graftjinc_$tag;drop=true")
         catch { case _: java.sql.SQLException => () } // success signal
       }
-      graft.engine.JdbcExtract.readIncremental(s, root)
+      val out = graft.engine.JdbcExtract.readIncremental(s, root)
         .groupBy((col("ID") % 10).as("key_mod"))
         .agg(count(lit(1)).as("n"),
           sum(col("BAL")).as("sum_bal_cents"),
           countDistinct(col("ID")).as("n_distinct"))
         .orderBy("key_mod")
+      // Materialize the 10 group rows, then drop the per-call extract
+      // root — lazily returning a reader over it leaked a fresh
+      // ~20k-row parquet tree under java.io.tmpdir on every build
+      // (ADVICE r15: 3× per canonical bench plus every verify run).
+      val groups = out.collect().toSeq
+      val rootPath = new org.apache.hadoop.fs.Path(root)
+      val fs = rootPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(rootPath, true)
+      import scala.jdk.CollectionConverters._
+      s.createDataFrame(groups.asJava, out.schema)
     },
     Some("""SELECT c_custkey % 10 AS key_mod, count(*) AS n,
       CAST(sum(CAST(CAST(c_acctbal AS DECIMAL(12,2)) * 100 AS BIGINT))

@@ -160,6 +160,31 @@ object ComposedPipeline {
       "RocksDBStateStoreProvider")
     var skipped = 0
     var applied = 0
+    // Telemetry accumulates in a listener, not only q.recentProgress:
+    // recentProgress retains just the last ~100 updates, so a long
+    // replay silently undercounts emitted sessions and peak state
+    // (ADVICE r15). The listener sees every update; recentProgress is
+    // still merged at the end because listener delivery is async and
+    // the tail may not have been posted yet — keying by (queryId,
+    // batchId) makes the union exact with no double counting.
+    val progById = scala.collection.mutable.HashMap
+      .empty[(java.util.UUID, Long),
+        org.apache.spark.sql.streaming.StreamingQueryProgress]
+    val listener = new org.apache.spark.sql.streaming.StreamingQueryListener {
+      import org.apache.spark.sql.streaming.StreamingQueryListener._
+      override def onQueryStarted(e: QueryStartedEvent): Unit = ()
+      override def onQueryProgress(e: QueryProgressEvent): Unit =
+        progById.synchronized {
+          progById((e.progress.id, e.progress.batchId)) = e.progress
+        }
+      override def onQueryTerminated(e: QueryTerminatedEvent): Unit = ()
+    }
+    // Everything below runs under try/finally: a non-injected failure
+    // must still stop the query, drop the listener, and restore the
+    // caller's provider conf (ADVICE r15 — a rethrow used to leak all
+    // three into subsequent tests/modes).
+    try {
+    s.streams.addListener(listener)
     val events = s.readStream.format("graft-feed")
       .option("maxBatchRecords", maxBatchRecords.toString)
       .load(feedDir)
@@ -201,17 +226,20 @@ object ComposedPipeline {
       }
       .start()
     val crashed =
-      try { q.processAllAvailable(); false }
-      catch { case e: Throwable =>
-        val root = Iterator.iterate(e: Throwable)(_.getCause)
-          .takeWhile(_ != null).toSeq
-        if (root.exists(_.isInstanceOf[InjectedCrash])) true else throw e
-      }
-    val progress = q.recentProgress.toSeq
-    try q.stop() catch { case _: Throwable => () }
-    prevProv match {
-      case Some(v) => s.conf.set(provKey, v)
-      case None => s.conf.unset(provKey)
+      try {
+        try { q.processAllAvailable(); false }
+        catch { case e: Throwable =>
+          val root = Iterator.iterate(e: Throwable)(_.getCause)
+            .takeWhile(_ != null).toSeq
+          if (root.exists(_.isInstanceOf[InjectedCrash])) true else throw e
+        }
+      } finally { try q.stop() catch { case _: Throwable => () } }
+    // Union: listener map (full history) + recentProgress tail (the
+    // last ~100, synchronously complete after stop) — see above.
+    val progress = progById.synchronized {
+      q.recentProgress.foreach(p => progById((p.id, p.batchId)) = p)
+      progById.toSeq.collect { case ((id, _), p) if id == q.id => p }
+        .sortBy(_.batchId)
     }
     var peakRows = 0L
     var peakBytes = 0L
@@ -235,5 +263,12 @@ object ComposedPipeline {
     RunStats(progress.size, peakRows, peakBytes, emitted,
       generationIds(s, snapRoot).size, skipped, logEnd - processed,
       (System.nanoTime() - t0) / 1e9, crashed)
+    } finally {
+      s.streams.removeListener(listener)
+      prevProv match {
+        case Some(v) => s.conf.set(provKey, v)
+        case None => s.conf.unset(provKey)
+      }
+    }
   }
 }
