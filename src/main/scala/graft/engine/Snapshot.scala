@@ -121,22 +121,64 @@ object Snapshot {
     * to one database when several share the root (the layout
     * `readAsOf`'s dbName parameter implies).
     *
+    * CONCURRENT-USE DISCIPLINE (r16 — the LayoutUse protocol, ported:
+    * same TOCTOU, older component, previously weaker guarantee).
+    * Time-travel readers ([[readAsOf]], [[readEvolved]],
+    * [[generationsInRange]]) TOUCH a hidden use marker inside the
+    * generation they resolve; retention honors it three ways:
+    *  1. a beyond-keep generation used within `minIdleMs` of the sweep
+    *     is skipped outright (grace period);
+    *  2. attach-wins: the marker is RE-READ immediately before the
+    *     delete — a reader that attached between the listing and the
+    *     delete makes the sweep stand down;
+    *  3. a reader that resolved its listing before the delete still
+    *     fails LOUDLY, never silently empty (session default
+    *     `ignoreMissingFiles=false`), and the returned deleted-list
+    *     names only dirs THIS sweep actually removed.
+    * `minIdleMs` defaults to 0 — pure count-based retention, the
+    * pre-r16 contract (time travel is explicitly bounded by retention)
+    * — but even at 0 the re-check protects a reader attaching
+    * mid-sweep. Production roots with active time-travel readers
+    * should pass a real grace period.
+    *
+    * @param onExpire metadata hook invoked per candidate AFTER it is
+    *   ranked expirable, BEFORE the attach-wins re-check (catalog
+    *   unregistration goes here; also the race-injection seam the spec
+    *   uses, mirroring LayoutUse.expireRoot's onDelete)
     * @return names of the generations deleted (oldest first) */
   def expireGenerations(
       spark: SparkSession, root: String, keep: Int,
-      dbName: Option[String] = None): Seq[String] = {
+      dbName: Option[String] = None,
+      minIdleMs: Long = 0L,
+      onExpire: String => Unit = _ => ()): Seq[String] = {
     require(keep >= 1, "retention must keep at least one generation")
+    require(minIdleMs >= 0, s"negative idle grace: $minIdleMs")
     val rootPath = new org.apache.hadoop.fs.Path(root)
     val fs = rootPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(rootPath)) return Nil
+    val sweepStart = System.currentTimeMillis()
+    val horizon = sweepStart - minIdleMs
     val gens = fs.listStatus(rootPath)
       .filter(_.isDirectory)
-      .map(_.getPath)
-      .filter(p => isGeneration(p.getName, dbName))
-      .sortBy(_.getName)
-    val expired = gens.dropRight(keep)
-    expired.foreach(p => fs.delete(p, true))
-    expired.map(_.getName).toSeq
+      .filter(st => isGeneration(st.getPath.getName, dbName))
+      .sortBy(_.getPath.getName)
+    gens.dropRight(keep).toSeq.flatMap { st =>
+      if (LayoutUse.lastUsed(fs, st) > horizon) None // used within grace
+      else {
+        onExpire(st.getPath.getName)
+        val fresh =
+          try Some(fs.getFileStatus(st.getPath))
+          catch { case _: java.io.FileNotFoundException => None }
+        fresh match {
+          case None => None // gone already — not this sweep's delete
+          case Some(f) if LayoutUse.lastUsed(fs, f) > horizon =>
+            None // attach won the race — stand down
+          case Some(_) =>
+            fs.delete(st.getPath, true)
+            Some(st.getPath.getName)
+        }
+      }
+    }
   }
 
   /** Time travel: read the latest generation under `root` whose
@@ -161,6 +203,9 @@ object Snapshot {
       .sorted
     if (gens.isEmpty) throw new EmptySnapshotException(
       s"no generation of $dbName at or before $asOf under $root")
+    // Attach: renew the chosen generation's use marker so a racing
+    // retention sweep stands down (r16 — see expireGenerations).
+    LayoutUse.touch(spark, s"$root/${gens.last}")
     spark.read.parquet(s"$root/${gens.last}")
   }
 
@@ -352,6 +397,10 @@ object Snapshot {
               .forall { case (mn, mx) => mx >= lo && mn <= hi }
           }
       }.toSeq
+      // Attach every selected generation: the caller reads these next,
+      // and the touch is what makes a racing retention sweep stand
+      // down (see expireGenerations's race discipline).
+      .map { gen => LayoutUse.touch(spark, s"$root/$gen"); gen }
   }
 
   /** Sink cleanup — the `aws s3 rm` temp-dump delete (A5, backup.sh:370). */
@@ -398,8 +447,11 @@ object Snapshot {
     * before unioning (silent coercion at 100 TB is how a corpus gets
     * corrupted). Spark reads each file with its own physical schema, so
     * no rewrite of old generations is ever needed. */
-  def readEvolved(spark: SparkSession, generations: String*): DataFrame =
+  def readEvolved(spark: SparkSession, generations: String*): DataFrame = {
+    // Attach each generation (see expireGenerations's race discipline).
+    generations.foreach(g => LayoutUse.touch(spark, g))
     spark.read.option("mergeSchema", "true").parquet(generations: _*)
+  }
 
   /** MERGE INTO: apply a changelog batch to a snapshot, producing the
     * next generation. `changes` has the base schema plus `opCol`

@@ -57,8 +57,15 @@ object KmvSketch {
   final class Agg(k: Int) extends Aggregator[Long, Buf, Seq[Long]] {
     require(k >= 2, s"KMV needs k >= 2, got $k")
 
+    // The pending-empty early-out must ALSO require sorted ≤ k: a
+    // merge of two already-compacted buffers (map-side combine emits
+    // pending = Nil) concatenates their sorted runs, and skipping the
+    // trim there let the sketch grow past k — size() then exceeded k
+    // and estimateCol's k-th-minimum window read the WRONG order
+    // statistic (the r16 q_agg_kmv_estimate k=64 gate caught it:
+    // sketch size 127, estimate 192 vs 127 exact, outside 3σ).
     private def compact(b: Buf): Buf =
-      if (b.pending.isEmpty) b
+      if (b.pending.isEmpty && b.sorted.length <= k) b
       else Buf(((b.sorted ++ b.pending).distinct.sorted).take(k), Nil)
 
     override def zero: Buf = Buf(Vector.empty, Nil)

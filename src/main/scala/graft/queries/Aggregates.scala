@@ -636,6 +636,89 @@ object Aggregates {
         UNION SELECT user_id FROM b)) AS either_users,
       (SELECT count(*) FROM a JOIN b USING (user_id)) AS both_users"""))
 
+  /** EXT (r16 — VERDICT r15 next #6): the KMV ESTIMATOR REGIME as a
+    * declared, oracle-gated query — [[aggKmvOverlap]]'s twin with the
+    * saturation boundary forced INSIDE the verify scales. k = 64 is
+    * deliberately tiny: the fixture's high-value segments hold ~127/136
+    * distinct users at sf0.01 (the driver's gate scale), so the
+    * sketches saturate there and every output rides the Beyer
+    * estimators, while sf0.001 stays in the exact branch — BOTH
+    * regimes execute inside the correctness gate, at every sf, forever.
+    *
+    * The oracle trick that makes an approximate answer hash-gateable:
+    * the query emits the EXACT distinct counts (plain aggregation —
+    * DuckDB-checkable) plus BOOLEAN error-bound verdicts
+    * (|est − exact| within ±3σ, σ = 1/√(k−2) per Beyer et al. 2007;
+    * the intersection adds the binomial overlap-fraction term
+    * 3·√(0.25/k)·|A∪B| since its estimator scales an in-window
+    * fraction by the union estimate). The oracle restates the bounds
+    * as literal TRUEs and the saturation flag as `exact ≥ k` —
+    * equivalent BY CONSTRUCTION (sketch size = min(distinct, k)), so
+    * a broken estimator branch (e.g. the r14 silent size-cap: est
+    * would read k = 64 against 127 exact, a 50% error ≫ 3σ = 38%)
+    * hash-fails the gate instead of hiding in a spec. Deterministic:
+    * same data + same hash ⇒ same estimate, so the verdicts are
+    * stable per sf, and the bounds were validated at sf0.001–sf5. */
+  val aggKmvEstimate: Q = Q(
+    "q_agg_kmv_estimate",
+    (s, d) => {
+      import graft.functions.KmvSketch
+      val k = 64
+      val kmv = udaf(new KmvSketch.Agg(k),
+        org.apache.spark.sql.Encoders.scalaLong)
+      val ev = Tables.events(s, d)
+      def seg(t: String) = ev
+        .where(col("event_type") === t && col("value") > 90)
+        .select(col("user_id"), xxhash64(col("user_id")).as("h"))
+      val a = seg("purchase")
+        .agg(kmv(col("h")).as("ska"),
+          countDistinct(col("user_id")).as("a_exact"))
+      val b = seg("error")
+        .agg(kmv(col("h")).as("skb"),
+          countDistinct(col("user_id")).as("b_exact"))
+      val either = seg("purchase").select("user_id")
+        .union(seg("error").select("user_id")).distinct()
+        .agg(count(lit(1)).as("either_exact"))
+      val both = seg("purchase").select("user_id")
+        .intersect(seg("error").select("user_id"))
+        .agg(count(lit(1)).as("both_exact"))
+      val sigma = 3.0 / math.sqrt((k - 2).toDouble)
+      def inBound(est: org.apache.spark.sql.Column,
+          exact: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+        abs(est - exact) <= greatest(lit(sigma) * exact, lit(1.0))
+      val estA = KmvSketch.estimateCol(col("ska"), k)
+      val estB = KmvSketch.estimateCol(col("skb"), k)
+      val estEither = KmvSketch.estimateCol(
+        KmvSketch.unionCol(col("ska"), col("skb"), k), k)
+      val estBoth = KmvSketch.intersectEstimateCol(col("ska"), col("skb"), k)
+      a.crossJoin(broadcast(b))
+        .crossJoin(broadcast(either)).crossJoin(broadcast(both))
+        .select(
+          col("a_exact"), col("b_exact"),
+          col("either_exact"), col("both_exact"),
+          (col("a_exact") >= k || col("b_exact") >= k).as("est_regime"),
+          inBound(estA, col("a_exact")).as("a_in_bound"),
+          inBound(estB, col("b_exact")).as("b_in_bound"),
+          inBound(estEither, col("either_exact")).as("either_in_bound"),
+          (abs(estBoth - col("both_exact")) <=
+            lit(3.0 * math.sqrt(0.25 / k)) * col("either_exact")
+              + lit(sigma) * col("both_exact") + lit(1.0))
+            .as("both_in_bound"))
+    },
+    Some("""WITH a AS (SELECT DISTINCT user_id FROM events
+        WHERE event_type = 'purchase' AND value > 90),
+      b AS (SELECT DISTINCT user_id FROM events
+        WHERE event_type = 'error' AND value > 90)
+    SELECT (SELECT count(*) FROM a) AS a_exact,
+      (SELECT count(*) FROM b) AS b_exact,
+      (SELECT count(*) FROM (SELECT user_id FROM a
+        UNION SELECT user_id FROM b)) AS either_exact,
+      (SELECT count(*) FROM a JOIN b USING (user_id)) AS both_exact,
+      (SELECT count(*) FROM a) >= 64 OR (SELECT count(*) FROM b) >= 64
+        AS est_regime,
+      TRUE AS a_in_bound, TRUE AS b_in_bound,
+      TRUE AS either_in_bound, TRUE AS both_in_bound"""))
+
   /** EXT (r14): weighted median — the robust location statistic when
     * rows carry unequal mass (median *unit* price weighted by quantity,
     * vs [[aggPercentile]]'s per-row median). No engine has a native
@@ -787,6 +870,6 @@ object Aggregates {
     aggHashGroup, aggDistinct, aggApproxDistinct, aggHllSketch, aggRollup,
     aggCube, aggPartialFinal, aggStats, aggPivot, aggSample, aggCollect,
     aggUnpivot, sampleWeighted, aggPercentile, aggCorr, aggHistogram,
-    aggMode, samplePerGroup, sampleSplit, aggKmvOverlap,
+    aggMode, samplePerGroup, sampleSplit, aggKmvOverlap, aggKmvEstimate,
     aggWeightedMedian, aggMoments)
 }

@@ -508,9 +508,22 @@ object RefOps {
     * and two atomic generation publishes.
     *
     * CONTRACT NOTE: like q_ref_csv_source, building this DataFrame
-    * runs the extract job (fresh in-memory db + root per call; the
-    * 20k-row seed collect is the bounded harness side of the live
-    * database, same class as TrainBpe's driver fit). */
+    * runs the extract job (fresh db + root per call, deleted at the
+    * end; the 20k-row seed collect is the bounded harness side of the
+    * live database, same class as TrainBpe's driver fit).
+    *
+    * MULTI-JVM NOTE (r16): the r15 harness used `jdbc:derby:memory:`,
+    * which exists only in the DRIVER JVM — the local-cluster Verify
+    * pass flushed out that every executor-side ranged read found no
+    * database (and a writable FILE db is single-JVM too: db.lck).
+    * The production shape is a network database every executor can
+    * reach; the embedded stand-in for that is Derby's documented
+    * read-only JAR subprotocol (`jdbc:derby:jar:(file)db`), which any
+    * number of JVMs may boot concurrently. So the harness now seeds a
+    * writable file db in the driver, shuts it down, and publishes an
+    * immutable day-snapshot jar per fold — the extract reads ONLY
+    * through the jar URLs, so every read path is executor-safe under
+    * any master. */
   val jdbcIncremental: Q = Q(
     "q_ref_jdbc_incremental",
     (s, d) => {
@@ -518,8 +531,9 @@ object RefOps {
         System.setProperty("derby.system.home",
           sys.props("java.io.tmpdir")) // keep derby.log out of the repo
       val tag = java.util.UUID.randomUUID().toString.take(8)
-      val url = s"jdbc:derby:memory:graftjinc_$tag;create=true"
-      val root = s"${sys.props("java.io.tmpdir")}/graft_jdbc_incr/$tag"
+      val base = s"${sys.props("java.io.tmpdir")}/graft_jdbc_incr/$tag"
+      val dbDir = s"$base/livedb"
+      val root = s"$base/extract"
       val props = new java.util.Properties()
       props.setProperty("driver", "org.apache.derby.jdbc.EmbeddedDriver")
       val rows = Tables.customer(s, d)
@@ -528,31 +542,67 @@ object RefOps {
           (Det.dec(col("c_acctbal"), 2, 12) * 100).cast("long"))
         .orderBy("c_custkey")
         .collect() // bounded by the key cap: ≤20k (id, cents) pairs
-      val conn = java.sql.DriverManager.getConnection(url)
-      try {
-        conn.createStatement().executeUpdate(
-          "CREATE TABLE CUST_LIVE (ID BIGINT NOT NULL PRIMARY KEY, " +
-            "BAL BIGINT NOT NULL)")
-        def seed(slice: Array[org.apache.spark.sql.Row]): Unit = {
+      def shutdown(db: String): Unit =
+        try { java.sql.DriverManager.getConnection(s"jdbc:derby:$db;shutdown=true"); () }
+        catch { case _: java.sql.SQLException => () } // success signal
+      // Archive the cleanly-shut-down db dir as livedb/** inside a jar
+      // (lock files excluded) — Derby boots it read-only from any JVM.
+      def publishDaySnapshot(jarPath: String): Unit = {
+        shutdown(dbDir)
+        val basePath = java.nio.file.Paths.get(dbDir)
+        val out = new java.util.jar.JarOutputStream(
+          new java.io.FileOutputStream(jarPath))
+        val walk = java.nio.file.Files.walk(basePath)
+        try {
+          walk.filter(p => java.nio.file.Files.isRegularFile(p))
+            .filter(p => !p.getFileName.toString.endsWith(".lck"))
+            .forEach { p =>
+              out.putNextEntry(new java.util.jar.JarEntry(
+                "livedb/" + basePath.relativize(p).toString.replace('\\', '/')))
+              java.nio.file.Files.copy(p, out)
+              out.closeEntry()
+            }
+        } finally { walk.close(); out.close() }
+      }
+      var created = false
+      def seed(slice: Array[org.apache.spark.sql.Row]): Unit = {
+        val conn = java.sql.DriverManager
+          .getConnection(s"jdbc:derby:$dbDir;create=true")
+        try {
+          conn.setAutoCommit(false)
+          if (!created) {
+            conn.createStatement().executeUpdate(
+              "CREATE TABLE CUST_LIVE (ID BIGINT NOT NULL PRIMARY KEY, " +
+                "BAL BIGINT NOT NULL)")
+            created = true
+          }
           val ps = conn.prepareStatement("INSERT INTO CUST_LIVE VALUES (?, ?)")
           slice.foreach { r =>
             ps.setLong(1, r.getLong(0)); ps.setLong(2, r.getLong(1))
             ps.addBatch()
           }
           ps.executeBatch(); ps.close()
-        }
-        val mid = rows.length / 2
+          conn.commit()
+        } finally conn.close()
+      }
+      val day1Jar = s"$base/day1.jar"
+      val day2Jar = s"$base/day2.jar"
+      def jarUrl(jar: String) = s"jar:($jar)livedb"
+      val mid = rows.length / 2
+      try {
         seed(rows.take(mid)) // day 1 arrives
+        publishDaySnapshot(day1Jar)
         graft.engine.JdbcExtract.incremental(
-          s, url, "CUST_LIVE", "ID", 4, root, props)
+          s, s"jdbc:derby:${jarUrl(day1Jar)}", "CUST_LIVE", "ID", 4, root, props)
         seed(rows.drop(mid)) // day 2 arrives after the first fold
+        publishDaySnapshot(day2Jar)
         graft.engine.JdbcExtract.incremental(
-          s, url, "CUST_LIVE", "ID", 4, root, props)
+          s, s"jdbc:derby:${jarUrl(day2Jar)}", "CUST_LIVE", "ID", 4, root, props)
       } finally {
-        conn.close()
-        try java.sql.DriverManager
-          .getConnection(s"jdbc:derby:memory:graftjinc_$tag;drop=true")
-        catch { case _: java.sql.SQLException => () } // success signal
+        // Release whatever THIS JVM booted (local-mode tasks boot the
+        // jar dbs in-process); executor-JVM boots are read-only and
+        // bounded per run, and unlink below works under open handles.
+        shutdown(jarUrl(day1Jar)); shutdown(jarUrl(day2Jar))
       }
       val out = graft.engine.JdbcExtract.readIncremental(s, root)
         .groupBy((col("ID") % 10).as("key_mod"))
@@ -565,9 +615,9 @@ object RefOps {
       // ~20k-row parquet tree under java.io.tmpdir on every build
       // (ADVICE r15: 3× per canonical bench plus every verify run).
       val groups = out.collect().toSeq
-      val rootPath = new org.apache.hadoop.fs.Path(root)
-      val fs = rootPath.getFileSystem(s.sparkContext.hadoopConfiguration)
-      fs.delete(rootPath, true)
+      val basePath = new org.apache.hadoop.fs.Path(base)
+      val fs = basePath.getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(basePath, true)
       import scala.jdk.CollectionConverters._
       s.createDataFrame(groups.asJava, out.schema)
     },

@@ -33,6 +33,25 @@ class KmvSpec extends SparkSpec {
     assert(dup == sk)
   }
 
+  test("merge of two already-compacted buffers still trims to bottom-k " +
+      "(r16 regression: oversized sketch broke the estimator window)") {
+    // map-side combine emits compacted buffers (pending = Nil); the
+    // pre-r16 compact skipped the trim for those, so this exact merge
+    // shape produced a 16-value 'bottom-8' sketch whose k-th-minimum
+    // order statistic — and thus the (k−1)/U(k) estimate — was wrong.
+    val k = 8
+    val agg = new KmvSketch.Agg(k)
+    def raw(r: Range) =
+      r.foldLeft(agg.zero)((b, v) => agg.reduce(b, v.toLong))
+    val c1 = agg.merge(agg.zero, raw(1 to 20)) // compacts → pending Nil
+    val c2 = agg.merge(agg.zero, raw(21 to 40))
+    val sk = agg.finish(agg.merge(c1, c2))
+    assert(sk.size == k, s"sketch must hold exactly k, got ${sk.size}")
+    // and it must be the true bottom-k of the union — identical to a
+    // single-pass sketch over all 40 values
+    assert(sk == agg.finish(raw(1 to 40)))
+  }
+
   test("estimator regime: 200k distinct at k=1024 within the 3-sigma bound") {
     val k = 1024
     val n = 200000L
