@@ -58,6 +58,11 @@ def floats_close(a, b, rtol):
 def main(sf_dir, out_dir, exclude=(), rtol=0.0):
     con = duckdb.connect()
     import os as _os
+    # Cap DuckDB's parallelism when asked (ORACLE_THREADS env): scale
+    # passes run for hours in the background and must not contaminate
+    # concurrent idle BenchOne steady-state measurements on the host.
+    if _os.environ.get("ORACLE_THREADS"):
+        con.execute(f"SET threads={int(_os.environ['ORACLE_THREADS'])}")
     for t in TABLES:
         # driver fixtures are single files; GenData fixtures are
         # directories of parts — glob those for DuckDB
