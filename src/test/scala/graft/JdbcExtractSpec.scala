@@ -19,6 +19,18 @@ class JdbcExtractSpec extends SparkSpec {
   System.setProperty("derby.system.home",
     java.nio.file.Files.createTempDirectory("graft_derby_").toString)
 
+  // This suite's live database is embedded Derby (memory / writable
+  // file), which is SINGLE-JVM by construction (db.lck) — deliberate
+  // here, where insert-between-folds speed matters. Under a multi-JVM
+  // master the executor-side reads cannot reach it, so CANCEL (not
+  // fail): the multi-JVM JDBC path is proven separately by the
+  // local-cluster Verify pass over q_ref_jdbc_incremental's read-only
+  // jar-snapshot form (SCALE.md r16).
+  private def requiresSingleJvm(): Unit =
+    assume(!spark.sparkContext.master.startsWith("local-cluster"),
+      "embedded-Derby harness is single-JVM by design; the multi-JVM " +
+        "JDBC path is covered by the local-cluster Verify pass")
+
   private def derbyUrl(dir: java.nio.file.Path): String =
     s"jdbc:derby:$dir/db;create=true"
 
@@ -44,6 +56,7 @@ class JdbcExtractSpec extends SparkSpec {
   }
 
   test("JDBC extract range-splits into per-partition pushdown queries") {
+    requiresSingleJvm()
     val df = graft.engine.Snapshot.extractJdbc(spark, memUrl, "items",
       partitionColumn = "id", lowerBound = 0L, upperBound = 100L,
       numPartitions = 4)
@@ -64,6 +77,7 @@ class JdbcExtractSpec extends SparkSpec {
   }
 
   test("JDBC extract pushes residual filters into the source query") {
+    requiresSingleJvm()
     val df = graft.engine.Snapshot.extractJdbc(spark, memUrl, "items",
       partitionColumn = "id", lowerBound = 0L, upperBound = 100L,
       numPartitions = 4)
@@ -107,6 +121,7 @@ class JdbcExtractSpec extends SparkSpec {
 
   test("live JDBC extract: ranged parallel scan, pushdown into the " +
       "database, atomic snapshot with content equality") {
+    requiresSingleJvm()
     val dir = java.nio.file.Files.createTempDirectory("graft-derby")
     val url = derbyUrl(dir)
     try {
@@ -169,6 +184,7 @@ class JdbcExtractSpec extends SparkSpec {
 
   test("incremental extract: two folds + crash-between = exactly-once " +
       "rows, watermark never ahead of published data") {
+    requiresSingleJvm()
     // In-memory Derby so inserts between folds are instant; its own db
     // name keeps this independent of the other tests' tables.
     val u = "jdbc:derby:memory:graftincr;create=true"
@@ -249,6 +265,7 @@ class JdbcExtractSpec extends SparkSpec {
 
   test("incremental extract x schema evolution: a fold after the source " +
       "gains a column reads back evolved, null-filled, pushdown intact") {
+    requiresSingleJvm()
     // The daily shape the judge named (r15 next #8): day-2's ALTER
     // TABLE ADD COLUMN means generation 2 carries a wider physical
     // schema than generation 1 under the same root.
@@ -312,6 +329,7 @@ class JdbcExtractSpec extends SparkSpec {
   }
 
   test("V2 JDBC catalog pushes aggregates into the database") {
+    requiresSingleJvm()
     // The reference's server-side posture (rds_backup_database runs
     // INSIDE the engine, backup.sh:118-121): through the V2 catalog, a
     // validation aggregate ships ~one row over the wire — the scan
