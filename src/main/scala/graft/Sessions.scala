@@ -40,14 +40,23 @@ object Sessions {
     // there; without them that surfaces as a
     // SerializedLambda→Function ClassCastException). Spark's own jars
     // come from SPARK_HOME on the worker side, so they are excluded.
+    // Spark's own jars must NOT be shipped (the worker resolves them
+    // from its SPARK_HOME; shipping the driver's copies risks version
+    // skew when the two differ) — exclude anything under the driver's
+    // SPARK_HOME rather than a hard-coded install path.
+    val sparkJars = new java.io.File(
+      sys.env.getOrElse("SPARK_HOME", "/opt/spark"), "jars").getPath
     val cpDirs = System.getProperty("java.class.path")
       .split(java.io.File.pathSeparator)
-      .filter(p => p.nonEmpty && !p.startsWith("/opt/spark/jars")
+      .filter(p => p.nonEmpty && !p.startsWith(sparkJars)
         && new java.io.File(p).exists())
-    val classesDir = getClass.getProtectionDomain.getCodeSource
-      .getLocation.toURI.getPath
+    // Null when this class loads from a code-source-less classloader
+    // (bootclasspath, some shaded launchers) — java.class.path above
+    // already covers those launch shapes, so just skip the extra entry.
+    val classesDir = Option(getClass.getProtectionDomain.getCodeSource)
+      .map(_.getLocation.toURI.getPath).toSeq
     b.config("spark.executor.extraClassPath",
-      (cpDirs :+ classesDir).distinct.mkString(java.io.File.pathSeparator))
+      (cpDirs ++ classesDir).distinct.mkString(java.io.File.pathSeparator))
       .config("spark.executor.memory",
         sys.env.getOrElse("SPARK_GRAFT_EXEC_MEM", "3g"))
   }

@@ -57,16 +57,23 @@ object KmvSketch {
   final class Agg(k: Int) extends Aggregator[Long, Buf, Seq[Long]] {
     require(k >= 2, s"KMV needs k >= 2, got $k")
 
-    // The pending-empty early-out must ALSO require sorted ≤ k: a
-    // merge of two already-compacted buffers (map-side combine emits
-    // pending = Nil) concatenates their sorted runs, and skipping the
-    // trim there let the sketch grow past k — size() then exceeded k
-    // and estimateCol's k-th-minimum window read the WRONG order
-    // statistic (the r16 q_agg_kmv_estimate k=64 gate caught it:
-    // sketch size 127, estimate 192 vs 127 exact, outside 3σ).
+    // Invariant: a SINGLE buffer's `sorted` field is canonical
+    // (ascending, distinct, length ≤ k) — it is only ever written by
+    // [[fullCompact]] or `zero`, and `reduce` appends to `pending`
+    // only. The early-out below is therefore safe for a lone buffer,
+    // but NOT for the concatenation `merge` builds: two canonical runs
+    // glued together are neither sorted nor duplicate-free even when
+    // the combined length is ≤ k (the r16 q_agg_kmv_estimate gate
+    // caught the >k half of this; the ≤k half silently overcounted
+    // size in the exact regime and broke the signed-ascending contract
+    // element_at(sk, -1) relies on). `merge` must never take the
+    // early-out on two non-empty sides — see below.
     private def compact(b: Buf): Buf =
       if (b.pending.isEmpty && b.sorted.length <= k) b
-      else Buf(((b.sorted ++ b.pending).distinct.sorted).take(k), Nil)
+      else fullCompact(b)
+
+    private def fullCompact(b: Buf): Buf =
+      Buf(((b.sorted ++ b.pending).distinct.sorted).take(k), Nil)
 
     override def zero: Buf = Buf(Vector.empty, Nil)
 
@@ -82,8 +89,15 @@ object KmvSketch {
       }
     }
 
+    // Early-out ONLY when one side is empty (the other side's
+    // invariant carries through); otherwise always the full
+    // dedup+sort+trim — compact()'s lone-buffer early-out would let a
+    // concatenation of two canonical runs escape unsorted and with
+    // cross-partition duplicates whenever the combined length is ≤ k.
     override def merge(a: Buf, b: Buf): Buf =
-      compact(Buf(a.sorted ++ b.sorted, a.pending ++ b.pending))
+      if (a.sorted.isEmpty && a.pending.isEmpty) compact(b)
+      else if (b.sorted.isEmpty && b.pending.isEmpty) compact(a)
+      else fullCompact(Buf(a.sorted ++ b.sorted, a.pending ++ b.pending))
 
     override def finish(r: Buf): Seq[Long] = compact(r).sorted
 

@@ -527,99 +527,51 @@ object RefOps {
   val jdbcIncremental: Q = Q(
     "q_ref_jdbc_incremental",
     (s, d) => {
-      if (System.getProperty("derby.system.home") == null)
-        System.setProperty("derby.system.home",
-          sys.props("java.io.tmpdir")) // keep derby.log out of the repo
+      // Harness (Derby seed + two jar publishes) is built ONCE per
+      // process per fixture (VERDICT r16: the per-call seed made this
+      // a top-3 bench line that mostly measured DDL, not the engine);
+      // the per-call body below is the engine path under test: two
+      // incremental folds, the union read-back, the aggregate.
+      val snap = JdbcHarness.forFixture(s, d)
       val tag = java.util.UUID.randomUUID().toString.take(8)
-      val base = s"${sys.props("java.io.tmpdir")}/graft_jdbc_incr/$tag"
-      val dbDir = s"$base/livedb"
-      val root = s"$base/extract"
+      val root =
+        s"${sys.props("java.io.tmpdir")}/graft_jdbc_incr_extract/$tag"
       val props = new java.util.Properties()
       props.setProperty("driver", "org.apache.derby.jdbc.EmbeddedDriver")
-      val rows = Tables.customer(s, d)
-        .where(col("c_custkey") <= 20000)
-        .select(col("c_custkey"),
-          (Det.dec(col("c_acctbal"), 2, 12) * 100).cast("long"))
-        .orderBy("c_custkey")
-        .collect() // bounded by the key cap: ≤20k (id, cents) pairs
-      def shutdown(db: String): Unit =
-        try { java.sql.DriverManager.getConnection(s"jdbc:derby:$db;shutdown=true"); () }
-        catch { case _: java.sql.SQLException => () } // success signal
-      // Archive the cleanly-shut-down db dir as livedb/** inside a jar
-      // (lock files excluded) — Derby boots it read-only from any JVM.
-      def publishDaySnapshot(jarPath: String): Unit = {
-        shutdown(dbDir)
-        val basePath = java.nio.file.Paths.get(dbDir)
-        val out = new java.util.jar.JarOutputStream(
-          new java.io.FileOutputStream(jarPath))
-        val walk = java.nio.file.Files.walk(basePath)
-        try {
-          walk.filter(p => java.nio.file.Files.isRegularFile(p))
-            .filter(p => !p.getFileName.toString.endsWith(".lck"))
-            .forEach { p =>
-              out.putNextEntry(new java.util.jar.JarEntry(
-                "livedb/" + basePath.relativize(p).toString.replace('\\', '/')))
-              java.nio.file.Files.copy(p, out)
-              out.closeEntry()
-            }
-        } finally { walk.close(); out.close() }
-      }
-      var created = false
-      def seed(slice: Array[org.apache.spark.sql.Row]): Unit = {
-        val conn = java.sql.DriverManager
-          .getConnection(s"jdbc:derby:$dbDir;create=true")
-        try {
-          conn.setAutoCommit(false)
-          if (!created) {
-            conn.createStatement().executeUpdate(
-              "CREATE TABLE CUST_LIVE (ID BIGINT NOT NULL PRIMARY KEY, " +
-                "BAL BIGINT NOT NULL)")
-            created = true
-          }
-          val ps = conn.prepareStatement("INSERT INTO CUST_LIVE VALUES (?, ?)")
-          slice.foreach { r =>
-            ps.setLong(1, r.getLong(0)); ps.setLong(2, r.getLong(1))
-            ps.addBatch()
-          }
-          ps.executeBatch(); ps.close()
-          conn.commit()
-        } finally conn.close()
-      }
-      val day1Jar = s"$base/day1.jar"
-      val day2Jar = s"$base/day2.jar"
-      def jarUrl(jar: String) = s"jar:($jar)livedb"
-      val mid = rows.length / 2
       try {
-        seed(rows.take(mid)) // day 1 arrives
-        publishDaySnapshot(day1Jar)
-        graft.engine.JdbcExtract.incremental(
-          s, s"jdbc:derby:${jarUrl(day1Jar)}", "CUST_LIVE", "ID", 4, root, props)
-        seed(rows.drop(mid)) // day 2 arrives after the first fold
-        publishDaySnapshot(day2Jar)
-        graft.engine.JdbcExtract.incremental(
-          s, s"jdbc:derby:${jarUrl(day2Jar)}", "CUST_LIVE", "ID", 4, root, props)
+        try {
+          graft.engine.JdbcExtract.incremental(
+            s, snap.day1Url, "CUST_LIVE", "ID", 4, root, props)
+          graft.engine.JdbcExtract.incremental(
+            s, snap.day2Url, "CUST_LIVE", "ID", 4, root, props)
+        } finally {
+          // Release whatever THIS JVM booted (local-mode tasks boot
+          // the jar dbs in-process); executor-JVM boots are read-only
+          // and bounded per run.
+          JdbcHarness.shutdown(snap.day1Db)
+          JdbcHarness.shutdown(snap.day2Db)
+        }
+        val out = graft.engine.JdbcExtract.readIncremental(s, root)
+          .groupBy((col("ID") % 10).as("key_mod"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("BAL")).as("sum_bal_cents"),
+            countDistinct(col("ID")).as("n_distinct"))
+          .orderBy("key_mod")
+        // Materialize the 10 group rows so the per-call extract root
+        // can be dropped eagerly — lazily returning a reader over it
+        // leaked a fresh ~20k-row parquet tree per build (ADVICE r15).
+        val groups = out.collect().toSeq
+        import scala.jdk.CollectionConverters._
+        s.createDataFrame(groups.asJava, out.schema)
       } finally {
-        // Release whatever THIS JVM booted (local-mode tasks boot the
-        // jar dbs in-process); executor-JVM boots are read-only and
-        // bounded per run, and unlink below works under open handles.
-        shutdown(jarUrl(day1Jar)); shutdown(jarUrl(day2Jar))
+        // In finally so FAILED builds clean up too (ADVICE r16: the
+        // success-path-only delete re-opened the leak it was fixing,
+        // one orphaned tree per failed fold/read).
+        val rootPath = new org.apache.hadoop.fs.Path(root)
+        val fs = rootPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+        fs.delete(rootPath, true)
+        ()
       }
-      val out = graft.engine.JdbcExtract.readIncremental(s, root)
-        .groupBy((col("ID") % 10).as("key_mod"))
-        .agg(count(lit(1)).as("n"),
-          sum(col("BAL")).as("sum_bal_cents"),
-          countDistinct(col("ID")).as("n_distinct"))
-        .orderBy("key_mod")
-      // Materialize the 10 group rows, then drop the per-call extract
-      // root — lazily returning a reader over it leaked a fresh
-      // ~20k-row parquet tree under java.io.tmpdir on every build
-      // (ADVICE r15: 3× per canonical bench plus every verify run).
-      val groups = out.collect().toSeq
-      val basePath = new org.apache.hadoop.fs.Path(base)
-      val fs = basePath.getFileSystem(s.sparkContext.hadoopConfiguration)
-      fs.delete(basePath, true)
-      import scala.jdk.CollectionConverters._
-      s.createDataFrame(groups.asJava, out.schema)
     },
     Some("""SELECT c_custkey % 10 AS key_mod, count(*) AS n,
       CAST(sum(CAST(CAST(c_acctbal AS DECIMAL(12,2)) * 100 AS BIGINT))
@@ -633,4 +585,132 @@ object RefOps {
     statusLast, nonemptyGuard, roundTrip, csvSource, orcSource,
     jsonSource, xmlSource, incremental, mergeUpsert, csvQuarantine,
     jdbcIncremental)
+}
+
+/** Process-level Derby harness for q_ref_jdbc_incremental: seeds the
+  * live db from the customer fixture and publishes the two immutable
+  * day-snapshot jars ONCE per (fixture dir), so the declared query's
+  * timed body measures the incremental extract engine path, not DDL +
+  * jar packaging (VERDICT r16 "What's wrong" #2). The jars are Derby's
+  * documented read-only JAR subprotocol (`jdbc:derby:jar:(file)db`) —
+  * bootable concurrently from any number of executor JVMs, which is
+  * what makes the extract multi-JVM-safe (see the query's Scaladoc).
+  *
+  * Cleanup: a failed build deletes its partial tree and rethrows (no
+  * orphan per failure); successful builds live for the process (bench
+  * runs the query 3×, Verify once) and are removed by a single JVM
+  * shutdown hook. */
+private[queries] object JdbcHarness {
+  final case class Snapshots(base: String, day1Db: String, day2Db: String) {
+    def day1Url: String = s"jdbc:derby:$day1Db"
+    def day2Url: String = s"jdbc:derby:$day2Db"
+  }
+
+  private val cache =
+    new java.util.concurrent.ConcurrentHashMap[String, Snapshots]()
+  @volatile private var hookInstalled = false
+
+  def shutdown(db: String): Unit =
+    try {
+      java.sql.DriverManager.getConnection(s"jdbc:derby:$db;shutdown=true")
+      ()
+    } catch { case _: java.sql.SQLException => () } // success signal
+
+  def forFixture(s: org.apache.spark.sql.SparkSession,
+      fixtureDir: String): Snapshots =
+    cache.computeIfAbsent(fixtureDir, d => build(s, d))
+
+  private def installHook(): Unit = synchronized {
+    if (!hookInstalled) {
+      hookInstalled = true
+      Runtime.getRuntime.addShutdownHook(new Thread(() =>
+        cache.values().forEach { snap =>
+          deleteTree(java.nio.file.Paths.get(snap.base))
+        }))
+    }
+  }
+
+  private def deleteTree(p: java.nio.file.Path): Unit =
+    if (java.nio.file.Files.exists(p)) {
+      val walk = java.nio.file.Files.walk(p)
+      try
+        walk.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+          .forEach(f => { java.nio.file.Files.deleteIfExists(f); () })
+      finally walk.close()
+    }
+
+  private def build(s: org.apache.spark.sql.SparkSession,
+      d: String): Snapshots = {
+    if (System.getProperty("derby.system.home") == null)
+      System.setProperty("derby.system.home",
+        sys.props("java.io.tmpdir")) // keep derby.log out of the repo
+    val tag = java.util.UUID.randomUUID().toString.take(8)
+    val base = s"${sys.props("java.io.tmpdir")}/graft_jdbc_incr/$tag"
+    val dbDir = s"$base/livedb"
+    val day1Jar = s"$base/day1.jar"
+    val day2Jar = s"$base/day2.jar"
+    try {
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(base))
+      val rows = Tables.customer(s, d)
+        .where(col("c_custkey") <= 20000)
+        .select(col("c_custkey"),
+          (Det.dec(col("c_acctbal"), 2, 12) * 100).cast("long"))
+        .orderBy("c_custkey")
+        .collect() // bounded by the key cap: ≤20k (id, cents) pairs
+      var created = false
+      def seed(slice: Array[org.apache.spark.sql.Row]): Unit = {
+        val conn = java.sql.DriverManager
+          .getConnection(s"jdbc:derby:$dbDir;create=true")
+        try {
+          conn.setAutoCommit(false)
+          if (!created) {
+            conn.createStatement().executeUpdate(
+              "CREATE TABLE CUST_LIVE (ID BIGINT NOT NULL PRIMARY KEY, " +
+                "BAL BIGINT NOT NULL)")
+            created = true
+          }
+          val ps =
+            conn.prepareStatement("INSERT INTO CUST_LIVE VALUES (?, ?)")
+          slice.foreach { r =>
+            ps.setLong(1, r.getLong(0)); ps.setLong(2, r.getLong(1))
+            ps.addBatch()
+          }
+          ps.executeBatch(); ps.close()
+          conn.commit()
+        } finally conn.close()
+      }
+      // Archive the cleanly-shut-down db dir as livedb/** inside a jar
+      // (lock files excluded) — Derby boots it read-only from any JVM.
+      def publishDaySnapshot(jarPath: String): Unit = {
+        shutdown(dbDir)
+        val basePath = java.nio.file.Paths.get(dbDir)
+        val out = new java.util.jar.JarOutputStream(
+          new java.io.FileOutputStream(jarPath))
+        val walk = java.nio.file.Files.walk(basePath)
+        try {
+          walk.filter(p => java.nio.file.Files.isRegularFile(p))
+            .filter(p => !p.getFileName.toString.endsWith(".lck"))
+            .forEach { p =>
+              out.putNextEntry(new java.util.jar.JarEntry("livedb/" +
+                basePath.relativize(p).toString.replace('\\', '/')))
+              java.nio.file.Files.copy(p, out)
+              out.closeEntry()
+            }
+        } finally { walk.close(); out.close() }
+      }
+      val mid = rows.length / 2
+      seed(rows.take(mid)) // day 1 arrives
+      publishDaySnapshot(day1Jar)
+      seed(rows.drop(mid)) // day 2 arrives after the first fold
+      publishDaySnapshot(day2Jar)
+      installHook()
+      Snapshots(base,
+        s"jar:($day1Jar)livedb", s"jar:($day2Jar)livedb")
+    } catch {
+      case e: Throwable =>
+        shutdown(dbDir)
+        deleteTree(java.nio.file.Paths.get(base))
+        throw e
+    }
+  }
 }

@@ -52,6 +52,27 @@ class KmvSpec extends SparkSpec {
     assert(sk == agg.finish(raw(1 to 40)))
   }
 
+  test("merge of two compacted OVERLAPPING buffers with combined size <= k " +
+      "stays sorted and duplicate-free (r17 regression: exact regime)") {
+    // the ≤k twin of the r16 bug: two canonical runs sharing values
+    // (the same element sketched in two partitions) glued together fit
+    // inside k, so the pre-r17 early-out returned the concatenation —
+    // duplicated, unsorted, overcounting size() in the exact regime
+    // and breaking element_at(sk, -1) = maximum.
+    val k = 32
+    val agg = new KmvSketch.Agg(k)
+    def raw(r: Range) =
+      r.foldLeft(agg.zero)((b, v) => agg.reduce(b, v.toLong))
+    val c1 = agg.merge(agg.zero, raw(1 to 12))  // compacted, pending Nil
+    val c2 = agg.merge(agg.zero, raw(8 to 20))  // overlaps c1 on 8..12
+    assert(c1.pending.isEmpty && c2.pending.isEmpty)
+    val sk = agg.finish(agg.merge(c1, c2))
+    assert(sk.size == 20, s"exact regime must count 20 distinct, got ${sk.size}")
+    assert(sk == sk.sorted, "signed-ascending contract")
+    assert(sk.distinct == sk, "cross-partition duplicate survived merge")
+    assert(sk == agg.finish(raw(1 to 20)))
+  }
+
   test("estimator regime: 200k distinct at k=1024 within the 3-sigma bound") {
     val k = 1024
     val n = 200000L
