@@ -1,0 +1,282 @@
+package graft
+
+import java.security.MessageDigest
+import java.util.concurrent.atomic.{AtomicBoolean, AtomicInteger}
+
+import org.apache.spark.scheduler._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Executor-loss fault injection (VERDICT r16 missing #1 / next #1):
+  * every run through r16 — including the multi-JVM local-cluster pass —
+  * finished with the executors it started with, so task retry,
+  * shuffle-fetch recovery, and streaming state-store recovery after
+  * executor DEATH had zero recorded evidence. At 100 TB executors die
+  * hourly; the reference's whole identity is retry-to-success
+  * (backup.sh:39-72 backoff loop, backup.sh:20-36 trap cleanup), and
+  * the engine's mapping of that identity to Spark is precisely "the
+  * scheduler re-runs lost work and the answer does not change".
+  *
+  * This main proves it by actually killing executor JVMs (`kill -9`,
+  * no shutdown hooks, no cleanup — the ungraceful loss a real cluster
+  * delivers) under `local-cluster[2,8,4096]` and checking the output
+  * is BIT-IDENTICAL to an undisturbed run:
+  *
+  *  - `batch` scenario: a heavy multi-stage declared query runs while
+  *    a SparkListener waits for mid-job task completions (shuffle map
+  *    output now lives on the doomed executor), then kills one
+  *    executor process. The scheduler must retry lost tasks
+  *    (ExecutorLostFailure), refetch/recompute lost shuffle output
+  *    (FetchFailed → parent-stage resubmit), accept the master's
+  *    replacement executor, and produce the same rows (sha-256 over
+  *    the sorted result vs the clean run).
+  *  - `stream` scenario: the composed pipeline (graft-feed →
+  *    transformWithState on RocksDB → exactly-once generation apply)
+  *    drains a replayed feed while a StreamingQueryListener kills an
+  *    executor once a target micro-batch is reached — RocksDB keyed
+  *    state held by that executor's store instances must reload from
+  *    the checkpoint on whichever executor inherits the partitions;
+  *    the final snapshot must bit-match a clean run with zero
+  *    duplicate (user, session_seq) keys.
+  *
+  * The kill is visible in the telemetry this prints (executor-removed
+  * events, task-failure reasons, stage reattempts, replacement
+  * executor adds) — "it recovered" is a claim about logged events, not
+  * about the absence of an exception.
+  *
+  * Usage (SPARK_HOME must be exported for the standalone worker):
+  *   SPARK_GRAFT_MASTER=local-cluster[2,8,4096] \
+  *     sbt "runMain graft.FaultInject [batch|stream|all] [sfDir]"
+  */
+object FaultInject {
+
+  def main(args: Array[String]): Unit = {
+    val scenario = args.headOption.getOrElse("all")
+    val sfDir =
+      if (args.length > 1) args(1)
+      else sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val spark = Sessions.local(
+      sys.env.getOrElse("SPARK_GRAFT_CPUS", "16"), "graft-faultinject")
+    require(spark.sparkContext.master.startsWith("local-cluster"),
+      "FaultInject kills executor JVMs — it needs " +
+        "SPARK_GRAFT_MASTER=local-cluster[n,cores,mem] (in local[n] the " +
+        "only JVM is the driver)")
+    val ok = scala.collection.mutable.ArrayBuffer.empty[(String, Boolean)]
+    if (scenario == "batch" || scenario == "all") {
+      // thresholds sized to each query's task count at sf0.1: the
+      // ngram dedup runs many 32-task stages (kill lands mid-pipeline,
+      // after shuffle map output exists); the flagship agg is a small
+      // scan + AQE-coalesced shuffle with only a handful of tasks
+      // (kill lands inside the first stage — the task-retry path)
+      ok += ("batch:q_dedup_ngram_global" ->
+        batchScenario(spark, sfDir, "q_dedup_ngram_global",
+          tasksBeforeKill = 10))
+      ok += ("batch:q_agg_hash_group" ->
+        batchScenario(spark, sfDir, "q_agg_hash_group",
+          tasksBeforeKill = 2))
+    }
+    if (scenario == "stream" || scenario == "all")
+      ok += ("stream:composed" -> streamScenario(spark, sfDir))
+    println(s"[faultinject] VERDICT: " + ok.map { case (n, v) =>
+      s"$n=${if (v) "PASS" else "FAIL"}" }.mkString(" "))
+    spark.stop()
+    if (ok.exists(!_._2)) sys.exit(1)
+  }
+
+  // ---- process plumbing ------------------------------------------------
+
+  /** PIDs of this app's executor JVMs (the forked
+    * CoarseGrainedExecutorBackend processes carry `--app-id <id>`). */
+  private def executorPids(appId: String): Seq[Int] = {
+    import scala.sys.process._
+    Seq("ps", "-eo", "pid,args").!!.linesIterator
+      .filter(l => l.contains("CoarseGrainedExecutorBackend")
+        && l.contains(appId))
+      .map(_.trim.split("\\s+")(0).toInt).toSeq
+  }
+
+  /** SIGKILL — the ungraceful loss: no shutdown hooks, no state flush,
+    * shuffle files orphaned exactly as on a lost cluster node. */
+  private def kill9(pid: Int): Unit = {
+    import scala.sys.process._
+    Seq("kill", "-9", pid.toString).!
+    ()
+  }
+
+  /** Deterministic fingerprint of a query result: sha-256 over the
+    * fully-sorted row strings — the clean run and the kill run must
+    * produce the same digest or recovery changed the answer. */
+  private def digest(df: DataFrame): String = {
+    val sorted = df.orderBy(df.columns.map(col).toIndexedSeq: _*)
+    val md = MessageDigest.getInstance("SHA-256")
+    sorted.collect().foreach(r => md.update(r.toString.getBytes("UTF-8")))
+    md.digest().map("%02x".format(_)).mkString
+  }
+
+  // ---- batch scenario --------------------------------------------------
+
+  /** Counts every recovery-relevant scheduler event and fires the kill
+    * once `tasksBeforeKill` tasks have SUCCEEDED mid-job — by then the
+    * doomed executor holds map output some later stage needs. */
+  private final class KillListener(appId: String, tasksBeforeKill: Int)
+      extends SparkListener {
+    val tasksSucceeded = new AtomicInteger
+    val lostTaskFailures = new AtomicInteger
+    val fetchFailures = new AtomicInteger
+    val otherTaskFailures = new AtomicInteger
+    val stageReattempts = new AtomicInteger
+    val executorsRemoved = new AtomicInteger
+    val executorsAddedAfterKill = new AtomicInteger
+    val killFired = new AtomicBoolean(false)
+    @volatile var killedPid: Int = -1
+
+    override def onTaskEnd(e: SparkListenerTaskEnd): Unit = e.reason match {
+      case org.apache.spark.Success =>
+        if (tasksSucceeded.incrementAndGet() >= tasksBeforeKill
+            && killFired.compareAndSet(false, true)) {
+          // SYNCHRONOUS on the listener bus: an async kill thread
+          // loses the race against a fast query (the ps+kill costs
+          // ~10 ms; the listener bus is already decoupled from task
+          // execution, so blocking here delays only event delivery)
+          executorPids(appId).sorted.headOption.foreach { pid =>
+            killedPid = pid
+            System.err.println(s"[faultinject] KILL -9 executor pid=$pid " +
+              s"after ${tasksSucceeded.get()} task successes")
+            kill9(pid)
+          }
+        }
+      case _: org.apache.spark.ExecutorLostFailure =>
+        lostTaskFailures.incrementAndGet(); ()
+      case _: org.apache.spark.FetchFailed =>
+        fetchFailures.incrementAndGet(); ()
+      case org.apache.spark.Resubmitted => ()
+      case _ => otherTaskFailures.incrementAndGet(); ()
+    }
+    override def onStageSubmitted(e: SparkListenerStageSubmitted): Unit =
+      if (e.stageInfo.attemptNumber() > 0) { stageReattempts.incrementAndGet(); () }
+    override def onExecutorRemoved(e: SparkListenerExecutorRemoved): Unit = {
+      executorsRemoved.incrementAndGet(); ()
+    }
+    override def onExecutorAdded(e: SparkListenerExecutorAdded): Unit =
+      if (killFired.get()) { executorsAddedAfterKill.incrementAndGet(); () }
+  }
+
+  private def batchScenario(
+      spark: SparkSession, sfDir: String, queryName: String,
+      tasksBeforeKill: Int): Boolean = {
+    val q = Registry.byName(queryName)
+    println(s"[faultinject] batch scenario: $queryName @ $sfDir " +
+      s"(master=${spark.sparkContext.master})")
+    val cleanHash = digest(q.fn(spark, sfDir)) // also warms executors
+    val listener =
+      new KillListener(spark.sparkContext.applicationId, tasksBeforeKill)
+    spark.sparkContext.addSparkListener(listener)
+    val killHash =
+      try digest(q.fn(spark, sfDir))
+      finally spark.sparkContext.removeSparkListener(listener)
+    // give the async listener-bus tail a moment before reading counters
+    Thread.sleep(1000L)
+    val parity = cleanHash == killHash
+    val killed = listener.killFired.get() && listener.killedPid > 0
+    val lossObserved = listener.executorsRemoved.get() >= 1
+    // OS-level proof the master relaunched the lost executor: poll the
+    // process table until the app is back to 2 executor JVMs
+    val appId = spark.sparkContext.applicationId
+    val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+    var replaced = executorPids(appId).size >= 2
+    while (!replaced && System.nanoTime() < deadline) {
+      Thread.sleep(500L); replaced = executorPids(appId).size >= 2
+    }
+    println(s"[faultinject] batch $queryName: parity=$parity " +
+      s"replacementExecutorRunning=$replaced " +
+      s"killedPid=${listener.killedPid} " +
+      s"executorsRemoved=${listener.executorsRemoved.get()} " +
+      s"replacementsAdded=${listener.executorsAddedAfterKill.get()} " +
+      s"lostTaskFailures=${listener.lostTaskFailures.get()} " +
+      s"fetchFailures=${listener.fetchFailures.get()} " +
+      s"stageReattempts=${listener.stageReattempts.get()} " +
+      s"otherTaskFailures=${listener.otherTaskFailures.get()} " +
+      s"sha=${cleanHash.take(16)}")
+    parity && killed && lossObserved && replaced
+  }
+
+  // ---- stream scenario -------------------------------------------------
+
+  private def streamScenario(spark: SparkSession, sfDir: String): Boolean = {
+    import graft.streaming.ComposedPipeline
+    val ev = graft.engine.Tables.events(spark, sfDir)
+    val nEvents = ev.count()
+    val nUsers = ev.select("user_id").distinct().count()
+    val work = java.nio.file.Files
+      .createTempDirectory("graft_faultinject_").toString
+    try {
+      val feedDir = s"$work/feed"
+      val parts = 4
+      val chunks = 20
+      val replayed = ComposedPipeline.replayToFeed(ev, feedDir, parts)
+      val cap = math.max(2500L, nEvents / (parts.toLong * chunks))
+      println(s"[faultinject] stream scenario: events=$nEvents " +
+        s"users=$nUsers replayed=$replayed maxBatchRecords=$cap @ $sfDir")
+      // kill once the pipeline is mid-replay: RocksDB instances on the
+      // doomed executor hold committed state for many user partitions
+      val killAtBatch = 6L
+      val killFired = new AtomicBoolean(false)
+      @volatile var killedPid = -1
+      val appId = spark.sparkContext.applicationId
+      val removed = new AtomicInteger
+      val schedListener = new SparkListener {
+        override def onExecutorRemoved(
+            e: SparkListenerExecutorRemoved): Unit = {
+          removed.incrementAndGet(); ()
+        }
+      }
+      val killer = new org.apache.spark.sql.streaming.StreamingQueryListener {
+        import org.apache.spark.sql.streaming.StreamingQueryListener._
+        override def onQueryStarted(e: QueryStartedEvent): Unit = ()
+        override def onQueryTerminated(e: QueryTerminatedEvent): Unit = ()
+        override def onQueryProgress(e: QueryProgressEvent): Unit =
+          if (e.progress.batchId >= killAtBatch
+              && killFired.compareAndSet(false, true)) {
+            executorPids(appId).sorted.headOption.foreach { pid =>
+              killedPid = pid
+              System.err.println(s"[faultinject] KILL -9 executor pid=$pid " +
+                s"at stream batch ${e.progress.batchId}")
+              kill9(pid)
+            }
+          }
+      }
+      spark.sparkContext.addSparkListener(schedListener)
+      spark.streams.addListener(killer)
+      val sk =
+        try ComposedPipeline.run(spark, feedDir, s"$work/snap_kill",
+          s"$work/ckpt_kill", cap)
+        finally {
+          spark.streams.removeListener(killer)
+          spark.sparkContext.removeSparkListener(schedListener)
+        }
+      println(s"[faultinject] kill-leg: batches=${sk.batches} " +
+        s"gens=${sk.generations} peakStateRows=${sk.peakStateRows} " +
+        s"processedLag=${sk.processedLag} killedPid=$killedPid " +
+        s"executorsRemoved=${removed.get()}")
+      val sc = ComposedPipeline.run(spark, feedDir, s"$work/snap_clean",
+        s"$work/ckpt_clean", cap)
+      val killFinal =
+        ComposedPipeline.latestSnapshot(spark, s"$work/snap_kill").get
+      val cleanFinal =
+        ComposedPipeline.latestSnapshot(spark, s"$work/snap_clean").get
+      val killRows = killFinal.count()
+      val parity = killRows == cleanFinal.count() &&
+        killFinal.exceptAll(cleanFinal).isEmpty &&
+        cleanFinal.exceptAll(killFinal).isEmpty
+      val dupKeys = killFinal.groupBy("user_id", "session_seq").count()
+        .where(col("count") > 1).count()
+      println(s"[faultinject] stream: parity=$parity sessions=$killRows " +
+        s"dupKeys=$dupKeys lagDrained=${sk.processedLag == 0L} " +
+        s"cleanLagDrained=${sc.processedLag == 0L} " +
+        s"stateFlat=${sk.peakStateRows <= nUsers * 2}")
+      parity && dupKeys == 0 && killFired.get() && killedPid > 0 &&
+        removed.get() >= 1 && sk.processedLag == 0L
+    } finally org.apache.commons.io.FileUtils.deleteDirectory(
+      new java.io.File(work))
+  }
+}
