@@ -154,6 +154,80 @@ object Bucketed {
     s.table(ident)
   }
 
+  /** Publish `df` at `dest` as an IMMUTABLE BUCKETED GENERATION — the
+    * serving-shape twin of [[graft.engine.Snapshot.publishAtomic]]
+    * (r17, VERDICT r16 next #7): same create-if-absent atomic-rename
+    * commit and same immutability contract, but the files are written
+    * `bucketBy(n, key).sortBy(key)` with one file per bucket, so a
+    * consumer that attaches the generation ([[attachGeneration]]) gets
+    * sort-merge joins on `key` with ZERO exchange and ZERO sort. This
+    * is what a streaming CDC pipeline publishes per batch when the
+    * snapshot's readers are serving joins, not ad-hoc scans — the
+    * layout shuffle is paid once per generation at write time, instead
+    * of once per consumer query forever after.
+    *
+    * Losing a concurrent-publish race throws
+    * [[Snapshot.SnapshotExistsException]] with the winner intact —
+    * callers retrying a streaming batch treat it as "already done",
+    * identical to the plain-generation discipline. */
+  def publishGeneration(
+      s: SparkSession, df: DataFrame, dest: String,
+      key: String, n: Int): Unit = {
+    require(n > 0, s"bucket count must be positive: $n")
+    val destPath = new org.apache.hadoop.fs.Path(dest)
+    val conf = s.sparkContext.hadoopConfiguration
+    val fs = destPath.getFileSystem(conf)
+    if (fs.exists(destPath)) throw new Snapshot.SnapshotExistsException(
+      s"generation $dest already exists — snapshots are immutable")
+    val tag = java.util.UUID.randomUUID().toString.take(8)
+    val staging = new org.apache.hadoop.fs.Path(s"$dest.__staging__$tag")
+    val tmpIdent = s"graft_bktgen_stg_$tag"
+    try {
+      // repartition on the bucket key → whole buckets per task → one
+      // file per bucket, the condition for trusting the written order
+      df.repartition(n, org.apache.spark.sql.functions.col(key))
+        .write.format("parquet")
+        .bucketBy(n, key)
+        .sortBy(key)
+        .option("path", staging.toString)
+        .saveAsTable(tmpIdent)
+      val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+        fs.getUri, conf)
+      try fc.rename(staging, destPath,
+        org.apache.hadoop.fs.Options.Rename.NONE)
+      catch {
+        case e: org.apache.hadoop.fs.FileAlreadyExistsException =>
+          throw new Snapshot.SnapshotExistsException(
+            s"generation $dest already exists — lost the publish race; " +
+              "snapshots are immutable", e)
+      }
+    } finally {
+      s.sql(s"DROP TABLE IF EXISTS $tmpIdent") // external: keeps files
+      if (fs.exists(staging)) fs.delete(staging, true)
+    }
+  }
+
+  /** Attach a generation published by [[publishGeneration]] as a
+    * bucketed catalog table (metadata only — zero data movement) and
+    * return its DataFrame. The bucket spec must match what was
+    * written; the catalog name is derived from the generation path, so
+    * successive generations attach as distinct tables and a serving
+    * query always names exactly one immutable generation. */
+  def attachGeneration(
+      s: SparkSession, dest: String,
+      schema: org.apache.spark.sql.types.StructType,
+      key: String, n: Int): DataFrame = {
+    // honor the written per-bucket order at scan time (see [[table]];
+    // deliberately session-global, documented in SCALE.md)
+    s.conf.set("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
+    val ident = "graft_bktgen_" + digest(s"$dest|$key|$n")
+    if (!s.catalog.tableExists(ident))
+      s.sql(s"""CREATE TABLE $ident (${schema.toDDL})
+        USING PARQUET CLUSTERED BY ($key) SORTED BY ($key) INTO $n BUCKETS
+        LOCATION '$dest'""")
+    s.table(ident)
+  }
+
   /** Retention for superseded layouts: source-fingerprinted identities
     * mean a changed source ABANDONS its old layout dir rather than
     * overwriting it (the read path must never delete — an in-flight

@@ -103,6 +103,51 @@ object ComposedPipeline {
     }
   }
 
+  /** [[applyGeneration]]'s SERVING-SHAPE twin (r17 — VERDICT r16 next
+    * #7): identical merge + idempotency discipline, but the generation
+    * publishes BUCKETED by `user_id` via
+    * [[graft.engine.Bucketed.publishGeneration]], so the
+    * streaming-maintained table is directly servable: a consumer that
+    * attaches the latest generation ([[servedSnapshot]]) joins on
+    * `user_id` with zero exchange and zero sort. This closes the loop
+    * between the CDC pipeline (which used to land plain-parquet
+    * generations only) and the publish-once join layouts — the
+    * production shape where a stream MAINTAINS the table other queries
+    * serve from. */
+  def applyGenerationBucketed(
+      s: SparkSession, root: String, sessions: DataFrame,
+      batchId: Long, buckets: Int): Boolean = {
+    if (sessions.isEmpty) return false
+    val dest = s"$root/gen_$batchId"
+    if (generationIds(s, root).contains(batchId))
+      return false // retry of a done batch
+    val changes = sessions.withColumn("op", lit("U"))
+    val merged = latestSnapshot(s, root) match {
+      case Some(prev) => graft.engine.Snapshot.applyChangelog(
+        prev, changes, Seq("user_id", "session_seq"), "op")
+      case None => changes.drop("op")
+    }
+    try {
+      graft.engine.Bucketed.publishGeneration(
+        s, merged, dest, "user_id", buckets)
+      true
+    } catch {
+      // racing retry of the same batch: first attempt's rename won
+      case _: graft.engine.Snapshot.SnapshotExistsException => false
+    }
+  }
+
+  /** The latest generation attached as a bucketed serving table —
+    * valid only for roots maintained by [[applyGenerationBucketed]]
+    * with the same bucket count. */
+  def servedSnapshot(
+      s: SparkSession, root: String, buckets: Int): Option[DataFrame] =
+    generationIds(s, root).lastOption.map { id =>
+      val dest = s"$root/gen_$id"
+      graft.engine.Bucketed.attachGeneration(
+        s, dest, s.read.parquet(dest).schema, "user_id", buckets)
+    }
+
   /** Replay a batch events table into a feed log PARTITIONED BY USER
     * (the key is the user id, so per-user arrival order is the
     * per-partition offset order sessionization assumes), events
@@ -160,13 +205,18 @@ object ComposedPipeline {
     *   the production shape where appends race the stream, vs the
     *   pre-written-log replay (r16). Admission control
     *   (`maxBatchRecords`) stays active throughout.
+    * @param bucketServe when set, generations publish BUCKETED by
+    *   `user_id` into this many buckets ([[applyGenerationBucketed]])
+    *   — the streaming-maintained serving table; read it back with
+    *   [[servedSnapshot]]. Default keeps the plain-parquet shape.
     * @return telemetry incl. whether the injected crash fired. */
   def run(
       s: SparkSession, feedDir: String, snapRoot: String, ckptDir: String,
       maxBatchRecords: Long,
       crashAfterBatch: Option[Long] = None,
       crashBeforeApply: Option[Long] = None,
-      tailWhile: Option[() => Boolean] = None): RunStats = {
+      tailWhile: Option[() => Boolean] = None,
+      bucketServe: Option[Int] = None): RunStats = {
     import s.implicits._
     // transformWithState requires the RocksDB provider (state-v2
     // runtime); set it for the run and restore the caller's choice.
@@ -238,8 +288,11 @@ object ComposedPipeline {
           // state but no generation (the pre-publish window)
           if (crashBeforeApply.contains(id)) throw new InjectedCrash(id)
           if (n > 0) {
-            if (applyGeneration(s, snapRoot, batch, id)) applied += 1
-            else skipped += 1
+            val published = bucketServe match {
+              case Some(b) => applyGenerationBucketed(s, snapRoot, batch, id, b)
+              case None => applyGeneration(s, snapRoot, batch, id)
+            }
+            if (published) applied += 1 else skipped += 1
           }
         } finally batch.unpersist()
         if (crashAfterBatch.contains(id)) throw new InjectedCrash(id)
