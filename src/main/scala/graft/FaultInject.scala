@@ -77,6 +77,12 @@ object FaultInject {
     }
     if (scenario == "stream" || scenario == "all")
       ok += ("stream:composed" -> streamScenario(spark, sfDir))
+    if (scenario == "publish" || scenario == "all")
+      ok += ("publish:bucketed_generation" -> publishScenario(spark, sfDir))
+    if (scenario == "jdbc" || scenario == "all")
+      ok += ("jdbc:incremental_extract" ->
+        batchScenario(spark, sfDir, "q_ref_jdbc_incremental",
+          tasksBeforeKill = 3))
     println(s"[faultinject] VERDICT: " + ok.map { case (n, v) =>
       s"$n=${if (v) "PASS" else "FAIL"}" }.mkString(" "))
     spark.stop()
@@ -198,6 +204,74 @@ object FaultInject {
       s"otherTaskFailures=${listener.otherTaskFailures.get()} " +
       s"sha=${cleanHash.take(16)}")
     parity && killed && lossObserved && replaced
+  }
+
+  // ---- publish scenario ------------------------------------------------
+
+  /** Executor death DURING an atomic bucketed-generation publish: the
+    * staging write job loses tasks mid-flight (including whole written
+    * bucket files), the retried tasks must rewrite them, and the
+    * committed generation must (a) bit-match an undisturbed publish,
+    * (b) keep the one-file-per-bucket invariant the zero-sort serving
+    * reads depend on — a retry that left a second file per bucket
+    * would silently re-add per-task sorts under every consumer join. */
+  private def publishScenario(
+      spark: SparkSession, sfDir: String): Boolean = {
+    val n = 16
+    val key = "l_orderkey"
+    // replicate 8× (broadcast 8-row side) so the staging write is wide
+    // enough that the kill reliably lands MID-WRITE at sf0.1 — at the
+    // fixture's raw size all 16 bucket files finish inside the
+    // listener-to-kill latency and the executor dies idle
+    def src = graft.engine.Tables.lineitem(spark, sfDir)
+      .select(col("l_orderkey"), col("l_partkey"), col("l_quantity"),
+        col("l_extendedprice"))
+      .crossJoin(broadcast(spark.range(8).select(col("id").as("rep"))))
+    val work = java.nio.file.Files
+      .createTempDirectory("graft_faultpub_").toString
+    println(s"[faultinject] publish scenario: bucketed generation " +
+      s"n=$n @ $sfDir")
+    try {
+      graft.engine.Bucketed.publishGeneration(
+        spark, src, s"$work/gen_clean", key, n)
+      val listener = new KillListener(
+        spark.sparkContext.applicationId, tasksBeforeKill = 4)
+      spark.sparkContext.addSparkListener(listener)
+      try graft.engine.Bucketed.publishGeneration(
+        spark, src, s"$work/gen_kill", key, n)
+      finally spark.sparkContext.removeSparkListener(listener)
+      Thread.sleep(1000L)
+      val clean = graft.engine.Bucketed.attachGeneration(
+        spark, s"$work/gen_clean", src.schema, key, n)
+      val killed = graft.engine.Bucketed.attachGeneration(
+        spark, s"$work/gen_kill", src.schema, key, n)
+      val parity = digest(killed) == digest(clean)
+      // one data file per bucket, exactly n, in BOTH generations
+      def dataFiles(dir: String): Int = {
+        val p = new org.apache.hadoop.fs.Path(dir)
+        val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        fs.listStatus(p).count(st =>
+          st.isFile && st.getPath.getName.endsWith(".parquet"))
+      }
+      val filesClean = dataFiles(s"$work/gen_clean")
+      val filesKill = dataFiles(s"$work/gen_kill")
+      val killedOk = listener.killFired.get() && listener.killedPid > 0 &&
+        listener.executorsRemoved.get() >= 1
+      println(s"[faultinject] publish: parity=$parity " +
+        s"filesPerGen=$filesClean/$filesKill (want $n/$n) " +
+        s"killedPid=${listener.killedPid} " +
+        s"executorsRemoved=${listener.executorsRemoved.get()} " +
+        s"lostTaskFailures=${listener.lostTaskFailures.get()} " +
+        s"fetchFailures=${listener.fetchFailures.get()} " +
+        s"stageReattempts=${listener.stageReattempts.get()}")
+      parity && killedOk && filesClean == n && filesKill == n
+    } finally {
+      spark.catalog.listTables().collect()
+        .filter(_.name.startsWith("graft_bktgen_"))
+        .foreach(t => spark.sql(s"DROP TABLE ${t.name}"))
+      org.apache.commons.io.FileUtils.deleteDirectory(
+        new java.io.File(work))
+    }
   }
 
   // ---- stream scenario -------------------------------------------------

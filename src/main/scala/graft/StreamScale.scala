@@ -24,6 +24,7 @@ object StreamScale {
     val sfDir = args.headOption.getOrElse("testdata-sf5")
     val chunks = if (args.length > 1) args(1).toInt else 20
     if (args.contains("composed-tail")) { runComposedTail(sfDir, chunks); return }
+    if (args.contains("composed-serve")) { runComposedServe(sfDir, chunks); return }
     if (args.contains("composed")) { runComposed(sfDir, chunks); return }
     val spark = Sessions.local(
       sys.env.getOrElse("SPARK_GRAFT_CPUS", "16"), "graft-streamscale")
@@ -310,6 +311,124 @@ object StreamScale {
     org.apache.commons.io.FileUtils.deleteDirectory(
       new java.io.File(work))
     spark.stop()
+  }
+
+  /** SERVING-LAYOUT variant of [[runComposed]] (r17 — VERDICT r16 next
+    * #7 at scale): the same composed pipeline, but every generation
+    * publishes BUCKETED by user via `bucketServe`, so the
+    * stream-maintained table serves zero-exchange joins. Reports the
+    * cost side of that trade at scale — wall vs the plain-parquet
+    * pipeline over the same feed (the bucketed publish pays a layout
+    * shuffle per generation) — and the benefit side: a timed consumer
+    * join + bucket-key aggregate over the final served table, with the
+    * exchange count of each plan printed (must be 0 under the join).
+    * Run beside `composed` at the same sf for the comparison. */
+  private def runComposedServe(sfDir: String, chunks: Int): Unit = {
+    import graft.streaming.ComposedPipeline
+    val spark = Sessions.local(
+      sys.env.getOrElse("SPARK_GRAFT_CPUS", "16"), "graft-streamserve")
+    val buckets = sys.env.getOrElse("SPARK_GRAFT_SERVE_BUCKETS", "32").toInt
+    val ev = graft.engine.Tables.events(spark, sfDir)
+    val nEvents = ev.count()
+    val nUsers = ev.select("user_id").distinct().count()
+    val work = java.nio.file.Files
+      .createTempDirectory("graft_streamserve_").toString
+    try {
+      val feedDir = s"$work/feed"
+      val parts = 4
+      val replayed = ComposedPipeline.replayToFeed(ev, feedDir, parts)
+      val cap = math.max(2500L, nEvents / (parts.toLong * chunks))
+      println(s"[streamserve] events=$nEvents users=$nUsers " +
+        s"replayed=$replayed buckets=$buckets maxBatchRecords=$cap sf=$sfDir")
+      // bucketed leg FIRST so it absorbs session warm-up (RocksDB
+      // provider init, first feed scans) — biases the reported
+      // overhead ratio AGAINST the serving layout, making the "modest
+      // overhead" claim conservative
+      val t1 = System.nanoTime()
+      val sb = ComposedPipeline.run(spark, feedDir, s"$work/snap_bkt",
+        s"$work/ckpt_bkt", cap, bucketServe = Some(buckets))
+      val wallBkt = (System.nanoTime() - t1) / 1e9
+      val t0 = System.nanoTime()
+      val sp = ComposedPipeline.run(spark, feedDir, s"$work/snap_plain",
+        s"$work/ckpt_plain", cap)
+      val wallPlain = (System.nanoTime() - t0) / 1e9
+      val served =
+        ComposedPipeline.servedSnapshot(spark, s"$work/snap_bkt", buckets).get
+      val plain =
+        ComposedPipeline.latestSnapshot(spark, s"$work/snap_plain").get
+      val parity = served.count() == plain.count() &&
+        served.exceptAll(plain).isEmpty && plain.exceptAll(served).isEmpty
+      // benefit side: consumer reads over the served table. The count
+      // that matters is exchanges BELOW the join (a consumer's own
+      // post-join rollup shuffles on its own key — that's its cost,
+      // not the layout's).
+      import org.apache.spark.sql.execution.SparkPlan
+      def kids(p: SparkPlan): Seq[SparkPlan] = p match {
+        case a: org.apache.spark.sql.execution.adaptive
+          .AdaptiveSparkPlanExec => Seq(a.executedPlan)
+        case q: org.apache.spark.sql.execution.adaptive
+          .QueryStageExec => Seq(q.plan)
+        case other => other.children
+      }
+      def collectAll[T](p: SparkPlan)(
+          f: PartialFunction[SparkPlan, T]): Seq[T] =
+        (if (f.isDefinedAt(p)) Seq(f(p)) else Nil) ++
+          kids(p).flatMap(collectAll(_)(f))
+      def exchangesUnderJoin(df: org.apache.spark.sql.DataFrame): Int = {
+        df.collect()
+        val join = collectAll(df.queryExecution.executedPlan) {
+          case j: org.apache.spark.sql.execution.joins
+            .SortMergeJoinExec => (j: SparkPlan)
+          case j: org.apache.spark.sql.execution.joins
+            .ShuffledHashJoinExec => (j: SparkPlan)
+        }.headOption
+        join.map(j => collectAll(j) {
+          case e: org.apache.spark.sql.execution.exchange
+            .ShuffleExchangeExec => e
+        }.size).getOrElse(-1) // -1: no shuffle-family join found
+      }
+      def exchangesTotal(df: org.apache.spark.sql.DataFrame): Int = {
+        df.collect()
+        collectAll(df.queryExecution.executedPlan) {
+          case e: org.apache.spark.sql.execution.exchange
+            .ShuffleExchangeExec => e
+        }.size
+      }
+      val prevBroadcast = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      try {
+        val dimDir = s"$work/dim"
+        graft.engine.Bucketed.publishGeneration(spark,
+          ev.groupBy(col("user_id"))
+            .agg(countDistinct(col("event_type")).as("n_types")),
+          dimDir, "user_id", buckets)
+        val dim = graft.engine.Bucketed.attachGeneration(spark, dimDir,
+          spark.read.parquet(dimDir).schema, "user_id", buckets)
+        val tJ = System.nanoTime()
+        val joinEx = exchangesUnderJoin(served.join(dim, "user_id")
+          .groupBy(col("n_types")).agg(count(lit(1)).as("n")))
+        val wallJoin = (System.nanoTime() - tJ) / 1e9
+        val tA = System.nanoTime()
+        val aggEx = exchangesTotal(served.groupBy(col("user_id"))
+          .agg(count(lit(1)).as("n")))
+        val wallAgg = (System.nanoTime() - tA) / 1e9
+        println(f"[streamserve] COMPOSED-SERVE: wallPlain=$wallPlain%.1f s " +
+          f"wallBucketed=$wallBkt%.1f s overhead=${wallBkt / wallPlain}%.2fx " +
+          s"gens=${sb.generations} parity=$parity " +
+          s"peakStateRows=${sb.peakStateRows} " +
+          s"lagDrained=${sb.processedLag == 0L && sp.processedLag == 0L} " +
+          f"serveJoin=$wallJoin%.2f s (exchangesUnderJoin=$joinEx, want 0) " +
+          f"serveAgg=$wallAgg%.2f s (exchanges=$aggEx, want 0)")
+      } finally spark.conf.set(
+        "spark.sql.autoBroadcastJoinThreshold", prevBroadcast)
+    } finally {
+      spark.catalog.listTables().collect()
+        .filter(_.name.startsWith("graft_bktgen_"))
+        .foreach(t => spark.sql(s"DROP TABLE ${t.name}"))
+      org.apache.commons.io.FileUtils.deleteDirectory(
+        new java.io.File(work))
+      spark.stop()
+    }
   }
 
   /** LIVE-TAIL variant of [[runComposed]] (r16 — VERDICT r15 next #7):

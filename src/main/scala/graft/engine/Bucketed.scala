@@ -191,6 +191,15 @@ object Bucketed {
         .sortBy(key)
         .option("path", staging.toString)
         .saveAsTable(tmpIdent)
+      // same publish discipline as Snapshot.publishAtomic: manifest
+      // rides the commit rename (a generation is never visible without
+      // it) and the staged content is verified against the source
+      // BEFORE it can become visible
+      Snapshot.writeManifest(s, staging.toString)
+      val rt = Snapshot.verifyContent(s, df, staging.toString)
+      require(rt.verified,
+        s"staged bucketed generation failed verification: " +
+          s"missing=${rt.missing} extra=${rt.extra}")
       val fc = org.apache.hadoop.fs.FileContext.getFileContext(
         fs.getUri, conf)
       try fc.rename(staging, destPath,
