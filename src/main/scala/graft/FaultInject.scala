@@ -38,6 +38,16 @@ import org.apache.spark.sql.functions._
   *    the checkpoint on whichever executor inherits the partitions;
   *    the final snapshot must bit-match a clean run with zero
   *    duplicate (user, session_seq) keys.
+  *  - `publish` scenario: executor death mid-way through a bucketed
+  *    generation's staging write — retried write tasks must leave the
+  *    committed generation bit-identical with exactly one file per
+  *    bucket.
+  *  - `jdbc` scenario: executor death mid-way through the ranged
+  *    incremental JDBC extract — retried ranges re-boot the immutable
+  *    jar-database day snapshot on the replacement executor.
+  *  - `driver` scenario: SIGKILL of a forked child DRIVER JVM running
+  *    the composed pipeline, then a supervisor-style re-fork from the
+  *    same checkpoint — the loss mode executor kills cannot produce.
   *
   * The kill is visible in the telemetry this prints (executor-removed
   * events, task-failure reasons, stage reattempts, replacement
@@ -52,12 +62,17 @@ object FaultInject {
 
   def main(args: Array[String]): Unit = {
     val scenario = args.headOption.getOrElse("all")
+    if (scenario == "child-stream") { childStream(args.drop(1)); return }
     val sfDir =
       if (args.length > 1) args(1)
       else sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = Sessions.local(
       sys.env.getOrElse("SPARK_GRAFT_CPUS", "16"), "graft-faultinject")
-    require(spark.sparkContext.master.startsWith("local-cluster"),
+    // the executor-kill scenarios need forked executor JVMs; the
+    // driver-kill scenario forks its own driver JVMs and runs under
+    // any master
+    require(scenario == "driver" ||
+      spark.sparkContext.master.startsWith("local-cluster"),
       "FaultInject kills executor JVMs — it needs " +
         "SPARK_GRAFT_MASTER=local-cluster[n,cores,mem] (in local[n] the " +
         "only JVM is the driver)")
@@ -83,6 +98,8 @@ object FaultInject {
       ok += ("jdbc:incremental_extract" ->
         batchScenario(spark, sfDir, "q_ref_jdbc_incremental",
           tasksBeforeKill = 3))
+    if (scenario == "driver" || scenario == "all")
+      ok += ("driver:composed" -> driverScenario(spark, sfDir))
     println(s"[faultinject] VERDICT: " + ok.map { case (n, v) =>
       s"$n=${if (v) "PASS" else "FAIL"}" }.mkString(" "))
     spark.stop()
@@ -204,6 +221,123 @@ object FaultInject {
       s"otherTaskFailures=${listener.otherTaskFailures.get()} " +
       s"sha=${cleanHash.take(16)}")
     parity && killed && lossObserved && replaced
+  }
+
+  // ---- driver scenario -------------------------------------------------
+
+  /** Child-JVM entry: run the composed pipeline to drain as an
+    * independent DRIVER process (own SparkSession, plain local
+    * master), exit 0. The parent kills the first child mid-stream —
+    * an UNGRACEFUL driver death (no q.stop, no checkpoint flush
+    * beyond what Spark committed) — then re-forks with the same dirs
+    * to model the supervisor's restart. */
+  private def childStream(args: Array[String]): Unit = {
+    val Array(feedDir, snapRoot, ckptDir, cap) = args.take(4)
+    val spark = org.apache.spark.sql.SparkSession.builder()
+      .master("local[8]")
+      .appName("graft-faultinject-child")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val st = graft.streaming.ComposedPipeline.run(
+      spark, feedDir, snapRoot, ckptDir, cap.toLong)
+    println(s"[faultinject-child] drained: batches=${st.batches} " +
+      s"gens=${st.generations} lag=${st.processedLag}")
+    spark.stop()
+    sys.exit(if (st.processedLag == 0L) 0 else 3)
+  }
+
+  private def forkChildStream(
+      feedDir: String, snapRoot: String, ckptDir: String,
+      cap: Long): Process = {
+    val javaBin = java.nio.file.Paths.get(
+      System.getProperty("java.home"), "bin", "java").toString
+    val inherited = java.lang.management.ManagementFactory
+      .getRuntimeMXBean.getInputArguments
+    val opens = scala.jdk.CollectionConverters
+      .ListHasAsScala(inherited).asScala.toSeq
+      .sliding(2).collect {
+        case Seq("--add-opens", v) => Seq("--add-opens", v)
+      }.flatten.toSeq
+    val cmd = Seq(javaBin, "-Xmx3g", "-Dspark.ui.enabled=false") ++ opens ++
+      Seq("-cp", System.getProperty("java.class.path"),
+        "graft.FaultInject", "child-stream",
+        feedDir, snapRoot, ckptDir, cap.toString)
+    val pb = new ProcessBuilder(cmd: _*).inheritIO()
+    // the child must be a plain single-JVM driver even when the parent
+    // runs under a local-cluster master
+    pb.environment().remove("SPARK_GRAFT_MASTER")
+    pb.start()
+  }
+
+  /** DRIVER death mid-stream: the one loss mode the executor-kill
+    * scenarios cannot produce. The composed pipeline runs in a forked
+    * child JVM; once generations start landing the parent SIGKILLs it
+    * (between or inside micro-batches — wherever it happens to be),
+    * then re-forks with the same checkpoint + snapshot root, exactly
+    * what a supervisor (YARN AM restart, k8s restartPolicy, the
+    * reference's cron re-run) does. The restarted driver must replay
+    * the WAL'd offsets against rolled-back state, skip
+    * already-published generations, drain, and converge to BIT-PARITY
+    * with a clean single-driver run over the same feed. */
+  private def driverScenario(
+      spark: SparkSession, sfDir: String): Boolean = {
+    import graft.streaming.ComposedPipeline
+    val ev = graft.engine.Tables.events(spark, sfDir)
+    val nEvents = ev.count()
+    val work = java.nio.file.Files
+      .createTempDirectory("graft_faultdriver_").toString
+    try {
+      val feedDir = s"$work/feed"
+      val parts = 4
+      val chunks = 20
+      ComposedPipeline.replayToFeed(ev, feedDir, parts)
+      val cap = math.max(2500L, nEvents / (parts.toLong * chunks))
+      println(s"[faultinject] driver scenario: events=$nEvents " +
+        s"maxBatchRecords=$cap @ $sfDir")
+      // leg 1: fork, wait for >=3 published generations, SIGKILL
+      val child1 = forkChildStream(
+        feedDir, s"$work/snap_kill", s"$work/ckpt_kill", cap)
+      val deadline = System.nanoTime() + 300L * 1000 * 1000 * 1000
+      var gens = 0
+      while (child1.isAlive && gens < 3 && System.nanoTime() < deadline) {
+        Thread.sleep(200L)
+        gens = ComposedPipeline.generationIds(spark, s"$work/snap_kill").size
+      }
+      val killedMidStream = child1.isAlive && gens >= 3
+      if (child1.isAlive) {
+        println(s"[faultinject] KILL -9 driver pid=${child1.pid()} " +
+          s"after $gens generations")
+        kill9(child1.pid().toInt)
+      }
+      val c1 = child1.waitFor()
+      // leg 2: the supervisor restart — same dirs, runs to drain
+      val child2 = forkChildStream(
+        feedDir, s"$work/snap_kill", s"$work/ckpt_kill", cap)
+      val c2 = child2.waitFor()
+      // clean leg: one undisturbed driver over the same feed
+      val child3 = forkChildStream(
+        feedDir, s"$work/snap_clean", s"$work/ckpt_clean", cap)
+      val c3 = child3.waitFor()
+      val killFinal =
+        ComposedPipeline.latestSnapshot(spark, s"$work/snap_kill").get
+      val cleanFinal =
+        ComposedPipeline.latestSnapshot(spark, s"$work/snap_clean").get
+      val killRows = killFinal.count()
+      val parity = killRows == cleanFinal.count() &&
+        killFinal.exceptAll(cleanFinal).isEmpty &&
+        cleanFinal.exceptAll(killFinal).isEmpty
+      val dupKeys = killFinal.groupBy("user_id", "session_seq").count()
+        .where(col("count") > 1).count()
+      println(s"[faultinject] driver: parity=$parity " +
+        s"killedMidStream=$killedMidStream gensAtKill=$gens " +
+        s"exits=$c1/$c2/$c3 sessions=$killRows dupKeys=$dupKeys")
+      parity && dupKeys == 0 && killedMidStream && c1 != 0 &&
+        c2 == 0 && c3 == 0
+    } finally org.apache.commons.io.FileUtils.deleteDirectory(
+      new java.io.File(work))
   }
 
   // ---- publish scenario ------------------------------------------------
