@@ -100,6 +100,8 @@ object FaultInject {
           tasksBeforeKill = 3))
     if (scenario == "driver" || scenario == "all")
       ok += ("driver:composed" -> driverScenario(spark, sfDir))
+    if (scenario == "chaos") // not in `all`: ~15 min, run deliberately
+      ok += ("chaos:full_set" -> chaosScenario(spark, sfDir))
     println(s"[faultinject] VERDICT: " + ok.map { case (n, v) =>
       s"$n=${if (v) "PASS" else "FAIL"}" }.mkString(" "))
     spark.stop()
@@ -221,6 +223,67 @@ object FaultInject {
       s"otherTaskFailures=${listener.otherTaskFailures.get()} " +
       s"sha=${cleanHash.take(16)}")
     parity && killed && lossObserved && replaced
+  }
+
+  // ---- chaos scenario --------------------------------------------------
+
+  /** Sustained executor churn over the FULL declared query set: pass 1
+    * digests every query undisturbed; pass 2 re-runs all of them while
+    * a chaos thread kill -9s an executor every `intervalSec` (whenever
+    * at least two are alive — the app is never deliberately reduced to
+    * zero). Every digest must match pass 1. This is the 100 TB
+    * steady state — executors dying not at a chosen dramatic moment
+    * but whenever they happen to die: mid-scan, mid-shuffle,
+    * mid-publish, between jobs — and the whole query surface riding
+    * task retry + stage resubmission through it. Not part of `all`
+    * (runtime ~15 min); run as `FaultInject chaos [sfDir]`. */
+  private def chaosScenario(
+      spark: SparkSession, sfDir: String,
+      intervalSec: Int = 20): Boolean = {
+    val appId = spark.sparkContext.applicationId
+    val names = Registry.all.map(_.name).sorted
+    println(s"[faultinject] chaos scenario: ${names.size} queries, " +
+      s"kill every $intervalSec s @ $sfDir")
+    def digestSafe(name: String): String =
+      digest(Registry.byName(name).fn(spark, sfDir))
+    val clean = names.map(n => n -> digestSafe(n)).toMap
+    val stop = new AtomicBoolean(false)
+    val kills = new AtomicInteger
+    val removed = new AtomicInteger
+    val schedListener = new SparkListener {
+      override def onExecutorRemoved(
+          e: SparkListenerExecutorRemoved): Unit = {
+        removed.incrementAndGet(); ()
+      }
+    }
+    spark.sparkContext.addSparkListener(schedListener)
+    val chaos = new Thread(() => {
+      while (!stop.get()) {
+        Thread.sleep(intervalSec * 1000L)
+        if (!stop.get()) {
+          val pids = executorPids(appId).sorted
+          if (pids.size >= 2) { // never deliberately zero the app
+            System.err.println(
+              s"[faultinject] CHAOS kill -9 executor pid=${pids.head}")
+            kill9(pids.head)
+            kills.incrementAndGet()
+          }
+        }
+      }
+    })
+    chaos.setDaemon(true)
+    chaos.start()
+    val mismatches =
+      try names.filter(n => digestSafe(n) != clean(n))
+      finally {
+        stop.set(true)
+        spark.sparkContext.removeSparkListener(schedListener)
+      }
+    println(s"[faultinject] chaos: queries=${names.size} " +
+      s"kills=${kills.get()} executorsRemoved=${removed.get()} " +
+      s"mismatches=${mismatches.size}" +
+      (if (mismatches.nonEmpty) s" -> ${mismatches.mkString(",")}" else ""))
+    mismatches.isEmpty && kills.get() >= 3
   }
 
   // ---- driver scenario -------------------------------------------------
