@@ -48,6 +48,20 @@ object Bench {
     // drawn at 32 (sf0.1 totals barely move; sf5 queries read 2–8×
     // slower). Canonical comparability REQUIRES the same parallelism.
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // A canonical draw must ASSERT its regime, not trust the caller
+    // (VERDICT r17 wrong #1 follow-through): the r17 "108.0 s
+    // canonical" entered the git record as a silent local[4] draw
+    // against records at 32. Refuse to publish bench.json from any
+    // other parallelism unless the override flag states the intent;
+    // the effective cpus is stamped into every published JSON line
+    // (headline, detail file, and history) so a wrong-regime draw can
+    // never again be invisible in the record.
+    if (canonical && cpus != "32" && !args.contains("--any-cpus")) {
+      System.err.println(s"[bench] REFUSING --canonical at cpus=$cpus: " +
+        "canonical records are drawn at SPARK_GRAFT_CPUS=32 " +
+        "(pass --any-cpus to draw a deliberately different regime)")
+      sys.exit(2)
+    }
     val spark = Sessions.local(cpus, "graft-bench")
     // Untimed warm-up: JIT, codegen compiler, and parquet reader init
     // otherwise land on whichever query happens to run first (~5s
@@ -112,6 +126,9 @@ object Bench {
     // because the contention arrives in multi-minute bursts — one
     // probe at t=0 said nothing about iteration 3.
     val parThreads = cpus.toIntOption.getOrElse(4)
+    // Stamped into every published line; non-numeric SPARK_GRAFT_CPUS
+    // (Spark would reject it anyway) must not yield invalid JSON.
+    val cpusJson = cpus.toIntOption.getOrElse(-1)
     // Fixed, reproducible order — name-sorted compute queries first,
     // the I/O block last — so round-over-round totals compare the same
     // schedule (hash-map iteration order reshuffles on every added
@@ -157,14 +174,14 @@ object Bench {
       val head =
         if (warmupFailed.isEmpty && fl.isEmpty) s""""value":${fmt(tot, 3)}"""
         else s""""value":null,"value_degraded":${fmt(tot, 3)}"""
-      s"""{"metric":"total",$head,"unit":"sec","calib_sec":${fmt(cSec, 3)
+      s"""{"metric":"total",$head,"unit":"sec","cpus":$cpusJson,"calib_sec":${fmt(cSec, 3)
       },"calib_par_sec":${fmt(cPar, 3)
       },"total_over_calib":${fmt(tot / cSec, 1)
       },"total_over_calib_par":${fmt(tot / cPar, 1)},"queries":${
         res.map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")
       },"failed":$flJson$warmupJson$extra,"sf":"$sfDir"}"""
     }
-    val out = args.filterNot(_ == "--canonical").headOption
+    val out = args.filterNot(_.startsWith("--")).headOption
       .orElse(sys.env.get("SPARK_GRAFT_BENCH_OUT"))
       .getOrElse(if (canonical) "bench.json" else "bench_last.json")
     // History-eligible outputs: the canonical files the repo commits —
@@ -294,7 +311,7 @@ object Bench {
     // map is in bench.json (committed to the repo root).
     val top = results.sortBy(-_._2).take(25)
     val omitted = results.size - top.size
-    println(s"""{"metric":"total",${headline(3)},"unit":"sec","calib_sec":${
+    println(s"""{"metric":"total",${headline(3)},"unit":"sec","cpus":$cpusJson,"calib_sec":${
       fmt(calibSec, 3)},"calib_par_sec":${fmt(calibParSec, 3)
     },"total_over_calib":${fmt(total / calibSec, 1)
     },"total_over_calib_par":${fmt(total / calibParSec, 1)

@@ -60,8 +60,21 @@ import org.apache.spark.sql.functions._
   */
 object FaultInject {
 
+  /** Scenario names `main` accepts. Validated UP FRONT (ADVICE r17): a
+    * mistyped scenario used to match no branch, leaving `ok` empty and
+    * exiting 0 — a false PASS from a fault-injection gate. */
+  private val KnownScenarios = Set(
+    "all", "batch", "stream", "publish", "jdbc", "driver", "chaos",
+    "child-stream")
+
   def main(args: Array[String]): Unit = {
     val scenario = args.headOption.getOrElse("all")
+    if (!KnownScenarios(scenario)) {
+      System.err.println(
+        s"[faultinject] unknown scenario '$scenario' — usage: " +
+          s"FaultInject [${KnownScenarios.toSeq.sorted.mkString("|")}] [sfDir]")
+      sys.exit(2)
+    }
     if (scenario == "child-stream") { childStream(args.drop(1)); return }
     val sfDir =
       if (args.length > 1) args(1)
@@ -105,7 +118,9 @@ object FaultInject {
     println(s"[faultinject] VERDICT: " + ok.map { case (n, v) =>
       s"$n=${if (v) "PASS" else "FAIL"}" }.mkString(" "))
     spark.stop()
-    if (ok.exists(!_._2)) sys.exit(1)
+    // An empty scenario list exiting 0 would be the silent false PASS
+    // the up-front name validation exists to prevent — belt+braces.
+    if (ok.isEmpty || ok.exists(!_._2)) sys.exit(1)
   }
 
   // ---- process plumbing ------------------------------------------------

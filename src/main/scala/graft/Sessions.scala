@@ -46,9 +46,16 @@ object Sessions {
     // SPARK_HOME rather than a hard-coded install path.
     val sparkJars = new java.io.File(
       sys.env.getOrElse("SPARK_HOME", "/opt/spark"), "jars").getPath
+    // Exclusion test is "the jars dir itself or a path INSIDE it" — a
+    // bare startsWith(sparkJars) would also silently drop a sibling
+    // like /opt/spark/jars-extra from the executor classpath (ADVICE
+    // r17), which is exactly the kind of quiet classpath divergence
+    // the multi-JVM mode exists to flush out.
+    val sparkJarsPrefix = sparkJars + java.io.File.separator
     val cpDirs = System.getProperty("java.class.path")
       .split(java.io.File.pathSeparator)
-      .filter(p => p.nonEmpty && !p.startsWith(sparkJars)
+      .filter(p => p.nonEmpty && p != sparkJars
+        && !p.startsWith(sparkJarsPrefix)
         && new java.io.File(p).exists())
     // Null when this class loads from a code-source-less classloader
     // (bootclasspath, some shaded launchers) — java.class.path above

@@ -539,18 +539,17 @@ object RefOps {
       val props = new java.util.Properties()
       props.setProperty("driver", "org.apache.derby.jdbc.EmbeddedDriver")
       try {
-        try {
-          graft.engine.JdbcExtract.incremental(
-            s, snap.day1Url, "CUST_LIVE", "ID", 4, root, props)
-          graft.engine.JdbcExtract.incremental(
-            s, snap.day2Url, "CUST_LIVE", "ID", 4, root, props)
-        } finally {
-          // Release whatever THIS JVM booted (local-mode tasks boot
-          // the jar dbs in-process); executor-JVM boots are read-only
-          // and bounded per run.
-          JdbcHarness.shutdown(snap.day1Db)
-          JdbcHarness.shutdown(snap.day2Db)
-        }
+        // The jar dbs stay BOOTED for the process lifetime (the
+        // harness's shutdown hook releases them with the tree): a
+        // per-call shutdown here raced concurrent executions of this
+        // query in one JVM — the first call's finally shut the
+        // process-CACHED db down underneath the second call's
+        // in-flight ranged extract (ADVICE r17). Boots are read-only
+        // and bounded: two jar dbs per fixture, once per JVM.
+        graft.engine.JdbcExtract.incremental(
+          s, snap.day1Url, "CUST_LIVE", "ID", 4, root, props)
+        graft.engine.JdbcExtract.incremental(
+          s, snap.day2Url, "CUST_LIVE", "ID", 4, root, props)
         val out = graft.engine.JdbcExtract.readIncremental(s, root)
           .groupBy((col("ID") % 10).as("key_mod"))
           .agg(count(lit(1)).as("n"),
@@ -625,6 +624,12 @@ private[queries] object JdbcHarness {
       hookInstalled = true
       Runtime.getRuntime.addShutdownHook(new Thread(() =>
         cache.values().forEach { snap =>
+          // Release the jar dbs THIS JVM booted before deleting their
+          // backing files — shutdown lives here, at harness teardown,
+          // not per query call (ADVICE r17: a per-call shutdown shut
+          // the shared cached db under a concurrent call's extract).
+          shutdown(snap.day1Db)
+          shutdown(snap.day2Db)
           deleteTree(java.nio.file.Paths.get(snap.base))
         }))
     }
