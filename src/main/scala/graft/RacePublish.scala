@@ -1,26 +1,36 @@
 package graft
 
-/** Child-process half of the cross-process atomic-publish proof
-  * (VERDICT r16 missing #3): SnapshotSpec races publishAtomic across
+/** Child-process half of the cross-process atomic-publish proofs
+  * (VERDICT r16 missing #3; extended r18 for the rename-free pointer
+  * commit): SnapshotSpec/PointerPublishSpec race publishers across
   * THREADS in one JVM, but the 100 TB shape is two separate DRIVERS —
-  * different processes, no shared locks, only the filesystem's rename
-  * semantics between them. CrossProcessPublishSpec forks two of these
-  * JVMs against the same generation path; this main stages its
-  * payload, waits at a file barrier so both processes hit the
-  * create-if-absent commit rename together, publishes, and reports the
-  * outcome in its exit code:
+  * different processes, no shared locks, only the filesystem's commit
+  * primitive between them. CrossProcessPublishSpec forks two of these
+  * JVMs against the same generation; this main stages its payload,
+  * waits at a file barrier so both processes hit the commit together,
+  * publishes, and reports the outcome in its exit code:
   *
-  *   0  — this process WON the rename (its rows are the generation)
+  *   0  — this process WON the commit (its rows are the generation)
   *   42 — lost the race: [[graft.engine.Snapshot.SnapshotExistsException]]
   *        with the winner's generation intact
   *
   * Any other exit (nonzero JVM failure, exception) fails the spec.
   *
-  * Usage: RacePublish <dest> <tag> <readyFile> <goFile>
+  * Usage:
+  *   RacePublish classic <tag> <readyFile> <goFile> <dest>
+  *     — rename-commit [[graft.engine.Snapshot.publishAtomic]]
+  *   RacePublish pointer <tag> <readyFile> <goFile> <root> <gen>
+  *     — pointer-commit [[graft.engine.Snapshot.publishPointer]]
+  *
+  * A destination under the test-only `objstore://` scheme (the
+  * copy-rename object-store double) is supported when the forked
+  * classpath carries the test classes: the scheme is registered by
+  * class NAME so this main keeps no compile-time dependency on them.
   */
 object RacePublish {
   def main(args: Array[String]): Unit = {
-    val Array(dest, tag, readyFile, goFile) = args.take(4)
+    val Array(mode, tag, readyFile, goFile) = args.take(4)
+    val rest = args.drop(4)
     // Deliberately NOT Sessions.local: the parent spec may run under
     // SPARK_GRAFT_MASTER=local-cluster, and the racers must stay
     // lightweight single-JVM drivers — the race under test is between
@@ -32,6 +42,12 @@ object RacePublish {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    if (rest.head.startsWith("objstore:")) {
+      val conf = spark.sparkContext.hadoopConfiguration
+      conf.set("fs.objstore.impl", "graft.ObjectStoreFileSystem")
+      conf.set("fs.AbstractFileSystem.objstore.impl",
+        "graft.ObjectStoreAbstractFs")
+    }
     val df = spark.range(0, 500).selectExpr(
       "id", s"'$tag' AS publisher")
     val code =
@@ -41,8 +57,17 @@ object RacePublish {
         java.nio.file.Files.createFile(java.nio.file.Paths.get(readyFile))
         while (!java.nio.file.Files.exists(
             java.nio.file.Paths.get(goFile))) Thread.sleep(5L)
-        graft.engine.Snapshot.publishAtomic(spark, df, dest)
-        println(s"[racepublish] $tag WON $dest")
+        mode match {
+          case "classic" =>
+            graft.engine.Snapshot.publishAtomic(spark, df, rest.head)
+          case "pointer" =>
+            graft.engine.Snapshot.publishPointer(
+              spark, df, rest.head, rest(1))
+          case other =>
+            System.err.println(s"[racepublish] unknown mode '$other'")
+            sys.exit(3)
+        }
+        println(s"[racepublish] $tag WON ${rest.mkString("/")}")
         0
       } catch {
         case e: graft.engine.Snapshot.SnapshotExistsException =>
