@@ -92,6 +92,23 @@ object FaultInject {
       else sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = Sessions.local(
       sys.env.getOrElse("SPARK_GRAFT_CPUS", "16"), "graft-faultinject")
+    // A RELIABLE checkpoint dir, the configuration any real cluster
+    // job runs with (PipelineOps.cut documents the discipline): the
+    // iterative queries (connected components, pagerank) truncate
+    // lineage per round via checkpoint, and the localCheckpoint
+    // fallback stores blocks ON the executors — which this harness
+    // kills. Found by the first sf1 chaos run: a kill landing inside
+    // q_dedup_components died with CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND
+    // instead of recovering, exactly the failure the reliable mode
+    // exists to prevent. Root-resolved so SPARK_GRAFT_FAULT_ROOT
+    // covers it too.
+    val ckptRoot = sys.env.get("SPARK_GRAFT_FAULT_ROOT") match {
+      case Some(r) => s"${r.stripSuffix("/")}/_rdd_ckpt_" +
+        java.util.UUID.randomUUID().toString.take(8)
+      case None => java.nio.file.Files
+        .createTempDirectory("graft_fault_rddckpt_").toString
+    }
+    spark.sparkContext.setCheckpointDir(ckptRoot)
     // the executor-kill scenarios need forked executor JVMs; the
     // driver-kill scenario forks its own driver JVMs and runs under
     // any master
@@ -131,6 +148,9 @@ object FaultInject {
       ok += ("chaos:full_set" -> chaosScenario(spark, sfDir))
     println(s"[faultinject] VERDICT: " + ok.map { case (n, v) =>
       s"$n=${if (v) "PASS" else "FAIL"}" }.mkString(" "))
+    val ckptPath = new org.apache.hadoop.fs.Path(ckptRoot)
+    ckptPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .delete(ckptPath, true)
     spark.stop()
     // An empty scenario list exiting 0 would be the silent false PASS
     // the up-front name validation exists to prevent — belt+braces.

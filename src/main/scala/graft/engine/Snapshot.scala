@@ -530,7 +530,18 @@ object Snapshot {
     val objsDir = new org.apache.hadoop.fs.Path(s"$root/$ObjectsDir")
     val fs = objsDir.getFileSystem(conf)
     if (!fs.exists(objsDir)) return Nil
-    val referenced = pointerGenerations(spark, root).flatMap { gen =>
+    // EVERY pointer file protects its object — deliberately NOT the
+    // layout-filtered pointerGenerations listing: callers may name
+    // pointers outside the snapshotName layout (the streaming CDC
+    // pipeline commits `gen_<batchId>`), and a GC whose liveness set
+    // is narrower than its delete set deletes live data. Found by
+    // ComposedPipelineSpec's pointer case: gc reclaimed two committed
+    // batch generations because their names didn't match the stamp
+    // pattern.
+    val ptrsDir = new org.apache.hadoop.fs.Path(s"$root/$PointersDir")
+    val referenced = (if (!fs.exists(ptrsDir)) Seq.empty[String]
+      else fs.listStatus(ptrsDir).toSeq.filter(_.isFile)
+        .map(_.getPath.getName)).flatMap { gen =>
       val ptr = pointerPath(root, gen)
       val in = fs.open(ptr)
       val bytes =

@@ -77,6 +77,60 @@ object ComposedPipeline {
     generationIds(s, root).lastOption.map(id =>
       s.read.parquet(s"$root/gen_$id"))
 
+  /** Published generation ids under a POINTER-MODE root (r18 — the
+    * rename-free commit, [[graft.engine.Snapshot.publishPointer]]):
+    * the processed-markers are the pointer FILES under
+    * `root/_pointers`, not generation dirs — visibility is pointer
+    * existence, so a crashed publisher's staged object is never read
+    * as a processed batch. */
+  def pointerGenerationIds(s: SparkSession, root: String): Seq[Long] = {
+    val dir = new org.apache.hadoop.fs.Path(
+      s"$root/${graft.engine.Snapshot.PointersDir}")
+    val fs = dir.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (!fs.exists(dir)) Seq.empty
+    else fs.listStatus(dir).toSeq.filter(_.isFile)
+      .map(_.getPath.getName).collect { case GenRe(id) => id.toLong }
+      .sorted
+  }
+
+  /** Latest pointer-committed snapshot under `root`, if any. */
+  def latestSnapshotPointer(
+      s: SparkSession, root: String): Option[DataFrame] =
+    pointerGenerationIds(s, root).lastOption.map(id =>
+      graft.engine.Snapshot.readPointer(s, root, s"gen_$id"))
+
+  /** [[applyGeneration]]'s RENAME-FREE twin (r18): identical merge +
+    * idempotency discipline, committed by create-if-absent of a
+    * pointer file instead of a rename — the commit that stays atomic
+    * on S3-class stores where rename is a non-atomic copy (the
+    * reference's actual sink). A re-executed batch skips on the
+    * pointer's existence; a racing retry loses the pointer create and
+    * self-cleans its staged object. The streaming CDC pipeline runs
+    * end-to-end on a store with NO atomic rename anywhere in its
+    * commit path (ComposedPipelineSpec proves it on the objstore
+    * copy-rename double). */
+  def applyGenerationPointer(
+      s: SparkSession, root: String, sessions: DataFrame,
+      batchId: Long): Boolean = {
+    if (sessions.isEmpty) return false
+    if (pointerGenerationIds(s, root).contains(batchId))
+      return false // retry of a done batch
+    val changes = sessions.withColumn("op", lit("U"))
+    val merged = latestSnapshotPointer(s, root) match {
+      case Some(prev) => graft.engine.Snapshot.applyChangelog(
+        prev, changes, Seq("user_id", "session_seq"), "op")
+      case None => changes.drop("op")
+    }
+    try {
+      graft.engine.Snapshot.publishPointer(
+        s, merged, root, s"gen_$batchId", publisherStamp)
+      true
+    } catch {
+      // racing retry of the same batch: first attempt's pointer won
+      case _: graft.engine.Snapshot.SnapshotExistsException => false
+    }
+  }
+
   /** Name of the publisher-identity stamp each generation carries (an
     * `extras` file riding [[graft.engine.Snapshot.publishAtomic]]'s
     * atomic commit, so it is visible iff the generation is). In a
@@ -241,6 +295,12 @@ object ComposedPipeline {
     *   zombie-fencing proof's stall point (a network-partitioned
     *   driver frozen mid-batch while a supervisor starts its
     *   replacement; FaultInject `zombie`).
+    * @param pointerCommit when true, generations commit via the
+    *   rename-free pointer protocol ([[applyGenerationPointer]]) —
+    *   the object-store-safe shape; read the result back with
+    *   [[latestSnapshotPointer]]. Mutually exclusive with
+    *   `bucketServe` (a bucketed serving layout is a catalog-attached
+    *   directory contract, not an object commit).
     * @return telemetry incl. whether the injected crash fired. */
   def run(
       s: SparkSession, feedDir: String, snapRoot: String, ckptDir: String,
@@ -249,7 +309,10 @@ object ComposedPipeline {
       crashBeforeApply: Option[Long] = None,
       tailWhile: Option[() => Boolean] = None,
       bucketServe: Option[Int] = None,
-      holdBeforeApply: Option[Long => Unit] = None): RunStats = {
+      holdBeforeApply: Option[Long => Unit] = None,
+      pointerCommit: Boolean = false): RunStats = {
+    require(!(pointerCommit && bucketServe.nonEmpty),
+      "pointerCommit and bucketServe are mutually exclusive")
     import s.implicits._
     // transformWithState requires the RocksDB provider (state-v2
     // runtime); set it for the run and restore the caller's choice.
@@ -324,6 +387,8 @@ object ComposedPipeline {
           if (n > 0) {
             val published = bucketServe match {
               case Some(b) => applyGenerationBucketed(s, snapRoot, batch, id, b)
+              case None if pointerCommit =>
+                applyGenerationPointer(s, snapRoot, batch, id)
               case None => applyGeneration(s, snapRoot, batch, id)
             }
             if (published) applied += 1 else skipped += 1
@@ -381,7 +446,9 @@ object ComposedPipeline {
         .map(j => FeedSource.parseOffsets(j).values.sum))
       .maxOption.getOrElse(0L)
     RunStats(progress.size, peakRows, peakBytes, emitted,
-      generationIds(s, snapRoot).size, skipped, logEnd - processed,
+      (if (pointerCommit) pointerGenerationIds(s, snapRoot)
+       else generationIds(s, snapRoot)).size,
+      skipped, logEnd - processed,
       (System.nanoTime() - t0) / 1e9, crashed)
     } finally {
       s.streams.removeListener(listener)

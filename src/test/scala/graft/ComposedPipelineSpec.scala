@@ -165,4 +165,83 @@ class ComposedPipelineSpec extends SparkSpec {
     org.apache.commons.io.FileUtils.deleteDirectory(
       new java.io.File(work))
   }
+
+  test("pointer-commit CDC on a copy-rename object store: crash in the " +
+      "at-least-once window, restart skips on the pointer, parity with " +
+      "the rename-mode run") {
+    // The rename-free publish (r18) composed with the streaming
+    // pipeline: generations commit by create-if-absent POINTER files
+    // (Snapshot.publishPointer), and the whole run executes against
+    // the objstore:// double — a store whose rename is a real
+    // copy+delete, i.e. S3 semantics. Nothing in the sink's commit
+    // path renames, so exactly-once holds where publishAtomic's
+    // rename protocol demonstrably corrupts (PointerPublishSpec's
+    // motivating failures). Checkpoint stays on the local FS — the
+    // production shape is exactly that split: HDFS-grade checkpoint,
+    // object-store data sink.
+    ObjectStoreFileSystem.install(spark.sparkContext.hadoopConfiguration)
+    val work = java.nio.file.Files
+      .createTempDirectory("graft_ptrpipe_").toString
+    val feedDir = s"$work/feed"
+    seedFeed(feedDir)
+    val cap = 250L
+    val snapCrash = s"objstore://$work/snap_crash"
+    val snapClean = s"objstore://$work/snap_clean"
+
+    // crash leg: fail after batch 3's generation pointer committed
+    val s1 = ComposedPipeline.run(spark, feedDir, snapCrash,
+      s"$work/ckpt_crash", cap, crashAfterBatch = Some(3L),
+      pointerCommit = true)
+    assert(s1.crashed, "the injected crash must fire")
+    val gensAtCrash = ComposedPipeline.pointerGenerationIds(spark, snapCrash)
+    val s2 = ComposedPipeline.run(spark, feedDir, snapCrash,
+      s"$work/ckpt_crash", cap, pointerCommit = true)
+    assert(!s2.crashed && s2.processedLag == 0L,
+      s"restart must drain the feed (lag ${s2.processedLag})")
+    if (gensAtCrash.contains(3L))
+      assert(s2.skippedReapplies >= 1,
+        "the re-executed batch must skip on its pointer, not double-apply")
+
+    // clean pointer-mode leg on the same store
+    val sc = ComposedPipeline.run(spark, feedDir, snapClean,
+      s"$work/ckpt_clean", cap, pointerCommit = true)
+    assert(!sc.crashed && sc.processedLag == 0L)
+    // and a RENAME-mode clean leg on the local FS — cross-protocol
+    // parity: same feed, same sessions, either commit protocol
+    val sr = ComposedPipeline.run(spark, feedDir, s"$work/snap_rename",
+      s"$work/ckpt_rename", cap)
+    assert(!sr.crashed && sr.processedLag == 0L)
+
+    val crashFinal =
+      ComposedPipeline.latestSnapshotPointer(spark, snapCrash).get
+    val cleanFinal =
+      ComposedPipeline.latestSnapshotPointer(spark, snapClean).get
+    val renameFinal =
+      ComposedPipeline.latestSnapshot(spark, s"$work/snap_rename").get
+    assert(crashFinal.groupBy("user_id", "session_seq").count()
+      .where(col("count") > 1).isEmpty,
+      "a session row was applied more than once across the crash")
+    for ((other, tag) <- Seq((cleanFinal, "clean pointer"),
+        (renameFinal, "rename-mode"))) {
+      assert(crashFinal.count() == other.count() &&
+        crashFinal.exceptAll(other).isEmpty &&
+        other.exceptAll(crashFinal).isEmpty,
+        s"pointer crash/restart snapshot must equal the $tag run's")
+    }
+    // structure: visibility is ONLY pointers + objects — no generation
+    // dir ever appears at the root, so no reader can resolve one
+    val fs = new org.apache.hadoop.fs.Path(snapCrash)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val rootChildren = fs.listStatus(
+      new org.apache.hadoop.fs.Path(snapCrash)).map(_.getPath.getName).toSet
+    assert(rootChildren == Set(graft.engine.Snapshot.PointersDir,
+      graft.engine.Snapshot.ObjectsDir),
+      s"pointer root must hold only _pointers/_objects, got $rootChildren")
+    // the post-commit crash leaves no orphan: every staged object is
+    // referenced by the pointer that committed it
+    assert(graft.engine.Snapshot.gcOrphanObjects(spark, snapCrash, 0L).isEmpty,
+      "a post-commit crash must leave no unreferenced object dirs")
+    org.apache.commons.io.FileUtils.deleteDirectory(
+      new java.io.File(work))
+  }
 }
