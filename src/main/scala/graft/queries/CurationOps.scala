@@ -160,9 +160,9 @@ object CurationOps {
         / count(*), 6) AS pct_blocked
     FROM b GROUP BY source ORDER BY source"""))
 
-  private val FeatBuckets = 65536L
-  private val WeightPrime = 1000003L
-  private val WeightMix = 2654435761L // Knuth multiplicative constant
+  private val FeatBuckets = graft.functions.TokenWeightSum.FeatBuckets
+  private val WeightPrime = graft.functions.TokenWeightSum.WeightPrime
+  private val WeightMix = graft.functions.TokenWeightSum.WeightMix
 
   /** EXT: hashed-feature linear quality classifier — the fastText-style
     * scorer behind CCNet / RefinedWeb / FineWeb-Edu quality filtering,
@@ -175,25 +175,27 @@ object CurationOps {
     * must scale.
     *
     * Plan: entirely narrow per-row expressions (no shuffle at all
-    * before the final sort): the per-token loop rides the native
-    * `rolling_hash` kernel inside a `transform`, and the fold orders
-    * are fixed left-to-right in both engines so the double sum is
-    * bit-identical (q_fn_array discipline). All integer steps stay
+    * before the final sort). The per-document loop is the native
+    * one-pass `token_weight_sum` kernel ([[graft.functions.
+    * TokenWeightSum]]) over Spark's own `lower()`: r18 replaced the
+    * original `aggregate(transform(filter(split(…))))` composition
+    * after BenchOne showed the HOF lambda's interpreted per-token
+    * eval (boxed doubles + per-token String decode + two materialized
+    * arrays per doc) at 8.5 s steady-state / 32 s in-schedule at sf20
+    * vs ~1 s for the kernel — same bit-exact fold, pinned against the
+    * retained HOF form in CurationSpec. All integer steps stay
     * under 2^53 (65535 · WeightMix ≈ 1.7e14). `prob` (the only libm
     * value, one exp) is rounded to 6dp — the C99/PSI discipline;
     * `score` itself is exact-fold arithmetic and ships unrounded. */
   val textQualityClassifier: Q = Q(
     "q_text_quality_classifier",
     (s, d) => {
-      val toks = filter(split(lower(col("text")), " "), t => t =!= "")
-      val weights = transform(toks, t =>
-        (graft.functions.RollingHash(s, t) % FeatBuckets * WeightMix
-          % WeightPrime).cast("double") / lit(WeightPrime.toDouble)
-          - lit(0.5))
+      val tw = graft.functions.TokenWeightSum(s, lower(col("text")))
       val e = Tables.documents(s, d)
+        .select(col("doc_id"), tw.as("tw"))
         .select(col("doc_id"),
-          size(toks).cast("long").as("n_tokens"),
-          aggregate(weights, lit(0.0), (a, v) => a + v).as("wsum"))
+          col("tw.n_tokens").as("n_tokens"),
+          col("tw.wsum").as("wsum"))
         .withColumn("score",
           when(col("n_tokens") === 0, lit(0.0))
             .otherwise(col("wsum") / col("n_tokens")))

@@ -105,6 +105,63 @@ class CurationSpec extends SparkSpec {
     df.unpersist()
   }
 
+  test("quality classifier: native kernel is bit-identical to the HOF form") {
+    // The r18 kernel swap (functions.TokenWeightSum) must preserve the
+    // original composed-HOF semantics EXACTLY — same token boundaries,
+    // same per-token hash, same left-to-right IEEE sum — or the DuckDB
+    // oracle's hash check breaks. Edge cases the fixture may not cover:
+    // empty text, all-spaces, consecutive/leading/trailing spaces,
+    // uppercase (the kernel takes Spark's own lower()), non-ASCII incl.
+    // an astral-plane code point (𝄞 — charCount 2), and a long doc.
+    val docs = (Seq(
+      "", " ", "   ", "a", " a", "a ", "a  b", "  a  b  c ",
+      "The QUICK Brown FOX", "é À ß Ü ñ 𝄞clef 𝄞 x",
+      "single-token-no-spaces", "1 22 333 4444 55555"
+    ) ++ Seq.tabulate(5)(i =>
+      Seq.tabulate(200)(j => s"tok${i}_$j").mkString(" ")))
+      .zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val lt = lower(col("text"))
+    val toks = filter(split(lt, " "), t => t =!= "")
+    val weights = transform(toks, t =>
+      (graft.functions.RollingHash(spark, t)
+        % graft.functions.TokenWeightSum.FeatBuckets
+        * graft.functions.TokenWeightSum.WeightMix
+        % graft.functions.TokenWeightSum.WeightPrime).cast("double")
+        / lit(graft.functions.TokenWeightSum.WeightPrime.toDouble)
+        - lit(0.5))
+    val hof = docs.select(col("doc_id"),
+      size(toks).cast("long").as("n_tokens"),
+      aggregate(weights, lit(0.0), (a, v) => a + v).as("wsum"))
+    val tw = graft.functions.TokenWeightSum(spark, lt)
+    val native = docs.select(col("doc_id"), tw.as("tw"))
+      .select(col("doc_id"), col("tw.n_tokens").as("n_tokens"),
+        col("tw.wsum").as("wsum"))
+    val a = hof.orderBy("doc_id").collect().toSeq
+    val b = native.orderBy("doc_id").collect().toSeq
+    assert(a == b) // Row equality on double is bitwise via ==
+    // and over the real fixture corpus, end to end
+    val ltd = lower(col("text"))
+    val fixtureHof = graft.engine.Tables.documents(spark, sf)
+      .select(col("doc_id"),
+        size(filter(split(ltd, " "), t => t =!= "")).cast("long")
+          .as("n_tokens"),
+        aggregate(transform(filter(split(ltd, " "), t => t =!= ""), t =>
+          (graft.functions.RollingHash(spark, t)
+            % graft.functions.TokenWeightSum.FeatBuckets
+            * graft.functions.TokenWeightSum.WeightMix
+            % graft.functions.TokenWeightSum.WeightPrime).cast("double")
+            / lit(graft.functions.TokenWeightSum.WeightPrime.toDouble)
+            - lit(0.5)), lit(0.0), (acc, v) => acc + v).as("wsum"))
+    val fixtureNative = graft.engine.Tables.documents(spark, sf)
+      .select(col("doc_id"),
+        graft.functions.TokenWeightSum(spark, ltd).as("tw"))
+      .select(col("doc_id"), col("tw.n_tokens").as("n_tokens"),
+        col("tw.wsum").as("wsum"))
+    assert(fixtureHof.orderBy("doc_id").collect().toSeq ==
+      fixtureNative.orderBy("doc_id").collect().toSeq)
+  }
+
   test("quality classifier: deterministic across partitionings") {
     val a = q("q_text_quality_classifier").collect().toSeq
     val b = Registry.byName("q_text_quality_classifier")
