@@ -774,7 +774,12 @@ object Relational {
           .groupBy(to_date(col("ts")).as("day"))
           .agg(Det.dsum(col("value"), 2).as("day_value"))
           .withColumn("rn", row_number().over(
-            Window.orderBy(col("day_value").desc, col("day")))))
+            // constant-valued partition key (non-foldable, so it
+            // survives the optimizer): the aggregate is ≤ |days|
+            // rows, single-partition ranking is deliberate — see the
+            // q_search_hybrid note on silencing WindowExec's warning
+            Window.partitionBy(dayofmonth(col("day")) % 1)
+              .orderBy(col("day_value").desc, col("day")))))
       val hot = stats.filter(col("rn") <= 8).select("day")
       // ≤ |days| rows — broadcast so the join is BHJ and DPP reuses
       // its broadcast for the runtime prune
