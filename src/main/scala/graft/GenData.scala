@@ -224,6 +224,22 @@ object GenData {
     df.repartition(files).write.mode("overwrite")
       .parquet(s"$dir/$name.parquet")
 
+  /** File count for a scaled table: the base count at sf≤1, grown
+    * with `scale` above it (halved so sf5 lands at ~2.5× base, capped
+    * at 256). Scaling the LAYOUT with the data matters as much as
+    * scaling the rows: a real 100 TB table is tens of thousands of
+    * objects, never 8 — and parquet parallelism is row-group-gated,
+    * so a fixed-8-file fixture written with default 128 MB row groups
+    * caps every scan of that table at 8 concurrent tasks no matter
+    * the cluster. The r18 sf20 forensics measured exactly that: 8
+    * RUNNABLE workers, 25 parked, on a 32-thread box (SCALE.md "the
+    * fixture's 8 files"), i.e. the old fixed counts silently
+    * benchmarked a 4×-starved engine at the top of the ladder. The
+    * sf≤1 base is kept so historical sf0.1/sf1 records stay drawn on
+    * the layout they always used. */
+  private def scaledFiles(base: Int, scale: Double): Int =
+    math.min(256, math.max(base, math.ceil(base * scale / 2.0).toInt))
+
   def main(args: Array[String]): Unit = {
     val outDir = args.headOption.getOrElse("testdata-sf1")
     val scale = if (args.length > 1) args(1).toDouble else 1.0
@@ -233,18 +249,19 @@ object GenData {
     val nCust = n(150000)
     val nSupp = n(10000)
     val nPart = n(200000)
+    def f(base: Int) = scaledFiles(base, scale)
     write(region(spark), outDir, "region", 1)
     write(nation(spark), outDir, "nation", 1)
-    write(customer(spark, nCust), outDir, "customer", 4)
+    write(customer(spark, nCust), outDir, "customer", f(4))
     write(supplier(spark, nSupp), outDir, "supplier", 1)
-    write(part(spark, nPart), outDir, "part", 4)
+    write(part(spark, nPart), outDir, "part", f(4))
     val o = orders(spark, n(1500000), nCust)
-    write(o, outDir, "orders", 8)
+    write(o, outDir, "orders", f(8))
     write(lineitem(spark, spark.read.parquet(s"$outDir/orders.parquet"),
-      nPart, nSupp), outDir, "lineitem", 16)
-    write(events(spark, n(1000000), n(15000)), outDir, "events", 8)
-    write(documents(spark, n(50000)), outDir, "documents", 8)
-    write(embeddings(spark, n(20000)), outDir, "embeddings", 4)
+      nPart, nSupp), outDir, "lineitem", f(16))
+    write(events(spark, n(1000000), n(15000)), outDir, "events", f(8))
+    write(documents(spark, n(50000)), outDir, "documents", f(8))
+    write(embeddings(spark, n(20000)), outDir, "embeddings", f(4))
     println(s"[gendata] wrote scale=$scale fixture to $outDir")
     spark.stop()
   }
