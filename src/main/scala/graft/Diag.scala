@@ -48,9 +48,11 @@ object Diag {
       case "fuzzy" => fuzzy(rest)
       case "incr" => incr(rest)
       case "skew" => skew(rest)
+      case "qprofile" => qprofile(rest)
       case other => sys.error(
         s"unknown Diag mode '$other' — one of: ngram semantic " +
-          "ngramstages textscan compact fuzzy incr skew (see scaladoc)")
+          "ngramstages textscan compact fuzzy incr skew qprofile " +
+          "(see scaladoc)")
     }
   }
 
@@ -602,6 +604,93 @@ object Diag {
     println(f"[diagskew] SUMMARY sf=$sfDir hotPct=$hotPct " +
       f"off=$tOff%.2f aqe=$tAqe%.2f (skewFired=$skewFired) " +
       f"salt=$tSalt%.2f calib=$calib%.3f")
+    spark.stop()
+  }
+
+  /** Per-stage time attribution for ONE declared query (r18, the
+    * optimization round's microscope): runs `<name>` `iters` times
+    * (default 2 — iter1 is cold, read iter2+) with a SparkListener
+    * accumulating per-stage wall span, summed executor run time, task
+    * count and shuffle bytes, then prints the iteration's stages
+    * sorted by wall span. Stage names carry the callsite so a hot
+    * stage maps straight to the operator that spawned it.
+    *
+    *   runMain graft.Diag qprofile <name> [sfDir] [iters]
+    */
+  private def qprofile(args: Array[String]): Unit = {
+    val name = args(0)
+    val sfDir = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
+    val iters =
+      if (args.length > 2 && args(2) != "nodes") args(2).toInt else 2
+    // `nodes`: after the timed iterations, execute the query once via
+    // collect() (so the DataFrame's OWN QueryExecution runs — the noop
+    // write executes a separate one) and print every physical node's
+    // SQLMetrics: numOutputRows plus any time metrics. This is the
+    // operator-level view the stage listener can't give.
+    val nodes = args.contains("nodes")
+    val spark = Sessions.local(
+      sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"), "graft-qprofile")
+    spark.sparkContext.setLogLevel("ERROR")
+    case class St(name: String, submitted: Long, completed: Long,
+      runMs: Long, tasks: Int, shufR: Long, shufW: Long, input: Long)
+    val stages = scala.collection.concurrent.TrieMap.empty[Int, St]
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onStageCompleted(
+          e: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+        val i = e.stageInfo
+        val m = i.taskMetrics
+        stages(i.stageId) = St(
+          i.name.takeWhile(_ != '\n'),
+          i.submissionTime.getOrElse(0L), i.completionTime.getOrElse(0L),
+          m.executorRunTime, i.numTasks,
+          m.shuffleReadMetrics.remoteBytesRead
+            + m.shuffleReadMetrics.localBytesRead,
+          m.shuffleWriteMetrics.bytesWritten, m.inputMetrics.bytesRead)
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    (1 to iters).foreach { i =>
+      stages.clear()
+      val t0 = System.nanoTime()
+      Bench.materialize(SparkEntry.queries(name)(spark, sfDir))
+      val wall = (System.nanoTime() - t0) / 1e9
+      // Let the async listener bus drain before reading the map.
+      Thread.sleep(300)
+      val total = stages.values.toSeq
+      println(f"[qprofile] $name iter$i wall $wall%.2f s, ${total.size} " +
+        f"stages, ${total.map(_.tasks).sum} tasks, " +
+        f"stage-span sum ${total.map(s => s.completed - s.submitted).sum / 1e3}%.2f s, " +
+        f"exec-run sum ${total.map(_.runMs).sum / 1e3}%.2f s")
+      total.toSeq.sortBy(s => -(s.completed - s.submitted)).take(14)
+        .foreach { s =>
+          println(f"[qprofile]   span ${(s.completed - s.submitted) / 1e3}%6.3f" +
+            f" run ${s.runMs / 1e3}%7.3f t=${s.tasks}%3d " +
+            f"in=${s.input / 1024}%8dK sr=${s.shufR / 1024}%6dK " +
+            f"sw=${s.shufW / 1024}%6dK  ${s.name.take(90)}")
+        }
+    }
+    if (nodes) {
+      val df = SparkEntry.queries(name)(spark, sfDir)
+      df.collect()
+      def walk(p: org.apache.spark.sql.execution.SparkPlan,
+          depth: Int): Unit = {
+        val ms = p.metrics.map { case (k, m) => s"$k=${m.value}" }
+          .filter(s => s.contains("numOutputRows") || s.contains("time")
+            || s.contains("Time")).take(4).mkString(" ")
+        println(s"[qnodes] ${"  " * depth}${p.nodeName}  $ms")
+        val kids = p match {
+          case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+            Seq(a.executedPlan)
+          case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+            Seq(q.plan)
+          case r: org.apache.spark.sql.execution.ReusedSubqueryExec =>
+            Seq(r.child)
+          case other => other.children
+        }
+        kids.foreach(walk(_, depth + 1))
+      }
+      walk(df.queryExecution.executedPlan, 0)
+    }
     spark.stop()
   }
 }

@@ -74,6 +74,21 @@ object Sessions {
       .master(master)
       .appName(appName)
       .config("spark.sql.shuffle.partitions", cpus)
+      // AQE coalescing floor (r18, guide §2.2/§2.5): the 1m default
+      // assumes post-shuffle WORK ∝ post-shuffle BYTES. Pair-expansion
+      // operators break that by orders of magnitude — a 148 KB
+      // blk-exchange of 15k customer rows feeds a |block|² join that
+      // evaluates 1.5M threshold-levenshteins, and the 1m floor
+      // coalesced it to ONE task: q_dedup_fuzzy_name measured 4.0 s
+      // with 31 cores idle, 1.3 s at a 16k floor (3×). The floor is a
+      // work-granularity bound, not a local tuning: it only changes
+      // exchanges smaller than ~parallelism×16k (≈0.5 MB here — at
+      // production scale every data exchange is orders of magnitude
+      // past BOTH floors, so cluster plans are identical), and the
+      // advisory size still governs real coalescing above it.
+      // Conf-first so operators can override per deployment.
+      .config("spark.sql.adaptive.coalescePartitions.minPartitionSize",
+        sys.env.getOrElse("SPARK_GRAFT_MIN_PARTITION_SIZE", "16k"))
     val s = (if (master.startsWith("local-cluster"))
       clusterConfig(builder0) else builder0)
       // NOT set here: spark.sql.adaptive.coalescePartitions
