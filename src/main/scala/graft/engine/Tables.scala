@@ -41,6 +41,34 @@ object Tables {
   def invalidate(path: String): Unit =
     cache.keySet.removeIf(_._2 == path)
 
+  /** Conditional ingest fan-out (r18, guide §2.5 "input skew"): when a
+    * scan's PLANNED width is far below the session's parallelism — a
+    * single-file, single-row-group table pins every downstream narrow
+    * operator to ONE task no matter how many cores the cluster has —
+    * redistribute by a stable unique key so per-row kernels (gram
+    * hashing, span windows, JSON/variant parsing, decimal folds) run at
+    * session width. The condition is evaluated from the actual file
+    * layout at plan time: a production table scanning hundreds of
+    * splits is returned UNCHANGED, so this is a narrow-ingest repair,
+    * not a blanket exchange. The explicit partition count makes the
+    * hop exempt from AQE coalescing (which would re-serialize it: the
+    * whole point is that bytes here under-represent work).
+    *
+    * Use only on scan-rooted frames: resolving width via `.rdd` on a
+    * frame with exchanges below it would materialize those stages.
+    *
+    * Keys must be present and stable (deterministic under retry —
+    * guide §2.5's round-robin caveat is exactly what keyed hashing
+    * avoids). Threshold conf-overridable per deployment. */
+  def widen(df: DataFrame, keys: org.apache.spark.sql.Column*): DataFrame = {
+    val spark = df.sparkSession
+    val target = spark.sparkContext.defaultParallelism
+    val floor = spark.conf.getOption("spark.graft.scan.widen.minSplits")
+      .flatMap(_.toIntOption).getOrElse(math.max(1, target / 4))
+    if (df.rdd.getNumPartitions < floor) df.repartition(target, keys: _*)
+    else df
+  }
+
   def region(s: SparkSession, d: String): DataFrame = apply(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame = apply(s, d, "nation")
   def customer(s: SparkSession, d: String): DataFrame = apply(s, d, "customer")

@@ -2,6 +2,7 @@ package graft.queries
 
 import graft.Q
 import graft.engine.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
@@ -16,6 +17,18 @@ import org.apache.spark.sql.types.DecimalType
   */
 object Aggregates {
 
+  /** Kernel-heavy lineitem/documents reads with the conditional ingest
+    * fan-out ([[Tables.widen]], r18): the partial-aggregation folds
+    * (decimal sums, sketch updates, percentile buffers, token explode)
+    * are the whole query and run fused above the scan; a narrow
+    * fixture layout would serialize them onto one task. No-op at
+    * production scan widths. */
+  private def liW(s: SparkSession, d: String): DataFrame =
+    Tables.widen(Tables.lineitem(s, d),
+      col("l_orderkey"), col("l_linenumber"))
+  private def docsW(s: SparkSession, d: String): DataFrame =
+    Tables.widen(Tables.documents(s, d), col("doc_id"))
+
   /** B13 flagship: TPC-H Q1-style pricing summary. */
   val aggHashGroup: Q = Q(
     "q_agg_hash_group",
@@ -26,7 +39,12 @@ object Aggregates {
       val price = Det.dec(col("l_extendedprice"), 2)
       val disc1 = Det.dec(lit(1), 4, 8) - Det.dec(col("l_discount"), 4, 8)
       val tax1 = Det.dec(lit(1), 4, 8) + Det.dec(col("l_tax"), 4, 8)
-      l.filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+      // widen: the decimal partial aggregation is the whole query; a
+      // single-split scan runs it on one task (r18 qprofile: 0.86 s
+      // serial fold). No-op at production scan widths.
+      Tables.widen(
+          l.filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp")),
+          col("l_orderkey"), col("l_linenumber"))
         .groupBy(col("l_returnflag"), col("l_linestatus"))
         .agg(
           Det.dsum(col("l_quantity"), 2).as("sum_qty"),
@@ -81,7 +99,7 @@ object Aggregates {
   val aggApproxDistinct: Q = Q(
     "q_agg_approx_distinct",
     (s, d) =>
-      Tables.lineitem(s, d)
+      liW(s, d)
         .groupBy(col("l_returnflag"))
         .agg(
           approx_count_distinct(col("l_partkey"), 0.05).as("approx_parts"),
@@ -102,7 +120,7 @@ object Aggregates {
   val aggHllSketch: Q = Q(
     "q_agg_hll_sketch",
     (s, d) => {
-      val tok = Tables.documents(s, d)
+      val tok = docsW(s, d)
         .select(col("lang"),
           explode(split(lower(col("text")), " ")).as("token"))
         .where(col("token") =!= "")
@@ -360,7 +378,7 @@ object Aggregates {
   val aggPercentile: Q = Q(
     "q_agg_percentile",
     (s, d) =>
-      Tables.lineitem(s, d)
+      liW(s, d)
         .groupBy(col("l_returnflag"))
         .agg(
           round(expr("percentile(l_quantity, 0.25)"), 6).as("p25"),
@@ -388,7 +406,7 @@ object Aggregates {
       val xd = Det.dec(col("l_extendedprice"), 2)
       val yd = Det.dec(col("l_quantity"), 2, 8)
       val nD = col("n").cast("double")
-      Tables.lineitem(s, d)
+      liW(s, d)
         .groupBy(col("l_returnflag"))
         .agg(
           count(lit(1)).as("n"),
@@ -763,7 +781,7 @@ object Aggregates {
     "q_agg_weighted_median",
     (s, d) => {
       import org.apache.spark.sql.expressions.Window
-      val li = Tables.lineitem(s, d).select(col("l_returnflag"),
+      val li = liW(s, d).select(col("l_returnflag"),
         Det.dec(col("l_extendedprice")).as("p"),
         Det.dec(col("l_quantity")).as("w"))
         .withColumn("b", expr("CAST(p AS INT) DIV 64"))
@@ -816,7 +834,7 @@ object Aggregates {
     "q_agg_moments",
     (s, d) => {
       val x = col("x")
-      val agg = Tables.lineitem(s, d)
+      val agg = liW(s, d)
         .select(col("l_returnflag"), col("l_quantity").cast("long").as("x"))
         .groupBy(col("l_returnflag"))
         .agg(count(lit(1)).as("n"), sum(x).as("s1"),

@@ -53,7 +53,11 @@ object CurationOps {
       val starts = when(length(lt) >= SpanWin,
         sequence(lit(1), length(lt) - lit(SpanWin - 1), lit(SpanStride)))
         .otherwise(array().cast("array<int>"))
-      val w = docs
+      // widen: the window explode multiplies each doc into
+      // n_chars/stride span rows — per-row work the single-split scan
+      // would otherwise run serially (r18 qprofile: two 1-task stages
+      // were 70% of the query).
+      val w = Tables.widen(docs, col("doc_id"))
         .select(col("doc_id"), lt.as("lt"), explode(starts).as("i"))
         .select(col("doc_id"),
           col("lt").substr(col("i"), lit(SpanWin)).as("g"))
@@ -191,7 +195,8 @@ object CurationOps {
     "q_text_quality_classifier",
     (s, d) => {
       val tw = graft.functions.TokenWeightSum(s, lower(col("text")))
-      val e = Tables.documents(s, d)
+      // widen (r18): the classifier kernel is the whole query.
+      val e = Tables.widen(Tables.documents(s, d), col("doc_id"))
         .select(col("doc_id"), tw.as("tw"))
         .select(col("doc_id"),
           col("tw.n_tokens").as("n_tokens"),

@@ -19,6 +19,15 @@ import org.apache.spark.sql.functions._
   * no UDAF needed, contra the survey's initial Aggregator plan.
   */
 object DedupOps {
+
+  /** Documents read with the conditional ingest fan-out
+    * ([[Tables.widen]], r18): sketch kernels (MinHash/SimHash/gram
+    * hashing) and URL parsing are heavy per-row work fused directly
+    * above the scan; a narrow fixture layout would serialize them onto
+    * one task. No-op at production scan widths. Projection-only reads
+    * (doc_id/source side tables) stay un-widened. */
+  private def docsW(s: SparkSession, d: String): DataFrame =
+    Tables.widen(Tables.documents(s, d), col("doc_id"))
   private val Perms = 32
   private[graft] val Bands = 8
   private[graft] val RowsPerBand = 4
@@ -48,7 +57,7 @@ object DedupOps {
     * consumer shape — see GramSketch's scaladoc). n_shingles counts
     * DISTINCT shingles, mirroring the expression form. */
   private def signatures(s: SparkSession, d: String): DataFrame =
-    Tables.documents(s, d)
+    docsW(s, d)
       .select(col("doc_id"),
         size(graft.functions.GramHashes(s, col("text"), 3))
           .cast("long").as("n_shingles"),
@@ -75,7 +84,7 @@ object DedupOps {
     (s, d) => {
       val sig = graft.functions.MinHashPortable(
         s, col("text"), 3, PortablePerms)
-      Tables.documents(s, d)
+      docsW(s, d)
         .select(col("doc_id"), sig.as("sig"))
         .where(element_at(col("sig"), 1) > 0) // < 3 tokens: no grams
         .select(
@@ -198,7 +207,7 @@ object DedupOps {
   val dedupSimhash: Q = Q(
     "q_dedup_simhash",
     (s, d) =>
-      Tables.documents(s, d)
+      docsW(s, d)
         .where(size(TextHash.tokens(col("text"))) > 0)
         .select(col("doc_id"),
           graft.functions.SimHashPortable(s, col("text"), SimBits)
@@ -222,7 +231,7 @@ object DedupOps {
   val dedupSimhashPairs: Q = Q(
     "q_dedup_simhash_pairs",
     (s, d) => {
-      val sh = Tables.documents(s, d)
+      val sh = docsW(s, d)
         .where(size(TextHash.tokens(col("text"))) > 0)
         .select(col("doc_id"),
           graft.functions.SimHashPortable(s, col("text"), SimBits)
@@ -345,7 +354,7 @@ object DedupOps {
     * at sf0.01/sf0.1 are IDENTICAL under w=3 and w=5) — and the oracle
     * SQL mirrors 5-grams exactly. */
   private[graft] def ngramGrams(s: SparkSession, d: String): DataFrame =
-    Tables.documents(s, d)
+    docsW(s, d)
       .select(col("doc_id"), col("source"),
         graft.functions.GramHashes(s, col("text"), 5).as("bg"))
 
@@ -437,10 +446,20 @@ object DedupOps {
     val small = sized.where(col("block_n") <= blockCap)
     val big = sized.where(col("block_n") > blockCap)
 
+    // MERGE hint (r18, guide §3.1): left to its estimates the planner
+    // broadcasts one side here, and the |block|² expansion + per-pair
+    // intersect-count then runs INSIDE the probe's upstream stage — at
+    // fixture scale that is the single-split parquet scan, so 623k
+    // intersects ran on ONE task (qprofile: 2.3 s, 31 cores idle). A
+    // sort-merge join keys both sides on source, so the expansion runs
+    // across the exchange's full width; at production scale both sides
+    // outgrow the broadcast threshold and the planner picks SMJ anyway
+    // — the hint is plan-neutral there and only removes the serial
+    // small-scale regime.
     val pairwise = small
       .select(col("source"), col("doc_id").as("a_id"), col("bg").as("a_bg"))
       .join(small.select(col("source"), col("doc_id").as("b_id"),
-        col("bg").as("b_bg")), Seq("source"))
+        col("bg").as("b_bg")).hint("MERGE"), Seq("source"))
       .where(col("a_id") < col("b_id"))
 
     val g = big.select(col("source"), col("doc_id"),
@@ -953,7 +972,14 @@ object DedupOps {
     def side(df: DataFrame, k: String) = df.select(col("blk"),
       col("id").as(s"id_$k"), col("name").as(s"name_$k"))
     val small = sized.where(col("block_n") <= cap)
-    val pairSmall = side(small, "a").join(side(small, "b"), "blk")
+    // MERGE hint (r18): both sides inherit the window's
+    // hashpartitioning(blk), so the sort-merge join is EXCHANGE-FREE —
+    // it reuses the sizing shuffle and spreads the |block|² levenshtein
+    // expansion across its width, where the default broadcast plan ran
+    // the whole expansion serially inside the probe's stage. At scale
+    // the planner picks SMJ here anyway (both sides are the corpus).
+    val pairSmall = side(small, "a").join(side(small, "b").hint("MERGE"),
+        "blk")
       .where(col("id_a") < col("id_b"))
     val hot = sized.where(col("block_n") > cap)
     // name + its one-char deletions; array_distinct because repeated
@@ -1103,7 +1129,7 @@ object DedupOps {
         regexp_replace(parse_url(col("url"), lit("PATH")), "/+$", ""),
         when(size(keptParams) > 0,
           concat(lit("?"), array_join(keptParams, "&"))).otherwise(""))
-      Tables.documents(s, d)
+      docsW(s, d)
         .select(col("doc_id"), col("lang"), col("source"), url.as("url"))
         .withColumn("canonical_url", canon)
         .groupBy(col("canonical_url"))

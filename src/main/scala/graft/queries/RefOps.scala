@@ -171,7 +171,12 @@ object RefOps {
   val roundTrip: Q = Q(
     "q_ref_round_trip",
     (s, d) => {
-      val src = Tables.lineitem(s, d)
+      // widen: the snapshot write, both content digests, and the
+      // restore scan are otherwise pinned to the fixture's single
+      // split (r18); at production scan widths this is a no-op and
+      // the snapshot keeps its source file sizing.
+      val src = Tables.widen(Tables.lineitem(s, d),
+        col("l_orderkey"), col("l_linenumber"))
       // stable overwrite target — repeated Verify/Bench runs reuse it
       // instead of accumulating temp copies
       val dest = s"${sys.props("java.io.tmpdir")}/graft_snapshot/lineitem"

@@ -2,6 +2,7 @@ package graft.queries
 
 import graft.Q
 import graft.engine.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Scalar function families (SURVEY.md §2B B26–B30) — one query per
@@ -15,6 +16,16 @@ import org.apache.spark.sql.functions._
   * 1-based Sunday vs DuckDB 0-based, hence the -1.
   */
 object ScalarFns {
+
+  /** Kernel-heavy reads with the conditional ingest fan-out
+    * ([[Tables.widen]], r18): JSON/variant parsing and crypto/regex
+    * digests are heavy per-row work fused directly above the scan; a
+    * narrow fixture layout would serialize them onto one task. No-op
+    * at production scan widths. */
+  private def eventsW(s: SparkSession, d: String): DataFrame =
+    Tables.widen(Tables.events(s, d), col("event_id"))
+  private def docsW(s: SparkSession, d: String): DataFrame =
+    Tables.widen(Tables.documents(s, d), col("doc_id"))
 
   /** B26: string family over customer names (`Customer#000000042`). */
   val fnString: Q = Q(
@@ -180,7 +191,7 @@ object ScalarFns {
       val parsed = from_json(col("props"),
         org.apache.spark.sql.types.StructType.fromDDL("k LONG"))
         .getField("k")
-      Tables.events(s, d)
+      eventsW(s, d)
         .select(
           col("event_id"),
           get_json_object(col("props"), "$.k").as("k_str"),
@@ -214,7 +225,7 @@ object ScalarFns {
   val fnVariant: Q = Q(
     "q_fn_variant",
     (s, d) =>
-      Tables.events(s, d)
+      eventsW(s, d)
         // parse ONCE into a named variant column, derive both
         // extractions from it — the entire point of the type (the
         // q_fn_json single-parse discipline; measured 9.4 s vs 4.0 s
@@ -307,7 +318,7 @@ object ScalarFns {
   val fnHash: Q = Q(
     "q_fn_hash",
     (s, d) =>
-      Tables.documents(s, d)
+      docsW(s, d)
         .select(
           col("doc_id"),
           md5(col("text")).as("md5_hex"),
@@ -332,7 +343,7 @@ object ScalarFns {
   val fnRegex: Q = Q(
     "q_fn_regex",
     (s, d) =>
-      Tables.documents(s, d)
+      docsW(s, d)
         .select(
           col("doc_id"),
           regexp_extract(col("text"), "[0-9]+", 0).as("first_num"),
@@ -461,7 +472,7 @@ object ScalarFns {
       val url = concat(lit("https://"), col("source"),
         lit(".example.com/docs/"), col("doc_id").cast("string"),
         lit("?lang="), col("lang"), lit("&v=2"))
-      Tables.documents(s, d)
+      docsW(s, d)
         .select(
           col("doc_id"),
           url.as("url"),
@@ -534,7 +545,7 @@ object ScalarFns {
   val fnVariantExplode: Q = Q(
     "q_fn_variant_explode",
     (s, d) => {
-      Tables.events(s, d).createOrReplaceTempView("events_ve")
+      eventsW(s, d).createOrReplaceTempView("events_ve")
       s.sql("""
         SELECT event_id, f.pos, f.key, to_json(f.value) AS value_json
         FROM (SELECT event_id,

@@ -3,6 +3,7 @@ package graft.queries
 import graft.Q
 import graft.engine.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.col
 
 /** SQL-API surface: the same engine driven through `spark.sql` over
   * temp views — TPC-H-shaped analytics (Q3/Q5/Q10 forms adapted to the
@@ -27,7 +28,20 @@ object SqlQueries {
         // events routes through Tables.events for ts normalization
         // (nanos-long vs TIMESTAMP(µs) encodings; Tables.normalizeEventsTs).
         val df = if (t == "events") Tables.events(s, d) else Tables(s, d, t)
-        df.createOrReplaceTempView(t)
+        // Fact tables get the conditional ingest fan-out (r18,
+        // [[Tables.widen]]): the SQL family's decimal folds and
+        // broadcast-join cascades run fused above the fact scan, which
+        // a narrow fixture layout serializes onto one task. Dims stay
+        // as-is (they broadcast). No-op at production scan widths.
+        val wide = t match {
+          case "lineitem" =>
+            Tables.widen(df, col("l_orderkey"), col("l_linenumber"))
+          case "orders" => Tables.widen(df, col("o_orderkey"))
+          case "events" => Tables.widen(df, col("event_id"))
+          case "documents" => Tables.widen(df, col("doc_id"))
+          case _ => df
+        }
+        wide.createOrReplaceTempView(t)
       }
     }
     s.sql(sql)

@@ -19,12 +19,21 @@ object TextOps {
 
   private val sqlTokens = "string_split(lower(text), ' ')"
 
+  /** Documents read with the conditional ingest fan-out
+    * ([[Tables.widen]], r18): every query in this file runs a heavy
+    * per-row kernel (tokenize/explode, regex, rolling hash, per-char
+    * entropy) directly above the scan, which a narrow fixture layout
+    * would otherwise serialize onto one task. No-op at production
+    * scan widths. */
+  private def docsW(s: org.apache.spark.sql.SparkSession, d: String) =
+    Tables.widen(Tables.documents(s, d), col("doc_id"))
+
   /** B32: exact dedup by normalized text — keep-first (min doc_id)
     * per group, with copy counts. */
   val dedupExact: Q = Q(
     "q_dedup_exact",
     (s, d) =>
-      Tables.documents(s, d)
+      docsW(s, d)
         .groupBy(lower(trim(col("text"))).as("norm_text"))
         .agg(
           min(col("doc_id")).as("keep_id"),
@@ -38,7 +47,7 @@ object TextOps {
   val textTokens: Q = Q(
     "q_text_tokens",
     (s, d) =>
-      Tables.documents(s, d)
+      docsW(s, d)
         .select(explode(tokens).as("token"))
         .where(col("token") =!= "" && !col("token").isin("a", "the"))
         .groupBy(col("token"))
@@ -53,7 +62,7 @@ object TextOps {
   val textStats: Q = Q(
     "q_text_stats",
     (s, d) =>
-      Tables.documents(s, d)
+      docsW(s, d)
         .select(col("lang"), col("n_chars"),
           size(filter(tokens, x => x =!= "")).cast("long").as("n_tokens"))
         .groupBy(col("lang"))
@@ -82,7 +91,7 @@ object TextOps {
   val textTfidf: Q = Q(
     "q_text_tfidf",
     (s, d) => {
-      val docs = Tables.documents(s, d)
+      val docs = docsW(s, d)
       val tok = docs
         .select(col("doc_id"), explode(tokens).as("token"))
         .where(col("token") =!= "")
@@ -155,7 +164,7 @@ object TextOps {
                 .otherwise(lit(0L))))))
       def laneOf(c: org.apache.spark.sql.Column, shift: Int) =
         shiftright(c, shift).bitwiseAND(lit(0xFFFFL))
-      Tables.documents(s, d)
+      docsW(s, d)
         .select(col("doc_id"), col("lang").as("labeled_lang"),
           packed.as("h"))
         .select(
@@ -214,7 +223,7 @@ object TextOps {
         .cast("long")
       val alpha = length(regexp_replace(col("text"), "[^a-z]", ""))
         .cast("long")
-      Tables.documents(s, d)
+      docsW(s, d)
         .select(
           col("doc_id"), col("n_chars"),
           nTok.as("n_tokens"),
@@ -252,7 +261,7 @@ object TextOps {
   val textFingerprint: Q = Q(
     "q_text_fingerprint",
     (s, d) =>
-      Tables.documents(s, d)
+      docsW(s, d)
         .select(
           col("doc_id"),
           md5(lower(trim(col("text")))).as("fingerprint"),
@@ -276,7 +285,7 @@ object TextOps {
   val textTokencount: Q = Q(
     "q_text_tokencount",
     (s, d) =>
-      Tables.documents(s, d)
+      docsW(s, d)
         .select(
           col("doc_id"),
           size(filter(split(lower(col("text")), " "), t => t =!= ""))
@@ -313,7 +322,7 @@ object TextOps {
   val textBpeTokens: Q = Q(
     "q_text_bpe_tokens",
     (s, d) =>
-      Tables.documents(s, d)
+      docsW(s, d)
         .select(
           col("doc_id"),
           size(expr(
@@ -333,7 +342,7 @@ object TextOps {
   val textNgramFreq: Q = Q(
     "q_text_ngram_freq",
     (s, d) =>
-      Tables.documents(s, d)
+      docsW(s, d)
         .select(filter(tokens, t => t =!= "").as("toks"))
         // sequence(1, 0) is DESCENDING in Spark, not empty — a 1-token
         // doc would fabricate null bigrams without this guard.
@@ -389,7 +398,7 @@ object TextOps {
       def bucketOf(g: Column, r: Int): Column =
         ((g * lit(graft.functions.GramSketch.portableA(r))
           + lit(graft.functions.GramSketch.portableB(r))) % p) % CmsWidth
-      val tok = Tables.documents(s, d)
+      val tok = docsW(s, d)
         .select(explode(tokens).as("token"))
         .where(col("token") =!= "")
       // counters: ≤ depth×width rows no matter the corpus size
@@ -462,7 +471,7 @@ object TextOps {
   val textRepetition: Q = Q(
     "q_text_repetition",
     (s, d) => {
-      val tok = Tables.documents(s, d)
+      val tok = docsW(s, d)
         .select(col("doc_id"), col("source"),
           explode(tokens).as("token"))
         .where(col("token") =!= "")
@@ -513,7 +522,7 @@ object TextOps {
   val textSourceOverlap: Q = Q(
     "q_text_source_overlap",
     (s, d) => {
-      val vocab = Tables.documents(s, d)
+      val vocab = docsW(s, d)
         .select(col("source"), explode(tokens).as("token"))
         .where(col("token") =!= "")
         .distinct()
@@ -666,7 +675,7 @@ object TextOps {
         .when(col("doc_id") % 4 === 2, lit("Straße Über "))
         .otherwise(lit("naïve niño "))
       val sraw = concat(pfx, substring(col("text"), 1, 16))
-      Tables.documents(s, d)
+      docsW(s, d)
         .select(
           col("doc_id"),
           graft.functions.NfcNormalize(s, sraw).as("nfc"),
@@ -708,7 +717,7 @@ object TextOps {
   val textUnigramLogprob: Q = Q(
     "q_text_unigram_logprob",
     (s, d) => {
-      val tok = Tables.documents(s, d)
+      val tok = docsW(s, d)
         .select(col("doc_id"), explode(tokens).as("token"))
         .where(col("token") =!= "")
       val cnt = tok.groupBy(col("token")).agg(count(lit(1)).as("cnt"))
@@ -761,7 +770,7 @@ object TextOps {
     "q_text_bm25",
     (s, d) => {
       val terms = Seq("spark", "vector", "query")
-      val docs = Tables.documents(s, d)
+      val docs = docsW(s, d)
       val dl = docs.select(col("doc_id"),
         size(filter(tokens, t => t =!= "")).cast("double").as("dl"))
       val stats = dl.agg(
@@ -836,7 +845,7 @@ object TextOps {
   val dedupIncremental: Q = Q(
     "q_dedup_incremental",
     (s, d) => {
-      val docs = Tables.documents(s, d)
+      val docs = docsW(s, d)
         .select(col("doc_id"), lower(trim(col("text"))).as("norm_text"))
       val corpus = docs.where(col("doc_id") % 10 =!= 0)
         .groupBy(col("norm_text"))
@@ -879,7 +888,7 @@ object TextOps {
     "q_text_entropy",
     (s, d) => {
       import org.apache.spark.sql.expressions.Window
-      val perChar = Tables.documents(s, d)
+      val perChar = docsW(s, d)
         .select(col("doc_id"),
           explode(split(lower(col("text")), "")).as("ch"))
         .where(col("ch") =!= "")
@@ -941,7 +950,7 @@ object TextOps {
     (s, d) => {
       import org.apache.spark.sql.expressions.Window
       val terms = Seq("spark", "vector", "query")
-      val docs = Tables.documents(s, d)
+      val docs = docsW(s, d)
       // lexical leg: BM25(k1=1.2, b=0.75) over the fixed query terms
       val dl = docs.select(col("doc_id"),
         size(filter(tokens, t => t =!= "")).cast("double").as("dl"))
