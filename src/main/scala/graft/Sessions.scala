@@ -74,21 +74,21 @@ object Sessions {
       .master(master)
       .appName(appName)
       .config("spark.sql.shuffle.partitions", cpus)
-      // AQE coalescing floor (r18, guide §2.2/§2.5): the 1m default
-      // assumes post-shuffle WORK ∝ post-shuffle BYTES. Pair-expansion
-      // operators break that by orders of magnitude — a 148 KB
-      // blk-exchange of 15k customer rows feeds a |block|² join that
-      // evaluates 1.5M threshold-levenshteins, and the 1m floor
-      // coalesced it to ONE task: q_dedup_fuzzy_name measured 4.0 s
-      // with 31 cores idle, 1.3 s at a 16k floor (3×). The floor is a
-      // work-granularity bound, not a local tuning: it only changes
-      // exchanges smaller than ~parallelism×16k (≈0.5 MB here — at
-      // production scale every data exchange is orders of magnitude
-      // past BOTH floors, so cluster plans are identical), and the
-      // advisory size still governs real coalescing above it.
-      // Conf-first so operators can override per deployment.
+      // AQE coalescing floor: Spark's 1m default, overridable for
+      // experiments. An earlier r18 draft globally floored this at 16k
+      // so pair-expansion exchanges (whose WORK is orders of magnitude
+      // above their BYTES) would stay wide — it did win its targets
+      // (q_dedup_fuzzy_name 4.0→1.3 s) but taxed every OTHER
+      // multi-exchange query with 32 near-empty tasks per stage: the
+      // full-schedule A/B measured q_pipeline_curate 6.1→4.0 s and
+      // q_dedup_contain_global 3.4→2.5 s from restoring the default
+      // alone (/tmp/ab_widen_floor.log, OPTIMIZATION_r18.md). The
+      // session default therefore stays Spark's; operators whose work
+      // is pair-expansion-shaped pin their width EXPLICITLY at the
+      // exchange that needs it (repartition(N, key) is exempt from AQE
+      // coalescing by design) — see DedupOps.fuzzyNamePairs/ngramPairs.
       .config("spark.sql.adaptive.coalescePartitions.minPartitionSize",
-        sys.env.getOrElse("SPARK_GRAFT_MIN_PARTITION_SIZE", "16k"))
+        sys.env.getOrElse("SPARK_GRAFT_MIN_PARTITION_SIZE", "1m"))
     val s = (if (master.startsWith("local-cluster"))
       clusterConfig(builder0) else builder0)
       // NOT set here: spark.sql.adaptive.coalescePartitions

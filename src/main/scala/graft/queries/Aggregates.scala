@@ -17,17 +17,16 @@ import org.apache.spark.sql.types.DecimalType
   */
 object Aggregates {
 
-  /** Kernel-heavy lineitem/documents reads with the conditional ingest
-    * fan-out ([[Tables.widen]], r18): the partial-aggregation folds
-    * (decimal sums, sketch updates, percentile buffers, token explode)
-    * are the whole query and run fused above the scan; a narrow
-    * fixture layout would serialize them onto one task. No-op at
-    * production scan widths. */
+  /** Plain lineitem/documents reads. An earlier r18 draft widened
+    * these ([[Tables.widen]]); the full-schedule A/B showed the fan-out
+    * exchange was a net tax for this family — partial aggregation
+    * already shuffles only per-group partials, so parallelizing the
+    * fold bought less than one extra full-row exchange cost
+    * (q_agg_hash_group A/B and OPTIMIZATION_r18.md). */
   private def liW(s: SparkSession, d: String): DataFrame =
-    Tables.widen(Tables.lineitem(s, d),
-      col("l_orderkey"), col("l_linenumber"))
+    Tables.lineitem(s, d)
   private def docsW(s: SparkSession, d: String): DataFrame =
-    Tables.widen(Tables.documents(s, d), col("doc_id"))
+    Tables.documents(s, d)
 
   /** B13 flagship: TPC-H Q1-style pricing summary. */
   val aggHashGroup: Q = Q(
@@ -39,12 +38,7 @@ object Aggregates {
       val price = Det.dec(col("l_extendedprice"), 2)
       val disc1 = Det.dec(lit(1), 4, 8) - Det.dec(col("l_discount"), 4, 8)
       val tax1 = Det.dec(lit(1), 4, 8) + Det.dec(col("l_tax"), 4, 8)
-      // widen: the decimal partial aggregation is the whole query; a
-      // single-split scan runs it on one task (r18 qprofile: 0.86 s
-      // serial fold). No-op at production scan widths.
-      Tables.widen(
-          l.filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp")),
-          col("l_orderkey"), col("l_linenumber"))
+      l.filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
         .groupBy(col("l_returnflag"), col("l_linestatus"))
         .agg(
           Det.dsum(col("l_quantity"), 2).as("sum_qty"),

@@ -195,8 +195,12 @@ object CurationOps {
     "q_text_quality_classifier",
     (s, d) => {
       val tw = graft.functions.TokenWeightSum(s, lower(col("text")))
-      // widen (r18): the classifier kernel is the whole query.
-      val e = Tables.widen(Tables.documents(s, d), col("doc_id"))
+      // NOT widened: the native kernel is fast enough that the fan-out
+      // exchange costs more than the serial fold it would parallelize
+      // (canonical 0.17 s un-widened vs 0.66 s widened at sf0.1); the
+      // r18 win for this query is the kernel itself (interpreted HOF
+      // loop → TokenWeightSum codegen, 4.3× at sf20 — see SCALE.md).
+      val e = Tables.documents(s, d)
         .select(col("doc_id"), tw.as("tw"))
         .select(col("doc_id"),
           col("tw.n_tokens").as("n_tokens"),

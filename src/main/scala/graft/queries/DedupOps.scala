@@ -22,12 +22,14 @@ object DedupOps {
 
   /** Documents read with the conditional ingest fan-out
     * ([[Tables.widen]], r18): sketch kernels (MinHash/SimHash/gram
-    * hashing) and URL parsing are heavy per-row work fused directly
-    * above the scan; a narrow fixture layout would serialize them onto
-    * one task. No-op at production scan widths. Projection-only reads
-    * (doc_id/source side tables) stay un-widened. */
+    * hashing) and URL parsing run above the scan; an earlier r18
+    * draft widened this read ([[Tables.widen]]), but the A/B showed
+    * the fan-out exchange costs more than the sketch kernels it
+    * parallelizes at fixture sizes (q_dedup_ngram_jaccard 1.89→1.54 s
+    * without it) — the one pair-expansion in this family heavy enough
+    * to justify a pinned-width exchange is [[fuzzyNamePairs]]'. */
   private def docsW(s: SparkSession, d: String): DataFrame =
-    Tables.widen(Tables.documents(s, d), col("doc_id"))
+    Tables.documents(s, d)
   private val Perms = 32
   private[graft] val Bands = 8
   private[graft] val RowsPerBand = 4
@@ -446,20 +448,26 @@ object DedupOps {
     val small = sized.where(col("block_n") <= blockCap)
     val big = sized.where(col("block_n") > blockCap)
 
-    // MERGE hint (r18, guide §3.1): left to its estimates the planner
-    // broadcasts one side here, and the |block|² expansion + per-pair
-    // intersect-count then runs INSIDE the probe's upstream stage — at
-    // fixture scale that is the single-split parquet scan, so 623k
-    // intersects ran on ONE task (qprofile: 2.3 s, 31 cores idle). A
-    // sort-merge join keys both sides on source, so the expansion runs
-    // across the exchange's full width; at production scale both sides
-    // outgrow the broadcast threshold and the planner picks SMJ anyway
-    // — the hint is plan-neutral there and only removes the serial
-    // small-scale regime.
+    // Pair expansion via the planner's own broadcast hash join (guide
+    // §3.1), with NO hint — a deliberate, twice-measured choice (r18):
+    //  - a MERGE hint (+ the withdrawn global 16k AQE floor) keyed the
+    //    |block|² expansion on `source`, capping parallelism at source
+    //    cardinality and taxing every other small exchange;
+    //  - an explicit broadcast() was ~+1.2 s on q_dedup_ngram_jaccard
+    //    (3.3–4.0 vs 2.1–2.2 s) with a BIT-IDENTICAL static plan: the
+    //    hint makes the build eager and defeats the runtime reuse of
+    //    the common `small` subtree that the unhinted plan gets.
+    // Left alone, the planner broadcasts one side from estimates
+    // (`small` is bounded by construction: ≤ blockCap rows per source,
+    // source counts O(10s) — so that choice stays safe at any corpus
+    // scale) and the expansion + per-pair intersect runs fused above
+    // the probe's scan. Width pinning stays only where it pays:
+    // [[fuzzyNamePairs]], whose levenshtein expansion is 10× heavier
+    // per pair and whose sizing window needs the exchange anyway.
     val pairwise = small
       .select(col("source"), col("doc_id").as("a_id"), col("bg").as("a_bg"))
       .join(small.select(col("source"), col("doc_id").as("b_id"),
-        col("bg").as("b_bg")).hint("MERGE"), Seq("source"))
+        col("bg").as("b_bg")), Seq("source"))
       .where(col("a_id") < col("b_id"))
 
     val g = big.select(col("source"), col("doc_id"),
@@ -967,12 +975,28 @@ object DedupOps {
     * so the window parallelizes and no broadcast of a corpus-sized
     * block list is ever built. */
   private[graft] def fuzzyNamePairs(named: DataFrame, cap: Int): DataFrame = {
-    val sized = named.withColumn("block_n",
-      count(lit(1)).over(Window.partitionBy(col("blk"))))
+    // Pinned-width sizing exchange (r18, guide §2.4/§2.5): the block
+    // column is the partition key of everything downstream — the
+    // sizing window, then the |block|² levenshtein self-join. Its
+    // exchange carries ~30 bytes/row but feeds work quadratic in
+    // block size, exactly the shape AQE's byte-based coalescing
+    // under-counts: at fixture sizes the 148 KB exchange coalesced to
+    // ONE task and 1.5M threshold-levenshteins ran serially (4.0 s,
+    // 31 cores idle; 1.3 s wide). An explicit repartition(N, blk) is
+    // exempt from AQE coalescing, N = defaultParallelism scales with
+    // the session (cores locally, cluster width on a real deployment
+    // — the work is cores-proportional, not bytes-proportional). The
+    // window and both join sides reuse this one exchange: no other
+    // shuffle in the small-block path.
+    val sized = named
+      .repartition(named.sparkSession.sparkContext.defaultParallelism,
+        col("blk"))
+      .withColumn("block_n",
+        count(lit(1)).over(Window.partitionBy(col("blk"))))
     def side(df: DataFrame, k: String) = df.select(col("blk"),
       col("id").as(s"id_$k"), col("name").as(s"name_$k"))
     val small = sized.where(col("block_n") <= cap)
-    // MERGE hint (r18): both sides inherit the window's
+    // MERGE hint (r18): both sides inherit the pinned
     // hashpartitioning(blk), so the sort-merge join is EXCHANGE-FREE —
     // it reuses the sizing shuffle and spreads the |block|² levenshtein
     // expansion across its width, where the default broadcast plan ran

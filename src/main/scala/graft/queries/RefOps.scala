@@ -171,12 +171,13 @@ object RefOps {
   val roundTrip: Q = Q(
     "q_ref_round_trip",
     (s, d) => {
-      // widen: the snapshot write, both content digests, and the
-      // restore scan are otherwise pinned to the fixture's single
-      // split (r18); at production scan widths this is a no-op and
-      // the snapshot keeps its source file sizing.
-      val src = Tables.widen(Tables.lineitem(s, d),
-        col("l_orderkey"), col("l_linenumber"))
+      // NOT widened (earlier r18 draft did): the A/B measured the
+      // round trip 3.26→2.20 s without the fan-out — the snapshot
+      // write + digests are I/O-shaped, so an extra full-row exchange
+      // only added bytes in flight, and widening the write also
+      // changed the snapshot to 32 tiny files (guide §6: small-files
+      // tax on the restore scan).
+      val src = Tables.lineitem(s, d)
       // stable overwrite target — repeated Verify/Bench runs reuse it
       // instead of accumulating temp copies
       val dest = s"${sys.props("java.io.tmpdir")}/graft_snapshot/lineitem"

@@ -17,15 +17,19 @@ import org.apache.spark.sql.functions._
   */
 object ScalarFns {
 
-  /** Kernel-heavy reads with the conditional ingest fan-out
-    * ([[Tables.widen]], r18): JSON/variant parsing and crypto/regex
-    * digests are heavy per-row work fused directly above the scan; a
-    * narrow fixture layout would serialize them onto one task. No-op
-    * at production scan widths. */
+  /** Plain reads. An earlier r18 draft widened these
+    * ([[Tables.widen]]) to parallelize the JSON/crypto/regex kernels
+    * over the fixture's single-split scans; canonical A/B showed the
+    * win existed only in combination with the (withdrawn) global 16k
+    * AQE floor — without it the fan-out exchange is a flat cost at
+    * every site here (q_fn_hash 0.13→0.63 s, q_fn_regex 0.27→0.82 s,
+    * q_fn_url 0.15→0.63 s canonical with widen; q_fn_json flat). The
+    * one genuinely kernel-bound tail in this family, q_fn_variant,
+    * pins its width inside the query instead (see fnVariant). */
   private def eventsW(s: SparkSession, d: String): DataFrame =
-    Tables.widen(Tables.events(s, d), col("event_id"))
+    Tables.events(s, d)
   private def docsW(s: SparkSession, d: String): DataFrame =
-    Tables.widen(Tables.documents(s, d), col("doc_id"))
+    Tables.documents(s, d)
 
   /** B26: string family over customer names (`Customer#000000042`). */
   val fnString: Q = Q(
@@ -225,13 +229,29 @@ object ScalarFns {
   val fnVariant: Q = Q(
     "q_fn_variant",
     (s, d) =>
-      eventsW(s, d)
+      // Tail-stage width (r18, guide §2.4): with a bare `.orderBy`,
+      // Catalyst pulls BOTH heavy projections above the Sort (to
+      // shuffle raw props instead of results — plans/r18/
+      // q_fn_variant_before.txt), so every variant parse runs in the
+      // post-sort stage, which AQE coalesces to ONE task at fixture
+      // bytes (qprofile: 1.4 s single-task tail = ~70% of the query).
+      // The byte saving is illusory here — json_rt is props-sized, so
+      // results weigh what the input weighs. An explicit-N range
+      // repartition + in-partition sort produces the identical global
+      // order (event_id is unique) while pinning the parse stage at
+      // session width at every scale (explicit-N repartition is exempt
+      // from AQE coalescing). The earlier-draft `widen` on this read
+      // was pure waste — its exchange fed straight into the sort
+      // exchange with no work between (removed).
+      Tables.events(s, d)
         // parse ONCE into a named variant column, derive both
         // extractions from it — the entire point of the type (the
         // q_fn_json single-parse discipline; measured 9.4 s vs 4.0 s
         // for q_fn_json at sf1 when each output re-parsed)
         .select(col("event_id"), col("props"),
           expr("parse_json(props)").as("v"))
+        .repartitionByRange(
+          s.sparkContext.defaultParallelism, col("event_id"))
         .select(
           col("event_id"),
           expr("variant_get(v, '$.k', 'long')").as("k_num"),
@@ -241,7 +261,7 @@ object ScalarFns {
           expr("try_parse_json(concat('{', props)) IS NULL")
             .as("bad_is_null"),
           expr("is_variant_null(parse_json('null'))").as("null_literal"))
-        .orderBy("event_id"),
+        .sortWithinPartitions("event_id"),
     Some("""SELECT event_id,
       CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_num,
       '{"k":' || json_extract_string(props, '$.k') || '}' AS json_rt,

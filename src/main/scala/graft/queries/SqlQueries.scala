@@ -28,20 +28,13 @@ object SqlQueries {
         // events routes through Tables.events for ts normalization
         // (nanos-long vs TIMESTAMP(µs) encodings; Tables.normalizeEventsTs).
         val df = if (t == "events") Tables.events(s, d) else Tables(s, d, t)
-        // Fact tables get the conditional ingest fan-out (r18,
-        // [[Tables.widen]]): the SQL family's decimal folds and
-        // broadcast-join cascades run fused above the fact scan, which
-        // a narrow fixture layout serializes onto one task. Dims stay
-        // as-is (they broadcast). No-op at production scan widths.
-        val wide = t match {
-          case "lineitem" =>
-            Tables.widen(df, col("l_orderkey"), col("l_linenumber"))
-          case "orders" => Tables.widen(df, col("o_orderkey"))
-          case "events" => Tables.widen(df, col("event_id"))
-          case "documents" => Tables.widen(df, col("doc_id"))
-          case _ => df
-        }
-        wide.createOrReplaceTempView(t)
+        // Views are registered as-is. An earlier r18 draft widened the
+        // fact tables here ([[Tables.widen]]); the full-schedule A/B
+        // showed the added exchange was a net tax for the SQL family
+        // (q_sql_returned_revenue 1.45→1.27 s without it) — the
+        // broadcast-join cascades stream fine over a narrow scan and
+        // the decimal folds shuffle only per-group partials.
+        df.createOrReplaceTempView(t)
       }
     }
     s.sql(sql)

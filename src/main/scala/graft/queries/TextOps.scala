@@ -19,14 +19,16 @@ object TextOps {
 
   private val sqlTokens = "string_split(lower(text), ' ')"
 
-  /** Documents read with the conditional ingest fan-out
-    * ([[Tables.widen]], r18): every query in this file runs a heavy
-    * per-row kernel (tokenize/explode, regex, rolling hash, per-char
-    * entropy) directly above the scan, which a narrow fixture layout
-    * would otherwise serialize onto one task. No-op at production
-    * scan widths. */
+  /** Documents read, deliberately NOT widened (an earlier r18 draft
+    * put [[Tables.widen]] here): the text family's kernels are cheap
+    * enough per row that the added fan-out exchange cost MORE than the
+    * serial fold it parallelized at fixture sizes — the A/B measured
+    * q_dedup_exact 1.24→0.75 s, q_text_cms_topk 1.44→0.69 s,
+    * q_text_tfidf 2.22→1.68 s from removing it (widen stays only at
+    * the heavy-kernel sites: ScalarFns JSON/variant parse, CurationOps
+    * rolling-hash spans/classifier; see OPTIMIZATION_r18.md). */
   private def docsW(s: org.apache.spark.sql.SparkSession, d: String) =
-    Tables.widen(Tables.documents(s, d), col("doc_id"))
+    Tables.documents(s, d)
 
   /** B32: exact dedup by normalized text — keep-first (min doc_id)
     * per group, with copy counts. */
