@@ -65,6 +65,17 @@ object Skew {
       df: DataFrame, key: String, chunk: Column, ord: Seq[String],
       value: Column): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // Exchange audit (r18, guide §2.3/§2.4 — measured, then left
+    // alone): the intra window and the chunk-totals aggregate both
+    // cluster on (key, __chunk), which tempts a shared explicit
+    // repartition. Tried: column pruning specializes each branch's
+    // subtree below the repartition, so ReuseExchange does NOT fire
+    // and the totals branch then shuffles the FULL stream where the
+    // grouped shape ships only per-(key,chunk) partial aggregates —
+    // locally faster (fewer serial stages over ~MB data) but strictly
+    // more network at scale. The two-exchange shape is the
+    // scale-correct one: one full-stream shuffle for the window, one
+    // tiny partial-aggregate shuffle for the totals.
     val base = df.withColumn("__chunk", chunk)
     val wIn = Window.partitionBy(col(key), col("__chunk"))
       .orderBy(ord.map(col): _*)
