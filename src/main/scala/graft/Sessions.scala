@@ -82,7 +82,7 @@ object Sessions {
       // multi-exchange query with 32 near-empty tasks per stage: the
       // full-schedule A/B measured q_pipeline_curate 6.1→4.0 s and
       // q_dedup_contain_global 3.4→2.5 s from restoring the default
-      // alone (/tmp/ab_widen_floor.log, OPTIMIZATION_r18.md). The
+      // alone (plans/r18/ab_logs/ab_widen_floor.log, OPTIMIZATION_r18.md). The
       // session default therefore stays Spark's; operators whose work
       // is pair-expansion-shaped pin their width EXPLICITLY at the
       // exchange that needs it (repartition(N, key) is exempt from AQE
