@@ -875,14 +875,20 @@ object DedupOps {
         .select(col("vec_id"), col("embedding"),
           graft.functions.HyperplaneSig(
             s, col("embedding"), DedupOps.LshPlanes).as("sig"))
-      def banded(df: DataFrame, prefix: String) =
+      // Candidate generation on KEY ROWS ONLY (r19, guide §2.3/§8): the
+      // r18 shape carried BOTH 64-float embeddings through the band
+      // join and deduped with a first()-SortAggregate — at sf20 that
+      // shuffled 4.3 GB of candidate pairs (qprofile: two stages of
+      // 656 s + 249 s summed executor time, 22.7 s + 12.7 s span) to
+      // move ~20 bytes of decision per pair. Candidates are now
+      // (probe_id, cand_id) only; vectors re-attach AFTER the distinct.
+      def bandedKeys(df: DataFrame, prefix: String) =
         df.select(col("vec_id").as(s"${prefix}_id"),
-          col("embedding").as(s"${prefix}_v"),
           explode(array((0 until 4).map(b =>
             struct(lit(b).as("band_idx"),
               shiftright(col("sig"), b * 4).bitwiseAND(15).as("band_val")))
             : _*)).as("band"))
-          .select(col(s"${prefix}_id"), col(s"${prefix}_v"),
+          .select(col(s"${prefix}_id"),
             col("band.band_idx").as("band_idx"),
             col("band.band_val").as("band_val"))
       // BOUNDED probe set — a top-k serving benchmark's probe count is
@@ -892,17 +898,33 @@ object DedupOps {
       // sf1→sf5 measured 16× for 5×); the id ceiling caps it at ≤200
       // probes at any scale, making the query linear in the corpus
       // (each probe touches its 4 buckets, buckets ∝ n/16).
-      val probes = banded(
-        e.filter(col("vec_id") % 100 === 0 && col("vec_id") < 20000),
-        "probe")
-      val corpus = banded(e, "cand")
+      val probePred = col("vec_id") % 100 === 0 && col("vec_id") < 20000
+      // FORCED broadcast is safe here by construction (≤200 probes × 4
+      // bands = ≤800 key rows at any scale); without the hint the
+      // planner broadcast the CORPUS side at small SFs (file-estimate
+      // under the 10 MB threshold) and fell back to shuffling the
+      // array-carrying corpus at sf20.
+      val probes = broadcast(bandedKeys(e.filter(probePred), "probe"))
+      val corpus = bandedKeys(e, "cand")
+      val cands = corpus.join(probes, Seq("band_idx", "band_val"))
+        .where(col("cand_id") =!= col("probe_id"))
+        .select(col("probe_id"), col("cand_id")).distinct()
+      // Re-rank: attach vectors by id. The probe side is ≤200 rows —
+      // always broadcast. The corpus side rides the same size-gated
+      // broadcast discipline as q_dedup_embedding's re-rank
+      // (Similarity.reRankEmbeddings): broadcast when the inflated
+      // estimate fits, else degrade to the shuffled join (one exchange
+      // of the vectors — still strictly less than the r18 shape, which
+      // shuffled them per candidate pair instead of per vector).
       val w = Window.partitionBy(col("probe_id"))
         .orderBy(col("cos").desc, col("cand_id").asc)
-      probes.join(corpus, Seq("band_idx", "band_val"))
-        .where(col("cand_id") =!= col("probe_id"))
-        .groupBy(col("probe_id"), col("cand_id"))
-        .agg(first(col("probe_v")).as("probe_v"),
-          first(col("cand_v")).as("cand_v"))
+      cands
+        .join(Similarity.reRankSide(
+          e.select(col("vec_id").as("cand_id"), col("embedding").as("cand_v")),
+          e), Seq("cand_id"))
+        .join(broadcast(e.filter(probePred).select(
+          col("vec_id").as("probe_id"), col("embedding").as("probe_v"))),
+          Seq("probe_id"))
         .withColumn("cos", graft.functions.CosineSimilarity(
           s, col("probe_v"), col("cand_v")))
         .withColumn("k", row_number().over(w).cast("long"))

@@ -114,6 +114,18 @@ object Similarity {
     * + broadcast HashedRelation overhead). */
   private val RowInflation = 8
 
+  /** Size-gated forced broadcast for a vector-table re-rank join
+    * (shared by q_dedup_embedding and q_sim_lsh_topk): broadcast()
+    * OOMs instead of degrading past broadcastable range, so the hint
+    * is applied only while the INFLATED optimizer estimate of the
+    * vector table `e` fits [[BroadcastCapBytes]]; above it the join
+    * falls back to the plain shuffled shape (slower, never fatal) —
+    * the 100 TB degradation path. */
+  private[queries] def reRankSide(side: DataFrame, e: DataFrame): DataFrame =
+    if (e.queryExecution.optimizedPlan.stats.sizeInBytes * RowInflation
+        <= BroadcastCapBytes) broadcast(side)
+    else side
+
   /** Mandated EXT: embedding-cosine near-duplicates — candidates from
     * an 8-band random-hyperplane LSH join WITHIN label (each bucket
     * member pairing with its ≤ BandWindow vec_id-order predecessors),
@@ -154,31 +166,33 @@ object Similarity {
         .select(col("vec_id"), col("label"),
           col("band.band_idx").as("band_idx"),
           col("band.band_val").as("band_val"))
-      // per-bucket position in vec_id order: the BandWindow pair cap
-      // compares positions, not ids (ids are sparse within a bucket)
-      val wPos = Window.partitionBy(col("label"), col("band_idx"),
+      // Each member pairs with its ≤ BandWindow vec_id-order bucket
+      // PREDECESSORS, gathered by ONE bounded window collect_list over
+      // the bucket partition (r19, guide §2.4). The r18 shape computed
+      // a row_number position, exploded each member into its ≤ 64
+      // predecessor POSITIONS (~bands·BandWindow·n rows), and
+      // equi-joined back on the exact position — at sf20 (400k
+      // vectors) that exploded stream was a 1.3 GB exchange feeding a
+      // 200M-row sort-merge join (qprofile: 588 s + 450 s summed
+      // executor time). The sliding-frame list yields the IDENTICAL
+      // pair set (same bucket, same vec_id order, same ≤ BandWindow
+      // look-back; an empty frame on the bucket's first row is dropped
+      // by explode, matching the old pos > 1 filter) with zero joins:
+      // one bucket exchange, candidates generated partition-locally.
+      // Candidates stay bounded by construction (≤ bands·BandWindow·n).
+      val wPred = Window.partitionBy(col("label"), col("band_idx"),
         col("band_val")).orderBy(col("vec_id"))
-      val positioned = banded.withColumn("pos", row_number().over(wPos))
-      // Each member EXPLODES into its ≤ BandWindow predecessor
-      // POSITIONS and equi-joins on the exact position — candidates
-      // are generated bounded (≤ bands·BandWindow·n rows ever exist).
-      // The previous shape joined bucket×bucket and FILTERED positions
-      // after: same answer, but a bucket of m members streams m² rows
-      // through the filter, and the band key's cardinality is fixed —
-      // measured at sf20 (400k vectors, ~2.5k-member buckets) that
-      // join did ~8·10⁹ rows of quadratic work for a linear output
-      // (623 s; this shape is linear again).
-      val probes = positioned
-        .where(col("pos") > 1)
-        .select(col("label"), col("band_idx"), col("band_val"),
-          col("vec_id").as("b_id"),
-          explode(sequence(
-            greatest(lit(1), col("pos") - BandWindow), col("pos") - 1))
-            .as("pos"))
-      val cands = probes
-        .join(positioned.select(col("label"), col("band_idx"),
-          col("band_val"), col("pos"), col("vec_id").as("a_id")),
-          Seq("label", "band_idx", "band_val", "pos"))
+        .rowsBetween(-BandWindow, -1)
+      // (Measured r19, NOT kept: distinct on (a_id, b_id) only with
+      // label re-attached via the a-side join — label is functionally
+      // determined by a_id so results are identical, but the sf20
+      // qprofile read the dedup exchange at 1.60 GB vs 1.54 GB keeping
+      // label in the key, i.e. the "narrower" key compressed worse and
+      // bought nothing. Keep label in the distinct.)
+      val cands = banded
+        .withColumn("a_ids", collect_list(col("vec_id")).over(wPred))
+        .select(col("label"), explode(col("a_ids")).as("a_id"),
+          col("vec_id").as("b_id"))
         .select("label", "a_id", "b_id").distinct()
       val w = Window.partitionBy(col("b_id"))
         .orderBy(col("cos").desc, col("a_id").asc)
@@ -192,15 +206,11 @@ object Similarity {
       // so it is gated on the optimizer's size estimate: above
       // BroadcastCapBytes the join falls back to the plain shuffled
       // shape (slower, never fatal), the 100 TB degradation path.
-      val vecBytes = e.queryExecution.optimizedPlan.stats.sizeInBytes
-      def reRankSide(side: DataFrame): DataFrame =
-        if (vecBytes * RowInflation <= BroadcastCapBytes) broadcast(side)
-        else side
       cands
         .join(reRankSide(e.select(col("vec_id").as("a_id"),
-          col("embedding").as("av"))), Seq("a_id"))
+          col("embedding").as("av")), e), Seq("a_id"))
         .join(reRankSide(e.select(col("vec_id").as("b_id"),
-          col("embedding").as("bv"))), Seq("b_id"))
+          col("embedding").as("bv")), e), Seq("b_id"))
         .withColumn("cos",
           graft.functions.CosineSimilarity(s, col("av"), col("bv")))
         .where(col("cos") >= 0.35)
