@@ -1071,6 +1071,21 @@ object DedupOps {
         col("c_custkey").as("id"), col("c_name").as("name"),
         substring(col("c_name"), 1, 16).as("blk"))
       fuzzyNamePairs(named, FuzzyBlockCap)
+        // Materialize the surviving pairs through ONE hash exchange
+        // before the global sort (r19, guide §2.4 + the r9 sampler-tax
+        // finding): the orderBy's range exchange SAMPLES its child, and
+        // with the |block|² levenshtein expansion in that child segment
+        // the sampler re-ran the whole expansion — sf20 qprofile shows
+        // two ~300 s-exec stages each reading the pinned blk exchange
+        // (12.4 s span shuffle pass + 10.7 s span sampler pass doing
+        // identical work, writing nothing). Pairs are output-bound
+        // (dist ≤ 1 survivors only), so this exchange moves exactly the
+        // output bytes once more while the sampler drops to a re-read
+        // of materialized shuffle data. Deliberately NOT pinned-N: the
+        // exchange exists for materialization, not width (no compute
+        // runs above it), so AQE may coalesce it — at sf0.1 it shrinks
+        // to one ~300 KB task, at sf20 it stays wide.
+        .repartition(col("id_a"))
         .orderBy("id_a", "id_b")
     },
     Some("""SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,

@@ -244,14 +244,27 @@ object ScalarFns {
       // was pure waste — its exchange fed straight into the sort
       // exchange with no work between (removed).
       Tables.events(s, d)
+        // Range exchange directly on the SCAN (r19, closing the r18
+        // ADVICE note): with the exchange above the parse, (a) the
+        // range SAMPLER job re-executed scan+parse_json a second time
+        // (sf20 qprofile: a 52-96 s-exec, 2.2 s-span stage with zero
+        // shuffle in/out), and (b) the exchange shipped props AND the
+        // parsed variant v (~2× props bytes, 243 MB at sf20). Sampling
+        // only needs event_id, so exchanging raw (event_id, props)
+        // makes the sampler scan-only and halves the shuffle; the
+        // parse now also runs in the pinned-width stage.
+        .select(col("event_id"), col("props"))
+        .repartitionByRange(
+          s.sparkContext.defaultParallelism, col("event_id"))
         // parse ONCE into a named variant column, derive both
         // extractions from it — the entire point of the type (the
         // q_fn_json single-parse discipline; measured 9.4 s vs 4.0 s
-        // for q_fn_json at sf1 when each output re-parsed)
+        // for q_fn_json at sf1 when each output re-parsed). Safe from
+        // CollapseProject-duplication: v is referenced twice below, and
+        // the rule never collapses a multiply-referenced non-trivial
+        // alias into its consumers.
         .select(col("event_id"), col("props"),
           expr("parse_json(props)").as("v"))
-        .repartitionByRange(
-          s.sparkContext.defaultParallelism, col("event_id"))
         .select(
           col("event_id"),
           expr("variant_get(v, '$.k', 'long')").as("k_num"),
