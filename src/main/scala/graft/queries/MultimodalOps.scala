@@ -315,6 +315,16 @@ object MultimodalOps {
           }
         }
         .toDF("doc_id", "width", "height", "mean_luma")
+        // Materialize the (tiny: |docs|/50 narrow rows) decode output
+        // through one exchange before the global sort (r19): the range
+        // exchange's sampler job otherwise re-executes its child — a
+        // second full binaryFile scan + ImageIO decode of every PNG
+        // (sf20 qprofile: a 625-task, 91 s-exec stage with zero shuffle
+        // in/out). SortBelowExpensiveProject can't fire through the
+        // typed mapPartitions seam, so the materialization is explicit;
+        // AQE coalesces the exchange (REPARTITION_BY_COL) to one task
+        // at every fixture scale.
+        .repartition(col("doc_id"))
         .orderBy("doc_id")
     },
     Some("""SELECT doc_id,
