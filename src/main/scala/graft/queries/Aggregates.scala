@@ -187,17 +187,68 @@ object Aggregates {
   val aggStats: Q = Q(
     "q_agg_stats",
     (s, d) => {
+      // Histogram refinement for the exact median (r19, guide §2.3/§2.5
+      // — the [[aggWeightedMedian]] pattern): Spark's `median()` is a
+      // buffer-everything TypedImperativeAggregate — no partial
+      // aggregation, so at sf20 the "aggregate" shuffled 247 MB of raw
+      // prices into FIVE tasks (one per priority — parallelism capped
+      // by group count at ANY cluster size) and read that exchange
+      // twice (qprofile: 3 × ~5.5 s-span stages, 15.4 s wall). The
+      // rewrite: (1) one map-side-combined pass over (priority,
+      // 64-unit price bucket) carrying count/Σx/Σx²/min/max partials —
+      // every other statistic re-aggregates exactly from these; (2) the
+      // two 0-indexed target ranks of Spark's interpolating median,
+      // r1 = (n−1) DIV 2 and r2 = n DIV 2, located in their buckets by
+      // a prefix window over the ~10k-row histogram; (3) a second
+      // narrow scan keeps ONLY the ≤2 boundary buckets per priority and
+      // ranks inside them. The interpolation replicates Percentile's
+      // arithmetic bit-for-bit: 0.5·lo + 0.5·hi (exact halving, one
+      // rounding add — and ≡ lo when r1 = r2). The decimal re-sums are
+      // exact (decimal addition is associative; only the type widens,
+      // and both sums cast to double from the identical value), so the
+      // whole rewrite is oracle-checked against the unchanged
+      // single-pass SQL.
+      import org.apache.spark.sql.expressions.Window
       val x = col("o_totalprice")
       val xd = Det.dec(x, 2)
-      Tables.orders(s, d)
+      val withB = Tables.orders(s, d)
+        .select(col("o_orderpriority"), col("o_totalprice"))
+        .withColumn("b", expr("CAST(o_totalprice AS INT) DIV 64"))
+      val hist = withB.groupBy(col("o_orderpriority"), col("b"))
+        .agg(count(lit(1)).as("cnt"),
+          sum(Det.dec(x, 2, 28)).as("sumd"),
+          sum(xd * xd).as("s2b"),
+          min(x).as("mn"), max(x).as("mx"))
+      val wPre = Window.partitionBy(col("o_orderpriority")).orderBy(col("b"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val boundary = hist
+        .select(col("o_orderpriority"), col("b"), col("cnt"),
+          coalesce(sum(col("cnt")).over(wPre), lit(0L)).as("pre"),
+          sum(col("cnt"))
+            .over(Window.partitionBy(col("o_orderpriority"))).as("n"))
+        .withColumn("r1", expr("(n - 1) DIV 2"))
+        .withColumn("r2", expr("n DIV 2"))
+        .where(col("pre") <= col("r2")
+          && col("pre") + col("cnt") - 1 >= col("r1"))
+        .select(col("o_orderpriority"), col("b"), col("pre"),
+          col("r1"), col("r2"))
+      val wIn = Window.partitionBy(col("o_orderpriority"), col("b"))
+        .orderBy(x)
+      val med = withB.join(broadcast(boundary), Seq("o_orderpriority", "b"))
+        .withColumn("rk", col("pre") + row_number().over(wIn) - 1)
+        .where(col("rk") === col("r1") || col("rk") === col("r2"))
         .groupBy(col("o_orderpriority"))
-        .agg(
-          count(lit(1)).as("n_orders"),
-          Det.dsum(x, 2).as("sum_total"),
-          sum(xd * xd).as("s2dec"),
-          min(x).as("min_total"),
-          max(x).as("max_total"),
-          median(x).as("median_total"))
+        .agg(min(when(col("rk") === col("r1"), x)).as("lo"),
+          min(when(col("rk") === col("r2"), x)).as("hi"))
+        .select(col("o_orderpriority"),
+          (col("lo") * lit(0.5) + col("hi") * lit(0.5)).as("median_total"))
+      hist.groupBy(col("o_orderpriority"))
+        .agg(sum(col("cnt")).as("n_orders"),
+          sum(col("sumd")).cast("double").as("sum_total"),
+          sum(col("s2b")).as("s2dec"),
+          min(col("mn")).as("min_total"),
+          max(col("mx")).as("max_total"))
+        .join(med, Seq("o_orderpriority"))
         .withColumn("s2", Det.bigToDouble(col("s2dec")))
         .select(
           col("o_orderpriority"), col("n_orders"), col("sum_total"),
