@@ -61,8 +61,17 @@ object CurationOps {
         .select(col("doc_id"), lt.as("lt"), explode(starts).as("i"))
         .select(col("doc_id"),
           col("lt").substr(col("i"), lit(SpanWin)).as("g"))
-      val df = w.groupBy("g").agg(count(lit(1)).as("c"))
-      val per = w.join(df, Seq("g"))
+      // Frequency annotation via ONE window over the span exchange
+      // (r19, guide §2.4 "two operations keyed the same way share one
+      // exchange"): the r18 shape computed `w` twice — once partial-
+      // aggregated into a df table, once exchanged for the w ⋈ df join
+      // (sf20 qprofile: two explode passes writing 741 MB + 666 MB,
+      // then a 1.4 GB join read). `count(*) OVER (PARTITION BY g)` is
+      // the identical per-row frequency from a single explode pass and
+      // a single exchange, no join.
+      import org.apache.spark.sql.expressions.Window
+      val per = w
+        .withColumn("c", count(lit(1)).over(Window.partitionBy(col("g"))))
         .groupBy("doc_id")
         .agg(count(lit(1)).as("n_windows"),
           sum(when(col("c") > 1, 1L).otherwise(0L)).as("n_dup_windows"))

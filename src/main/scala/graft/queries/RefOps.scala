@@ -363,28 +363,58 @@ object RefOps {
   val incremental: Q = Q(
     "q_ref_incremental",
     (s, d) => {
+      // r19 refinement (guide §2.3 "aggregate before you shuffle",
+      // taken to its algebraic end): both generations come off ONE
+      // scan, so each input row's (+1, prev-digest) and (−1,
+      // cur-digest) contributions are visible TOGETHER map-side — and
+      // a ±1 pair on the SAME digest cancels inside its group sum no
+      // matter what else shares the digest (group d is a sum;
+      // removing a zero-sum pair changes nothing). Unchanged rows
+      // (the mass) therefore never reach the exchange: only deleted
+      // rows (+1) and repriced rows (+1 prev, −1 cur) ship — the r18
+      // shape's 4.49 GB digest shuffle at sf20 (two full-row scan
+      // branches, 240M rows, partial aggregation combining nothing
+      // because digests are unique) drops to the ~27% of rows whose
+      // digest actually changed. n_unchanged folds out of the group
+      // algebra as |cur| − n_inserted, with |cur| a column-pruned
+      // scalar count. A repriced row whose digests coincide cancels
+      // here exactly as its d = 0 group contributed nothing there.
       val prev = Tables.lineitem(s, d)
-      val cur = prev.where(col("l_orderkey") % 7 =!= 0)
-        .withColumn("l_extendedprice",
-          when(col("l_orderkey") % 13 === 0,
-            col("l_extendedprice") + lit(1.0))
-            .otherwise(col("l_extendedprice")))
       val rowCols = prev.columns.toSeq.map(col)
-      prev.withColumn("__w", lit(1L))
-        .unionByName(cur.withColumn("__w", lit(-1L)))
-        .groupBy(
-          xxhash64(lit(1L) +: rowCols: _*).as("h1"),
-          xxhash64(lit(2L) +: rowCols: _*).as("h2"))
-        .agg(sum(col("__w")).as("d"),
-          count(when(col("__w") === -1L, 1)).as("cur_n"))
+      val curPrice = when(col("l_orderkey") % 13 === 0,
+        col("l_extendedprice") + lit(1.0))
+        .otherwise(col("l_extendedprice"))
+      val curCols = prev.columns.toSeq.map { c =>
+        if (c == "l_extendedprice") curPrice else col(c) }
+      val survives = col("l_orderkey") % 7 =!= 0
+      val contrib = struct(col("h1p").as("h1"), col("h2p").as("h2"),
+        lit(1L).as("w"))
+      val contribCur = struct(col("h1c").as("h1"), col("h2c").as("h2"),
+        lit(-1L).as("w"))
+      val changed = prev.select(
+          xxhash64(lit(1L) +: rowCols: _*).as("h1p"),
+          xxhash64(lit(2L) +: rowCols: _*).as("h2p"),
+          when(survives, xxhash64(lit(1L) +: curCols: _*)).as("h1c"),
+          when(survives, xxhash64(lit(2L) +: curCols: _*)).as("h2c"))
+        .where(col("h1c").isNull ||
+          col("h1p") =!= col("h1c") || col("h2p") =!= col("h2c"))
+        .select(explode(
+          when(col("h1c").isNull, array(contrib))
+            .otherwise(array(contrib, contribCur))).as("x"))
+        .select(col("x.h1").as("h1"), col("x.h2").as("h2"),
+          col("x.w").as("w"))
+      val diff = changed.groupBy(col("h1"), col("h2"))
+        .agg(sum(col("w")).as("d"))
         .agg(
           sum(when(col("d") < 0, -col("d")).otherwise(0L))
             .cast("long").as("n_inserted"),
           sum(when(col("d") > 0, col("d")).otherwise(0L))
-            .cast("long").as("n_deleted"),
-          (sum(col("cur_n")) -
-            sum(when(col("d") < 0, -col("d")).otherwise(0L)))
-            .cast("long").as("n_unchanged"))
+            .cast("long").as("n_deleted"))
+      val curCount = prev.where(survives).agg(count(lit(1)).as("n_cur"))
+      diff.crossJoin(curCount)
+        .select(col("n_inserted"), col("n_deleted"),
+          (col("n_cur") - col("n_inserted")).cast("long")
+            .as("n_unchanged"))
     },
     Some("""WITH cur AS (
       SELECT l_orderkey, l_partkey, l_suppkey, l_linenumber, l_quantity,
